@@ -1,0 +1,44 @@
+"""qcss_tpu — a TPU-native framework for fault-tolerant quantum computation
+with CSS quantum error-correcting codes.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the reference
+library ``jimpo/quantum-css-codes`` (pure-Python pyQuil + Forest QVM), but
+re-designed device-first:
+
+* GF(2) linear algebra runs both as exact host kernels (code construction)
+  and as batched / bit-packed XLA+Pallas device kernels (the hot path).
+* The external Forest QVM process is replaced by an in-process, batched
+  CHP stabilizer-tableau simulator (`qcss_tpu.sim`).
+* The reference's emitted Quil classical-decode instruction streams
+  (reference: quil_classical.py, css_code.py:649-713) are replaced by
+  vectorized syndrome extraction + lookup-table decoding across millions
+  of Monte-Carlo noise samples per chip (`qcss_tpu.decode`).
+* FT protocols (repeat-until-success preparation, Steane error correction,
+  2t+1 majority-vote logical measurement — reference: css_code.py:314-646)
+  execute as masked, batched array programs under `jax.jit`.
+* Multi-chip scaling is sample-axis data parallelism over a
+  `jax.sharding.Mesh` (`qcss_tpu.parallel`).
+"""
+
+from qcss_tpu.errors import (
+    InvalidCodeError,
+    UnsupportedGateError,
+    UnsupportedProgramError,
+    UnsupportedQECCError,
+)
+from qcss_tpu.codes.css import CSSCode
+from qcss_tpu.codes import families
+from qcss_tpu.circuits.ir import Circuit, Program
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CSSCode",
+    "Circuit",
+    "Program",
+    "families",
+    "InvalidCodeError",
+    "UnsupportedGateError",
+    "UnsupportedProgramError",
+    "UnsupportedQECCError",
+]

@@ -1,0 +1,208 @@
+"""A small Clifford circuit / program IR.
+
+Replaces the reference's use of pyQuil ``Program`` as both the user-facing
+input to the FT transpiler and the synthesis target for encoding networks
+(reference: css_code.py:203-312, ftqc.py:42-120). Unlike Quil, the IR has
+*structured* control flow only (``if_then`` on a classical bit), because the
+execution target is a traced, batched JAX program rather than an instruction
+interpreter with jumps: arbitrary ``Jump``/``JumpTarget`` control flow does
+not exist on this substrate by design.
+
+`Circuit`  — a pure unitary Clifford gate list (H/S/X/Y/Z/CNOT/CZ/I).
+`Program`  — circuits plus classical memory declarations, MEASURE, RESET and
+             IF_THEN; the input language of `qcss_tpu.ftqc.rewrite_program`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Union
+
+CLIFFORD_1Q = ("I", "X", "Y", "Z", "H", "S")
+CLIFFORD_2Q = ("CNOT", "CZ")
+GATE_ARITY = {**{g: 1 for g in CLIFFORD_1Q}, **{g: 2 for g in CLIFFORD_2Q}}
+
+
+@dataclass(frozen=True)
+class GateInst:
+    name: str
+    qubits: tuple[int, ...]
+
+    def __post_init__(self):
+        if self.name not in GATE_ARITY:
+            raise ValueError(f"unknown gate {self.name!r}")
+        if len(self.qubits) != GATE_ARITY[self.name]:
+            raise ValueError(
+                f"{self.name} expects {GATE_ARITY[self.name]} qubits, "
+                f"got {len(self.qubits)}"
+            )
+        if len(set(self.qubits)) != len(self.qubits):
+            raise ValueError("gate qubits must be distinct")
+
+
+@dataclass(frozen=True)
+class BitRef:
+    """A reference to one bit of a declared classical register."""
+
+    name: str
+    index: int
+
+
+@dataclass(frozen=True)
+class DeclareInst:
+    name: str
+    size: int
+
+
+@dataclass(frozen=True)
+class MeasureInst:
+    qubit: int
+    target: BitRef
+
+
+@dataclass(frozen=True)
+class ResetInst:
+    qubit: int
+
+
+@dataclass(frozen=True)
+class IfThenInst:
+    """Apply `body` (unitary only) iff the classical bit is 1."""
+
+    condition: BitRef
+    body: "Circuit"
+
+
+Instruction = Union[GateInst, MeasureInst, ResetInst, IfThenInst, DeclareInst]
+
+
+class Circuit:
+    """An ordered list of Clifford gates on integer-indexed qubits."""
+
+    def __init__(self, gates: Iterable[GateInst] = ()):  # noqa: D401
+        self.gates: list[GateInst] = list(gates)
+
+    # -- builders ------------------------------------------------------------
+
+    def gate(self, name: str, *qubits: int) -> "Circuit":
+        self.gates.append(GateInst(name, tuple(int(q) for q in qubits)))
+        return self
+
+    def i(self, q):
+        return self.gate("I", q)
+
+    def x(self, q):
+        return self.gate("X", q)
+
+    def y(self, q):
+        return self.gate("Y", q)
+
+    def z(self, q):
+        return self.gate("Z", q)
+
+    def h(self, q):
+        return self.gate("H", q)
+
+    def s(self, q):
+        return self.gate("S", q)
+
+    def cnot(self, c, t):
+        return self.gate("CNOT", c, t)
+
+    def cz(self, a, b):
+        return self.gate("CZ", a, b)
+
+    # -- utilities -----------------------------------------------------------
+
+    def __iter__(self):
+        return iter(self.gates)
+
+    def __len__(self):
+        return len(self.gates)
+
+    def __add__(self, other: "Circuit") -> "Circuit":
+        return Circuit(self.gates + list(other.gates))
+
+    def __iadd__(self, other: "Circuit") -> "Circuit":
+        self.gates.extend(other.gates)
+        return self
+
+    def num_qubits(self) -> int:
+        return 1 + max((q for g in self.gates for q in g.qubits), default=-1)
+
+    def __repr__(self):
+        body = "; ".join(f"{g.name}{list(g.qubits)}" for g in self.gates[:8])
+        more = f" … +{len(self.gates) - 8}" if len(self.gates) > 8 else ""
+        return f"<Circuit {len(self.gates)} gates: {body}{more}>"
+
+
+class Program:
+    """A Clifford program with classical memory: the raw input to the FT
+    transpiler, playing the role of pyQuil ``Program`` in the reference."""
+
+    def __init__(self):
+        self.instructions: list[Instruction] = []
+        self.memory: dict[str, int] = {}
+
+    def declare(self, name: str, size: int = 1) -> list[BitRef]:
+        if name in self.memory:
+            raise ValueError(f"register {name!r} already declared")
+        self.memory[name] = size
+        self.instructions.append(DeclareInst(name, size))
+        return [BitRef(name, i) for i in range(size)]
+
+    def gate(self, name: str, *qubits: int) -> "Program":
+        self.instructions.append(GateInst(name, tuple(int(q) for q in qubits)))
+        return self
+
+    def i(self, q):
+        return self.gate("I", q)
+
+    def x(self, q):
+        return self.gate("X", q)
+
+    def y(self, q):
+        return self.gate("Y", q)
+
+    def z(self, q):
+        return self.gate("Z", q)
+
+    def h(self, q):
+        return self.gate("H", q)
+
+    def s(self, q):
+        return self.gate("S", q)
+
+    def cnot(self, c, t):
+        return self.gate("CNOT", c, t)
+
+    def cz(self, a, b):
+        return self.gate("CZ", a, b)
+
+    def measure(self, qubit: int, target: BitRef) -> "Program":
+        if target.name not in self.memory:
+            raise ValueError(f"register {target.name!r} not declared")
+        self.instructions.append(MeasureInst(int(qubit), target))
+        return self
+
+    def reset(self, qubit: int) -> "Program":
+        self.instructions.append(ResetInst(int(qubit)))
+        return self
+
+    def if_then(self, condition: BitRef, body: Circuit) -> "Program":
+        self.instructions.append(IfThenInst(condition, body))
+        return self
+
+    def qubits(self) -> list[int]:
+        found: set[int] = set()
+        for inst in self.instructions:
+            if isinstance(inst, GateInst):
+                found.update(inst.qubits)
+            elif isinstance(inst, (MeasureInst, ResetInst)):
+                found.add(inst.qubit)
+            elif isinstance(inst, IfThenInst):
+                found.update(q for g in inst.body for q in g.qubits)
+        return sorted(found)
+
+    def __repr__(self):
+        return f"<Program {len(self.instructions)} instructions, mem={self.memory}>"

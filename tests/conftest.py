@@ -1,0 +1,17 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so multi-chip sharding
+paths (`qcss_tpu.parallel`) are exercised without TPU hardware; the real-chip
+path is covered by `bench.py` and the graft entry points.
+
+Must run before jax initializes, hence environment setup at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
