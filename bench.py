@@ -1,0 +1,58 @@
+"""Headline benchmark: batched Monte-Carlo syndrome decode throughput.
+
+Runs the fused sample → syndrome-extract → LUT-decode → logical-check
+pipeline for the Steane [[7,1,3]] code on the attached TPU chip and prints
+ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the BASELINE.md north-star target of 1e6 noise samples decoded
+per second per chip (the reference itself publishes no numbers; its
+fidelity harness pushes 1e5 QVM shots through an external simulator process
+and prints wall time — reference: test/test_fidelity.py:38-46).
+"""
+
+import json
+import time
+
+import jax
+
+from qcss_tpu.codes import families
+from qcss_tpu.decode.montecarlo import mc_decode_step
+
+BASELINE_SAMPLES_PER_SEC = 1.0e6  # BASELINE.md target for v5e
+BATCH = 1 << 22
+STEPS = 10
+P_PHYS = 0.01
+
+
+def main():
+    code = families.steane()
+    key = jax.random.key(0)
+
+    # Warm-up / compile.
+    out = mc_decode_step(code, key, BATCH, P_PHYS)
+    jax.block_until_ready(out)
+
+    keys = jax.random.split(key, STEPS)
+    start = time.perf_counter()
+    total = None
+    for i in range(STEPS):
+        out = mc_decode_step(code, keys[i], BATCH, P_PHYS)
+        total = out if total is None else {
+            k: total[k] + out[k] for k in total
+        }
+    jax.block_until_ready(total)
+    elapsed = time.perf_counter() - start
+
+    samples_per_sec = STEPS * BATCH / elapsed
+    print(json.dumps({
+        "metric": "steane_mc_decode_throughput",
+        "value": round(samples_per_sec),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

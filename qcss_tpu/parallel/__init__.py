@@ -1,0 +1,13 @@
+"""Multi-chip scaling: sample-axis data parallelism over a device mesh.
+
+The reference's only batching mechanism is the QVM numshots loop inside a
+single external simulator process (reference: test/test_fidelity.py:67);
+its only IPC is pyquil->QVM RPC. The TPU-native replacement is
+`jax.sharding` + `shard_map` over an ICI mesh with XLA collectives — each
+chip samples, extracts and decodes its own shard of the Monte-Carlo batch
+and failure counts are combined with a single `psum`.
+"""
+
+from qcss_tpu.parallel.mesh import make_mesh, sharded_mc_step, sharded_logical_error_rate
+
+__all__ = ["make_mesh", "sharded_mc_step", "sharded_logical_error_rate"]

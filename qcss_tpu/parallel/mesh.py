@@ -1,0 +1,86 @@
+"""Device-mesh utilities and the sharded Monte-Carlo pipeline.
+
+Design: the Monte-Carlo sample axis is embarrassingly parallel, so the mesh
+has a single ``data`` axis; each device derives an independent PRNG stream
+by folding in its mesh coordinate, runs the fused
+sample → syndrome-extract → decode → logical-check pipeline on its local
+shard, and the scalar failure counts ride one `psum` over ICI. Code arrays
+(parity checks, LUTs, logical rows) are small and replicated.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from qcss_tpu.decode.montecarlo import decode_failures, sample_depolarizing
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def sharded_mc_step(code, mesh: Mesh, key: jax.Array, batch: int, p):
+    """One Monte-Carlo round sharded over the mesh's ``data`` axis.
+
+    ``batch`` is the *global* sample count; it must divide evenly by the
+    mesh size. Returns global failure counts (already psummed, replicated).
+    """
+    dev = code.device
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    local_batch = batch // n_dev
+    axis = mesh.axis_names[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(),) * 7,
+        out_specs=P(),
+    )
+    def step(key, h1, h2, lut1, lut2, lx, lz):
+        my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        x_err, z_err = sample_depolarizing(my_key, local_batch, h1.shape[1], p)
+        fails = decode_failures(x_err, z_err, h1, h2, lut1, lut2, lx, lz)
+        return {
+            k: jax.lax.psum(jnp.sum(v, dtype=jnp.int32), axis)
+            for k, v in fails.items()
+        }
+
+    fn = jax.jit(step)
+    return fn(key, dev.h1, dev.h2, dev.lut_c1, dev.lut_c2,
+              dev.logical_x, dev.logical_z)
+
+
+def sharded_logical_error_rate(
+    code,
+    p,
+    *,
+    mesh: Mesh | None = None,
+    samples: int = 1 << 20,
+    batch: int = 1 << 18,
+    seed: int = 0,
+) -> dict[str, float]:
+    """Mesh-parallel version of `decode.montecarlo.logical_error_rate`."""
+    mesh = make_mesh() if mesh is None else mesh
+    n_dev = mesh.devices.size
+    batch = max(n_dev, batch - batch % n_dev)
+    rounds = -(-samples // batch)
+    total = {"x_fail": 0, "z_fail": 0, "word_fail": 0}
+    keys = jax.random.split(jax.random.key(seed), rounds)
+    for i in range(rounds):
+        counts = sharded_mc_step(code, mesh, keys[i], batch, p)
+        for k in total:
+            total[k] += int(counts[k])
+    n_samples = rounds * batch
+    out = {k: v / n_samples for k, v in total.items()}
+    out["samples"] = n_samples
+    return out

@@ -5,13 +5,21 @@ paths (`qcss_tpu.parallel`) are exercised without TPU hardware; the real-chip
 path is covered by `bench.py` and the graft entry points.
 
 Must run before jax initializes, hence environment setup at import time.
+The environment may preset JAX_PLATFORMS (e.g. to a TPU tunnel), so the
+override is unconditional.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's site customization may register an external TPU plugin
+# that wins over JAX_PLATFORMS; the config update below is authoritative.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,196 @@
+"""Batched decode pipeline tests (BASELINE configs 1 and 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qcss_tpu.codes import families
+from qcss_tpu.decode import lut as lut_mod
+from qcss_tpu.decode import montecarlo as mc
+from qcss_tpu.ops import gf2, gf2_jax
+
+
+@pytest.fixture(scope="module")
+def steane():
+    return families.steane()
+
+
+class TestSyndromeExtraction:
+    def test_dense_matches_host(self, steane):
+        rng = np.random.default_rng(0)
+        errs = rng.integers(0, 2, size=(64, 7), dtype=np.uint8)
+        h = steane.parity_check_c2
+        got = np.asarray(gf2_jax.syndromes_dense(jnp.asarray(errs), jnp.asarray(h)))
+        want = (errs.astype(int) @ h.T.astype(int)) & 1
+        assert np.array_equal(got, want)
+
+    def test_packed_matches_dense(self, steane):
+        rng = np.random.default_rng(1)
+        for n in (7, 31, 32, 33, 100):
+            h = rng.integers(0, 2, size=(5, n), dtype=np.uint8)
+            errs = rng.integers(0, 2, size=(16, n), dtype=np.uint8)
+            dense = np.asarray(
+                gf2_jax.syndromes_dense(jnp.asarray(errs), jnp.asarray(h))
+            )
+            packed = np.asarray(
+                gf2_jax.syndromes_packed(
+                    gf2_jax.pack_bits(errs), gf2_jax.pack_bits(h)
+                )
+            )
+            assert np.array_equal(dense, packed), n
+
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(2)
+        for n in (1, 31, 32, 33, 64, 241):
+            bits = rng.integers(0, 2, size=(3, n), dtype=np.uint8)
+            packed = gf2_jax.pack_bits(bits)
+            assert packed.shape == (3, gf2_jax.packed_width(n))
+            assert np.array_equal(np.asarray(gf2_jax.unpack_bits(packed, n)), bits)
+
+
+class TestDecodeAllWeight1:
+    """BASELINE config 1: decode all weight-1 Pauli errors bit-exactly."""
+
+    def test_all_single_qubit_paulis_corrected(self, steane):
+        dev = steane.device
+        # All 21 single-qubit Paulis (X, Y, Z on each of 7 qubits) plus I.
+        x_errs, z_errs = [np.zeros(7, np.uint8)], [np.zeros(7, np.uint8)]
+        for q in range(7):
+            for pauli in ("X", "Y", "Z"):
+                x = np.zeros(7, np.uint8)
+                z = np.zeros(7, np.uint8)
+                if pauli in ("X", "Y"):
+                    x[q] = 1
+                if pauli in ("Y", "Z"):
+                    z[q] = 1
+                x_errs.append(x)
+                z_errs.append(z)
+        fails = mc.decode_failures(
+            jnp.asarray(np.array(x_errs)),
+            jnp.asarray(np.array(z_errs)),
+            dev.h1, dev.h2, dev.lut_c1, dev.lut_c2,
+            dev.logical_x, dev.logical_z,
+        )
+        assert int(fails["word_fail"].sum()) == 0
+
+    def test_correction_is_exact_error(self, steane):
+        # For a distance-3 non-degenerate code, the decoded correction must
+        # equal the injected weight-1 error exactly.
+        dev = steane.device
+        for q in range(7):
+            err = np.zeros((1, 7), np.uint8)
+            err[0, q] = 1
+            syn = gf2_jax.syndromes_dense(jnp.asarray(err), dev.h2)
+            corr = lut_mod.decode_corrections(syn, dev.lut_c2)
+            assert np.array_equal(np.asarray(corr), err)
+
+    def test_weight2_fails_as_expected(self, steane):
+        # t=1: some weight-2 X errors must produce a logical failure.
+        dev = steane.device
+        fails = 0
+        for q1 in range(7):
+            for q2 in range(q1 + 1, 7):
+                err = np.zeros((1, 7), np.uint8)
+                err[0, [q1, q2]] = 1
+                out = mc.decode_failures(
+                    jnp.asarray(err), jnp.zeros((1, 7), jnp.uint8),
+                    dev.h1, dev.h2, dev.lut_c1, dev.lut_c2,
+                    dev.logical_x, dev.logical_z,
+                )
+                fails += int(out["x_fail"][0])
+        assert fails > 0
+
+
+class TestCorrectDetect:
+    def test_correct_errors_roundtrip(self, steane):
+        """correct_errors must reproduce quil_classical_correct semantics:
+        given measured = codeword ^ e with known frame f, the new frame is
+        f ^ decode(H(measured^f)) (reference: css_code.py:649-685)."""
+        dev = steane.device
+        rng = np.random.default_rng(3)
+        # random C2 codewords: nullspace basis of h2
+        basis = gf2.nullspace(steane.parity_check_c2)
+        coeffs = rng.integers(0, 2, size=(32, basis.shape[0]), dtype=np.uint8)
+        words = (coeffs.astype(int) @ basis.astype(int)) & 1
+        # inject weight-1 errors
+        errs = np.zeros_like(words)
+        for i in range(32):
+            errs[i, rng.integers(0, 7)] = 1
+        measured = (words ^ errs).astype(np.uint8)
+        frame = np.zeros_like(measured)
+        corrected, new_frame = lut_mod.correct_errors(
+            jnp.asarray(measured), jnp.asarray(frame), dev.h2, dev.lut_c2
+        )
+        assert np.array_equal(np.asarray(new_frame), errs)
+        assert np.array_equal(np.asarray(corrected), words)
+
+    def test_detect_errors(self, steane):
+        dev = steane.device
+        clean = np.zeros((1, 7), np.uint8)
+        assert int(lut_mod.detect_errors(jnp.asarray(clean), jnp.asarray(clean), dev.h2)[0]) == 0
+        dirty = clean.copy()
+        dirty[0, 0] = 1
+        assert int(lut_mod.detect_errors(jnp.asarray(dirty), jnp.asarray(clean), dev.h2)[0]) == 1
+        # known frame explains the error -> no detection
+        assert int(lut_mod.detect_errors(jnp.asarray(dirty), jnp.asarray(dirty), dev.h2)[0]) == 0
+
+
+class TestMonteCarlo:
+    def test_zero_noise_zero_failures(self, steane):
+        out = mc.logical_error_rate(steane, 0.0, samples=1 << 12, batch=1 << 12)
+        assert out["word_fail"] == 0.0
+
+    def test_rate_scaling(self, steane):
+        # Logical error rate ~ c p^2 for small p: check monotonicity and
+        # rough magnitude at two points.
+        r1 = mc.logical_error_rate(steane, 0.01, samples=1 << 16, batch=1 << 16, seed=1)
+        r2 = mc.logical_error_rate(steane, 0.05, samples=1 << 16, batch=1 << 16, seed=2)
+        assert r1["word_fail"] < r2["word_fail"]
+        # At p=0.01 the Steane X-sector rate is ~21*(2p/3)^2 ≈ 1e-3.
+        assert 1e-4 < r2["word_fail"] < 0.2
+
+    def test_analytic_weight2_rate(self, steane):
+        """With exactly-weight-2 X errors, failure must be deterministic per
+        pattern; MC at p small must agree with exhaustive enumeration."""
+        dev = steane.device
+        # Exhaustive: fraction of weight-2 X patterns that fail.
+        n_fail = 0
+        from itertools import combinations
+
+        for q1, q2 in combinations(range(7), 2):
+            err = np.zeros((1, 7), np.uint8)
+            err[0, [q1, q2]] = 1
+            out = mc.decode_failures(
+                jnp.asarray(err), np.zeros((1, 7), np.uint8),
+                dev.h1, dev.h2, dev.lut_c1, dev.lut_c2,
+                dev.logical_x, dev.logical_z,
+            )
+            n_fail += int(out["x_fail"][0])
+        # Every weight-2 error on a perfect (Hamming) code decodes to a
+        # wrong codeword: residual weight-3 logical operator.
+        assert n_fail == 21
+
+
+class TestParallel:
+    def test_sharded_counts_match_expectation(self, steane):
+        from qcss_tpu.parallel import make_mesh, sharded_mc_step
+
+        mesh = make_mesh()
+        assert mesh.devices.size == 8  # conftest forces 8 virtual devices
+        key = jax.random.key(0)
+        counts = sharded_mc_step(steane, mesh, key, batch=8 * 1024, p=0.05)
+        assert counts["word_fail"].shape == ()
+        # Rough magnitude sanity: E[fail] ≈ 21*(2p/3)^2 * batch ≈ 190 for
+        # the X sector alone; allow wide MC tolerance.
+        assert 10 < int(counts["word_fail"]) < 2000
+
+    def test_sharded_rate_close_to_single_device(self, steane):
+        from qcss_tpu.parallel import make_mesh, sharded_logical_error_rate
+
+        p = 0.05
+        single = mc.logical_error_rate(steane, p, samples=1 << 15, batch=1 << 15, seed=5)
+        multi = sharded_logical_error_rate(
+            steane, p, mesh=make_mesh(), samples=1 << 15, batch=1 << 15, seed=6
+        )
+        assert abs(single["word_fail"] - multi["word_fail"]) < 0.01
