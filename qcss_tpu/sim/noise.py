@@ -1,0 +1,105 @@
+"""Explicit, seeded Pauli noise channels for the tableau simulator.
+
+The reference's only fault injection is the QVM's built-in decoherence
+noise model, configured once per QC object (T1/T2/readout fidelity —
+reference: test/test_fidelity.py:76-82). Here noise is a first-class batched
+component: channels sample per-sample Pauli flips from explicit
+probabilities and inject them via one fused sign update
+(`tableau.apply_pauli_frame`), so noisy and noiseless execution share the
+same compiled program structure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from qcss_tpu.sim import tableau as tb
+
+
+@dataclass(frozen=True)
+class NoiseModel:
+    """Circuit-level stochastic Pauli noise.
+
+    p_gate1 / p_gate2: depolarizing probability after each 1q/2q gate
+    (uniform over the 3 / 15 non-identity Paulis on the touched qubits).
+    p_meas: classical bit-flip probability on each measurement outcome.
+    p_reset: probability a reset leaves |1> instead of |0> (applied as an
+    X flip after the reset).
+    """
+
+    p_gate1: float = 0.0
+    p_gate2: float = 0.0
+    p_meas: float = 0.0
+    p_reset: float = 0.0
+
+    @property
+    def is_trivial(self) -> bool:
+        return not (self.p_gate1 or self.p_gate2 or self.p_meas or self.p_reset)
+
+
+def depolarize1(t: tb.Tableau, q: int, p, key: jax.Array) -> tb.Tableau:
+    """Single-qubit depolarizing channel on qubit q: X, Y or Z each with
+    probability p/3, per sample."""
+    B, n = t.batch, t.n
+    u = jax.random.uniform(key, (B,), dtype=jnp.float32)
+    p = jnp.float32(p)
+    x_flip = (u < 2.0 * p / 3.0).astype(jnp.uint8)
+    z_flip = ((u >= p / 3.0) & (u < p)).astype(jnp.uint8)
+    qcol = (jnp.arange(n)[None, :] == q).astype(jnp.uint8)
+    return tb.apply_pauli_frame(t, x_flip[:, None] * qcol, z_flip[:, None] * qcol)
+
+
+def depolarize2(t: tb.Tableau, q1: int, q2: int, p, key: jax.Array) -> tb.Tableau:
+    """Two-qubit depolarizing channel: one of the 15 non-identity two-qubit
+    Paulis with probability p/15 each, per sample."""
+    B, n = t.batch, t.n
+    key_u, key_p = jax.random.split(key)
+    hit = jax.random.uniform(key_u, (B,), dtype=jnp.float32) < jnp.float32(p)
+    # Uniform non-identity pattern: index in [1, 16) -> 2 bits per qubit.
+    pat = jax.random.randint(key_p, (B,), 1, 16, dtype=jnp.int32)
+    hit = hit.astype(jnp.uint8)
+    x1 = (pat & 1).astype(jnp.uint8) * hit
+    z1 = ((pat >> 1) & 1).astype(jnp.uint8) * hit
+    x2 = ((pat >> 2) & 1).astype(jnp.uint8) * hit
+    z2 = ((pat >> 3) & 1).astype(jnp.uint8) * hit
+    col1 = (jnp.arange(n)[None, :] == q1).astype(jnp.uint8)
+    col2 = (jnp.arange(n)[None, :] == q2).astype(jnp.uint8)
+    x_flips = x1[:, None] * col1 ^ x2[:, None] * col2
+    z_flips = z1[:, None] * col1 ^ z2[:, None] * col2
+    return tb.apply_pauli_frame(t, x_flips, z_flips)
+
+
+def flip_bits(bits: jax.Array, p, key: jax.Array) -> jax.Array:
+    """Classical readout noise: flip each bit with probability p."""
+    flips = jax.random.bernoulli(key, p, bits.shape).astype(bits.dtype)
+    return bits ^ flips
+
+
+def noisy_gate(
+    t: tb.Tableau, name: str, qubits: tuple[int, ...],
+    model: NoiseModel, key: jax.Array,
+) -> tb.Tableau:
+    """Apply a gate followed by its depolarizing noise location."""
+    t = tb.apply_gate(t, name, *qubits)
+    if len(qubits) == 1:
+        if model.p_gate1:
+            t = depolarize1(t, qubits[0], model.p_gate1, key)
+    else:
+        if model.p_gate2:
+            t = depolarize2(t, qubits[0], qubits[1], model.p_gate2, key)
+    return t
+
+
+def run_circuit_noisy(
+    t: tb.Tableau, circuit, model: NoiseModel, key: jax.Array
+) -> tb.Tableau:
+    """Run a circuit inserting a depolarizing location after every gate."""
+    if model.is_trivial:
+        return tb.run_circuit(t, circuit)
+    keys = jax.random.split(key, max(len(circuit), 1))
+    for k, g in zip(keys, circuit):
+        t = noisy_gate(t, g.name, g.qubits, model, k)
+    return t
