@@ -18,11 +18,11 @@ import time
 import jax
 
 from qcss_tpu.codes import families
-from qcss_tpu.decode.montecarlo import mc_decode_step
+from qcss_tpu.decode.montecarlo import mc_decode_rounds
 
 BASELINE_SAMPLES_PER_SEC = 1.0e6  # BASELINE.md target for v5e
 BATCH = 1 << 22
-STEPS = 10
+ROUNDS = 16
 P_PHYS = 0.01
 
 
@@ -31,21 +31,15 @@ def main():
     key = jax.random.key(0)
 
     # Warm-up / compile.
-    out = mc_decode_step(code, key, BATCH, P_PHYS)
+    out = mc_decode_rounds(code, key, BATCH, ROUNDS, P_PHYS)
     jax.block_until_ready(out)
 
-    keys = jax.random.split(key, STEPS)
     start = time.perf_counter()
-    total = None
-    for i in range(STEPS):
-        out = mc_decode_step(code, keys[i], BATCH, P_PHYS)
-        total = out if total is None else {
-            k: total[k] + out[k] for k in total
-        }
-    jax.block_until_ready(total)
+    out = mc_decode_rounds(code, jax.random.key(1), BATCH, ROUNDS, P_PHYS)
+    jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
 
-    samples_per_sec = STEPS * BATCH / elapsed
+    samples_per_sec = ROUNDS * BATCH / elapsed
     print(json.dumps({
         "metric": "steane_mc_decode_throughput",
         "value": round(samples_per_sec),

@@ -22,6 +22,10 @@ CLIFFORD_1Q = ("I", "X", "Y", "Z", "H", "S")
 CLIFFORD_2Q = ("CNOT", "CZ")
 GATE_ARITY = {**{g: 1 for g in CLIFFORD_1Q}, **{g: 2 for g in CLIFFORD_2Q}}
 
+# Opcode numbering for array-lowered circuits; the order must match the
+# branch table in qcss_tpu.sim.tableau.run_circuit_scanned.
+OPCODES = {name: i for i, name in enumerate(CLIFFORD_1Q + CLIFFORD_2Q)}
+
 
 @dataclass(frozen=True)
 class GateInst:
@@ -129,6 +133,22 @@ class Circuit:
 
     def num_qubits(self) -> int:
         return 1 + max((q for g in self.gates for q in g.qubits), default=-1)
+
+    def to_arrays(self):
+        """Lower to (opcodes, qubit0, qubit1) int32 numpy arrays for
+        `lax.scan` execution (unused qubit slots are 0)."""
+        import numpy as np
+
+        T = len(self.gates)
+        ops = np.zeros(T, dtype=np.int32)
+        q0 = np.zeros(T, dtype=np.int32)
+        q1 = np.zeros(T, dtype=np.int32)
+        for i, g in enumerate(self.gates):
+            ops[i] = OPCODES[g.name]
+            q0[i] = g.qubits[0]
+            if len(g.qubits) > 1:
+                q1[i] = g.qubits[1]
+        return ops, q0, q1
 
     def __repr__(self):
         body = "; ".join(f"{g.name}{list(g.qubits)}" for g in self.gates[:8])

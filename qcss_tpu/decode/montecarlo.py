@@ -87,6 +87,34 @@ def mc_decode_step(code, key: jax.Array, batch: int, p) -> dict[str, jax.Array]:
     )
 
 
+@partial(jax.jit, static_argnames=("batch", "rounds"))
+def _mc_scan(key, p, batch, rounds, h1, h2, lut1, lut2, lx, lz):
+    keys = jax.random.split(key, rounds)
+
+    def body(carry, k):
+        x_err, z_err = sample_depolarizing(k, batch, h1.shape[1], p)
+        fails = decode_failures(x_err, z_err, h1, h2, lut1, lut2, lx, lz)
+        counts = {kk: jnp.sum(v, dtype=jnp.int32) for kk, v in fails.items()}
+        return jax.tree.map(jnp.add, carry, counts), None
+
+    init = {k: jnp.int32(0) for k in ("x_fail", "z_fail", "word_fail")}
+    total, _ = jax.lax.scan(body, init, keys)
+    return total
+
+
+def mc_decode_rounds(code, key: jax.Array, batch: int, rounds: int, p) -> dict:
+    """`rounds` fused Monte-Carlo rounds in ONE device program (lax.scan) —
+    no host round-trips between rounds; the form used by the throughput
+    benchmark."""
+    dev = code.device
+    if dev.lut_c1 is None or dev.lut_c2 is None:
+        raise ValueError("code has no syndrome tables; pass max_table_weight")
+    return _mc_scan(
+        key, jnp.float32(p), batch, rounds,
+        dev.h1, dev.h2, dev.lut_c1, dev.lut_c2, dev.logical_x, dev.logical_z,
+    )
+
+
 def logical_error_rate(
     code,
     p,

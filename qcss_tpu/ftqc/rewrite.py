@@ -1,0 +1,165 @@
+"""The FT transpiler: rewrite a raw Clifford program into fault-tolerant
+encoded form.
+
+`rewrite_program(raw, code)` validates the program and produces an
+`EncodedProgram` (reference analogue: ftqc.py:42-120). Execution follows the
+reference's structure exactly:
+
+* one code block per program qubit + two shared ancilla blocks (the
+  reference shares ancillas to stay simulable on the QVM and notes the
+  fault-tolerance cost — reference: ftqc.py:153-160; kept here because it
+  also bounds tableau width),
+* FT |0̄⟩ preparation of every block up front (reference: ftqc.py:77-78),
+* a round of Steane error correction on EVERY block after each logical gate
+  (reference: ftqc.py:86),
+* FT measurement with error correction interleaved between the 2t+1 trials
+  (reference: ftqc.py:91-95),
+* structured `if_then` feedback executed as masked gate application — the
+  reference routes this through Quil jump instructions with mangled labels
+  (reference: ftqc.py:98-103), which have no analogue in a traced program.
+
+Unlike the reference, the result is not an instruction list but a callable
+that jits end-to-end over a batch of shots.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcss_tpu.circuits.ir import (
+    BitRef,
+    DeclareInst,
+    GateInst,
+    IfThenInst,
+    MeasureInst,
+    Program,
+    ResetInst,
+)
+from qcss_tpu.errors import (
+    UnsupportedGateError,
+    UnsupportedProgramError,
+    UnsupportedQECCError,
+)
+from qcss_tpu.ftqc.executor import ExecState, FTProtocols
+from qcss_tpu.sim import noise as noise_mod
+
+
+class EncodedProgram:
+    """A validated FT-encoded program, executable over a batch of shots."""
+
+    def __init__(self, raw: Program, code, noise: noise_mod.NoiseModel | None = None,
+                 max_prep_attempts: int = 8):
+        if code.k != 1:
+            raise UnsupportedQECCError("code must have k = 1")
+        self.raw = raw
+        self.code = code
+        self.noise = noise or noise_mod.NoiseModel()
+        self.qubit_map = {q: i for i, q in enumerate(raw.qubits())}
+        self.n_logical = len(self.qubit_map)
+        # Blocks: one per logical qubit, then two shared EC/measure ancillas.
+        self.protocols = FTProtocols(
+            code, self.n_logical + 2, self.noise, max_prep_attempts
+        )
+        self.memory = dict(raw.memory)
+        self._validate()
+
+    def _validate(self):
+        code = self.code
+        for inst in self.raw.instructions:
+            if isinstance(inst, GateInst):
+                if inst.name not in ("I", "X", "Y", "Z") and not code.is_transversal(inst.name):
+                    raise UnsupportedGateError(
+                        f"logical gate {inst.name} not implemented for this code"
+                    )
+            elif isinstance(inst, IfThenInst):
+                for g in inst.body:
+                    if g.name not in ("I", "X", "Y", "Z") and not code.is_transversal(g.name):
+                        raise UnsupportedGateError(
+                            f"conditional logical gate {g.name} not implemented"
+                        )
+            elif isinstance(inst, (MeasureInst, ResetInst, DeclareInst)):
+                continue
+            else:
+                raise UnsupportedProgramError(f"unsupported instruction: {inst}")
+
+    # -- execution ---------------------------------------------------------------
+
+    def _blocks(self):
+        p = self.protocols
+        data = [p.block(i) for i in range(self.n_logical)]
+        anc1 = p.block(self.n_logical)
+        anc2 = p.block(self.n_logical + 1)
+        return data, anc1, anc2
+
+    def _execute(self, key: jax.Array, batch: int) -> dict[str, jax.Array]:
+        p = self.protocols
+        data, anc1, anc2 = self._blocks()
+        st = p.init_state(batch, key)
+        mem = {
+            name: jnp.zeros((batch, size), dtype=jnp.uint8)
+            for name, size in self.memory.items()
+        }
+
+        def ec_all(s: ExecState) -> ExecState:
+            for block in data:
+                s = p.error_correct(s, block, anc1, anc2)
+            return s
+
+        # FT-prepare every logical block in |0̄⟩ (reference: ftqc.py:77-78).
+        for block in data:
+            st = p.encode_zero(st, block, anc1)
+
+        for inst in self.raw.instructions:
+            if isinstance(inst, DeclareInst):
+                continue
+            if isinstance(inst, GateInst):
+                blocks = [data[self.qubit_map[q]] for q in inst.qubits]
+                st = p.apply_logical_gate(st, inst.name, blocks)
+                st = ec_all(st)
+            elif isinstance(inst, IfThenInst):
+                mask = mem[inst.condition.name][:, inst.condition.index]
+                for g in inst.body:
+                    blocks = [data[self.qubit_map[q]] for q in g.qubits]
+                    st = p.apply_logical_gate(st, g.name, blocks, mask=mask)
+                    st = ec_all(st)
+            elif isinstance(inst, MeasureInst):
+                block = data[self.qubit_map[inst.qubit]]
+                st, outcome = p.measure(st, block, anc1, anc2, ec_between=ec_all)
+                reg = mem[inst.target.name]
+                mem[inst.target.name] = reg.at[:, inst.target.index].set(outcome)
+            elif isinstance(inst, ResetInst):
+                block = data[self.qubit_map[inst.qubit]]
+                st = p.encode_zero(st, block, anc1)
+            else:  # pragma: no cover - validated away
+                raise UnsupportedProgramError(str(inst))
+        return mem
+
+    def run(self, batch: int, key: jax.Array | None = None) -> dict[str, np.ndarray]:
+        """Execute `batch` shots; returns classical registers as numpy
+        arrays [batch, size] — the analogue of the reference's
+        ``qvm.run(prog)`` result matrix (reference: test/test_ftqc.py:153-156),
+        but produced by one jitted device program instead of an external
+        simulator process."""
+        key = jax.random.key(0) if key is None else key
+        fn = jax.jit(self._execute, static_argnames=("batch",))
+        out = fn(key, batch)
+        return {name: np.asarray(v) for name, v in out.items()}
+
+
+def rewrite_program(raw: Program, code, *,
+                    noise: noise_mod.NoiseModel | None = None,
+                    max_prep_attempts: int = 8) -> EncodedProgram:
+    """Validate and FT-encode a raw Clifford program — the framework's
+    flagship entry point (reference analogue: ftqc.py:42)."""
+    return EncodedProgram(raw, code, noise, max_prep_attempts)
+
+
+def run_program(raw: Program, code, batch: int = 1, *,
+                key: jax.Array | None = None,
+                noise: noise_mod.NoiseModel | None = None) -> dict[str, np.ndarray]:
+    """Convenience: rewrite then run."""
+    return rewrite_program(raw, code, noise=noise).run(batch, key)

@@ -164,6 +164,21 @@ def is_doubly_even(mat) -> bool:
     return not np.any(np.sum(_as_gf2(mat), axis=1) % 4)
 
 
+def _native_table(parity_check: np.ndarray, limit: int, stop_on_collision: bool):
+    """Try the C++ enumerator (qcss_tpu.native); None on unavailability.
+    Semantics are identical to the Python paths below — covered by
+    equivalence tests."""
+    try:
+        from qcss_tpu import native
+    except ImportError:  # pragma: no cover
+        return None
+    result = native.syndrome_table_native(parity_check, limit, stop_on_collision)
+    if result is None:
+        return None
+    t, keys, errors = result
+    return t, {k: errors[i] for i, k in enumerate(keys)}
+
+
 def syndrome_table(parity_check, max_weight: int | None = None):
     """Unique-decoding threshold t and syndrome -> minimum-weight-error table.
 
@@ -182,6 +197,10 @@ def syndrome_table(parity_check, max_weight: int | None = None):
     parity_check = _as_gf2(parity_check)
     _, n = parity_check.shape
     limit = n if max_weight is None else min(max_weight, n)
+
+    native = _native_table(parity_check, limit, stop_on_collision=True)
+    if native is not None:
+        return native
 
     table: dict[int, np.ndarray] = {}
     for w in range(limit + 1):
@@ -217,6 +236,11 @@ def min_weight_table(parity_check, max_weight: int) -> dict[int, np.ndarray]:
     """
     parity_check = _as_gf2(parity_check)
     _, n = parity_check.shape
+
+    native = _native_table(parity_check, min(max_weight, n), stop_on_collision=False)
+    if native is not None:
+        return native[1]
+
     table: dict[int, np.ndarray] = {}
     for w in range(min(max_weight, n) + 1):
         supports = list(combinations(range(n), w))

@@ -60,6 +60,29 @@ def sharded_mc_step(code, mesh: Mesh, key: jax.Array, batch: int, p):
               dev.logical_x, dev.logical_z)
 
 
+def sharded_ftqc_run(encoded, mesh: Mesh, batch: int, key: jax.Array) -> dict:
+    """Run an FT-encoded program with the shot axis sharded over the mesh.
+
+    Each device executes its local shard of shots end-to-end (tableau
+    evolution, EC, majority votes) with an independent PRNG stream; results
+    are concatenated along the batch axis. The repeat-until-success
+    preparation loops run per-device (no collectives inside), so devices
+    may take different trip counts — legal SPMD.
+    """
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axis))
+    def step(key):
+        my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return encoded._execute(my_key, local)
+
+    return jax.jit(step)(key)
+
+
 def sharded_logical_error_rate(
     code,
     p,

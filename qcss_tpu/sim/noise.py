@@ -72,6 +72,44 @@ def depolarize2(t: tb.Tableau, q1: int, q2: int, p, key: jax.Array) -> tb.Tablea
     return tb.apply_pauli_frame(t, x_flips, z_flips)
 
 
+def depolarize1_many(t: tb.Tableau, qubits, p, key: jax.Array) -> tb.Tableau:
+    """IID single-qubit depolarizing on a set of qubits, fused into one
+    Pauli-frame injection."""
+    B, n = t.batch, t.n
+    q = jnp.asarray(qubits, dtype=jnp.int32)
+    m = q.shape[0]
+    u = jax.random.uniform(key, (B, m), dtype=jnp.float32)
+    p = jnp.float32(p)
+    x_hit = (u < 2.0 * p / 3.0).astype(jnp.uint8)
+    z_hit = ((u >= p / 3.0) & (u < p)).astype(jnp.uint8)
+    zeros = jnp.zeros((B, n), dtype=jnp.uint8)
+    return tb.apply_pauli_frame(
+        t, zeros.at[:, q].set(x_hit), zeros.at[:, q].set(z_hit)
+    )
+
+
+def depolarize2_many(t: tb.Tableau, controls, targets, p, key: jax.Array) -> tb.Tableau:
+    """IID two-qubit depolarizing on m disjoint qubit pairs, fused into one
+    Pauli-frame injection."""
+    B, n = t.batch, t.n
+    c = jnp.asarray(controls, dtype=jnp.int32)
+    q = jnp.asarray(targets, dtype=jnp.int32)
+    m = c.shape[0]
+    key_u, key_p = jax.random.split(key)
+    hit = (
+        jax.random.uniform(key_u, (B, m), dtype=jnp.float32) < jnp.float32(p)
+    ).astype(jnp.uint8)
+    pat = jax.random.randint(key_p, (B, m), 1, 16, dtype=jnp.int32)
+    x1 = (pat & 1).astype(jnp.uint8) * hit
+    z1 = ((pat >> 1) & 1).astype(jnp.uint8) * hit
+    x2 = ((pat >> 2) & 1).astype(jnp.uint8) * hit
+    z2 = ((pat >> 3) & 1).astype(jnp.uint8) * hit
+    zeros = jnp.zeros((B, n), dtype=jnp.uint8)
+    x_flips = zeros.at[:, c].set(x1).at[:, q].set(x2)
+    z_flips = zeros.at[:, c].set(z1).at[:, q].set(z2)
+    return tb.apply_pauli_frame(t, x_flips, z_flips)
+
+
 def flip_bits(bits: jax.Array, p, key: jax.Array) -> jax.Array:
     """Classical readout noise: flip each bit with probability p."""
     flips = jax.random.bernoulli(key, p, bits.shape).astype(bits.dtype)
@@ -102,4 +140,37 @@ def run_circuit_noisy(
     keys = jax.random.split(key, max(len(circuit), 1))
     for k, g in zip(keys, circuit):
         t = noisy_gate(t, g.name, g.qubits, model, k)
+    return t
+
+
+def run_arrays_noisy(
+    t: tb.Tableau, ops, q0, q1, model: NoiseModel, key: jax.Array
+) -> tb.Tableau:
+    """Scanned execution of an array-lowered circuit with a depolarizing
+    location after every gate — the jit-friendly counterpart of
+    `run_circuit_noisy` (O(1)-size graph for any circuit length)."""
+    if model.is_trivial:
+        return tb.run_circuit_scanned(t, ops, q0, q1)
+
+    from qcss_tpu.circuits.ir import OPCODES
+
+    two_q_start = OPCODES["CNOT"]
+    ops = jnp.asarray(ops, jnp.int32)
+    q0 = jnp.asarray(q0, jnp.int32)
+    q1 = jnp.asarray(q1, jnp.int32)
+    keys = jax.random.split(key, max(int(ops.shape[0]), 1))
+
+    def body(carry, xs):
+        op, a, b, k = xs
+        carry = jax.lax.switch(op, tb._SCAN_BRANCHES, carry, a, b)
+        if model.p_gate1 or model.p_gate2:
+            carry = jax.lax.cond(
+                op >= two_q_start,
+                lambda s: depolarize2(s, a, b, model.p_gate2, k),
+                lambda s: depolarize1(s, a, model.p_gate1, k),
+                carry,
+            )
+        return carry, None
+
+    t, _ = jax.lax.scan(body, t, (ops, q0, q1, keys))
     return t

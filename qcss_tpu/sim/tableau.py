@@ -124,14 +124,140 @@ _GATE_FNS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Vectorized multi-qubit forms (transversal layers)
+#
+# Transversal gates touch pairwise-disjoint qubit (pairs), so their column
+# updates are independent and the sign contributions XOR together — one
+# gather/scatter instead of n sequential gate applications. These carry the
+# weight of Steane error correction, where every round applies whole-block
+# CNOT/H layers (reference: css_code.py:457-467 via apply_transversally,
+# css_code.py:852-853).
+# ---------------------------------------------------------------------------
+
+def _parity_reduce(bits: jax.Array) -> jax.Array:
+    """XOR-reduce uint8 bits over the last axis."""
+    return (jnp.sum(bits.astype(jnp.int32), axis=-1) & 1).astype(jnp.uint8)
+
+
+def apply_h_many(t: Tableau, qubits) -> Tableau:
+    q = jnp.asarray(qubits, dtype=jnp.int32)
+    xq, zq = t.x[:, :, q], t.z[:, :, q]
+    r = t.r ^ _parity_reduce(xq & zq)
+    return Tableau(t.x.at[:, :, q].set(zq), t.z.at[:, :, q].set(xq), r)
+
+
+def apply_s_many(t: Tableau, qubits) -> Tableau:
+    q = jnp.asarray(qubits, dtype=jnp.int32)
+    xq, zq = t.x[:, :, q], t.z[:, :, q]
+    r = t.r ^ _parity_reduce(xq & zq)
+    return Tableau(t.x, t.z.at[:, :, q].set(zq ^ xq), r)
+
+
+def apply_z_many(t: Tableau, qubits) -> Tableau:
+    q = jnp.asarray(qubits, dtype=jnp.int32)
+    return Tableau(t.x, t.z, t.r ^ _parity_reduce(t.x[:, :, q]))
+
+
+def apply_x_many(t: Tableau, qubits) -> Tableau:
+    q = jnp.asarray(qubits, dtype=jnp.int32)
+    return Tableau(t.x, t.z, t.r ^ _parity_reduce(t.z[:, :, q]))
+
+
+def apply_cnot_many(t: Tableau, controls, targets) -> Tableau:
+    """CNOT on m pairwise-disjoint (control, target) pairs at once."""
+    c = jnp.asarray(controls, dtype=jnp.int32)
+    q = jnp.asarray(targets, dtype=jnp.int32)
+    xc, zc = t.x[:, :, c], t.z[:, :, c]
+    xt, zt = t.x[:, :, q], t.z[:, :, q]
+    r = t.r ^ _parity_reduce(xc & zt & (xt ^ zc ^ 1))
+    return Tableau(
+        t.x.at[:, :, q].set(xt ^ xc),
+        t.z.at[:, :, c].set(zc ^ zt),
+        r,
+    )
+
+
+def apply_cz_many(t: Tableau, qubits_a, qubits_b) -> Tableau:
+    a = jnp.asarray(qubits_a, dtype=jnp.int32)
+    b = jnp.asarray(qubits_b, dtype=jnp.int32)
+    xa, za = t.x[:, :, a], t.z[:, :, a]
+    xb, zb = t.x[:, :, b], t.z[:, :, b]
+    r = t.r ^ _parity_reduce(xa & xb & (za ^ zb))
+    return Tableau(
+        t.x,
+        t.z.at[:, :, a].set(za ^ xb).at[:, :, b].set(zb ^ xa),
+        r,
+    )
+
+
 def apply_gate(t: Tableau, name: str, *qubits: int) -> Tableau:
     return _GATE_FNS[name](t, *qubits)
 
 
 def run_circuit(t: Tableau, circuit: Circuit) -> Tableau:
-    """Apply every gate of a Circuit (unrolled at trace time)."""
+    """Apply every gate of a Circuit (unrolled at trace time). For long
+    circuits inside jitted programs prefer `run_circuit_scanned`, which
+    produces an O(1)-size graph."""
     for g in circuit:
         t = apply_gate(t, g.name, *g.qubits)
+    return t
+
+
+# Opcode order for array-lowered circuits; must match Circuit.to_arrays.
+_SCAN_BRANCHES = (
+    lambda t, a, b: t,                      # I
+    lambda t, a, b: apply_x(t, a),
+    lambda t, a, b: apply_y(t, a),
+    lambda t, a, b: apply_z(t, a),
+    lambda t, a, b: apply_h(t, a),
+    lambda t, a, b: apply_s(t, a),
+    lambda t, a, b: apply_cnot(t, a, b),
+    lambda t, a, b: apply_cz(t, a, b),
+)
+
+
+def run_circuit_scanned(t: Tableau, ops, q0, q1) -> Tableau:
+    """Execute an array-lowered circuit (see `Circuit.to_arrays`) with a
+    `lax.scan` over instructions — the graph contains each gate rule once,
+    regardless of circuit length. All gate rules accept traced qubit
+    indices (gathers/scatters on the qubit axis)."""
+
+    def body(carry, xs):
+        op, a, b = xs
+        return jax.lax.switch(op, _SCAN_BRANCHES, carry, a, b), None
+
+    xs = (jnp.asarray(ops, jnp.int32), jnp.asarray(q0, jnp.int32),
+          jnp.asarray(q1, jnp.int32))
+    t, _ = jax.lax.scan(body, t, xs)
+    return t
+
+
+def measure_many(t: Tableau, qubits, key: jax.Array) -> tuple[Tableau, jax.Array]:
+    """Measure a sequence of qubits in Z order-sequentially via one scanned
+    measurement kernel. Returns (state, outcomes [B, len(qubits)])."""
+    q = jnp.asarray(qubits, dtype=jnp.int32)
+    keys = jax.random.split(key, q.shape[0])
+
+    def body(carry, xs):
+        qq, kk = xs
+        carry, out = measure_z(carry, qq, kk)
+        return carry, out
+
+    t, outs = jax.lax.scan(body, t, (q, keys))
+    return t, outs.T
+
+
+def reset_many(t: Tableau, qubits, key: jax.Array) -> Tableau:
+    """Reset a sequence of qubits to |0> via one scanned reset kernel."""
+    q = jnp.asarray(qubits, dtype=jnp.int32)
+    keys = jax.random.split(key, q.shape[0])
+
+    def body(carry, xs):
+        qq, kk = xs
+        return reset_z(carry, qq, kk), None
+
+    t, _ = jax.lax.scan(body, t, (q, keys))
     return t
 
 

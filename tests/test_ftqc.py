@@ -1,0 +1,209 @@
+"""End-to-end FT transpiler tests (reference: test/test_ftqc.py), executed
+on the in-process batched tableau simulator instead of an external QVM.
+
+All programs are deterministic Clifford circuits, so logical outcomes are
+exact. The 2-logical-qubit superdense-coding test — skipped by the
+reference as 'too slow' on the QVM (reference: test/test_ftqc.py:115) —
+runs here, which is the point of the polynomial-time simulator."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from qcss_tpu.circuits import Circuit, Program
+from qcss_tpu.codes import families
+from qcss_tpu.errors import UnsupportedGateError, UnsupportedProgramError
+from qcss_tpu.ftqc import rewrite_program
+from qcss_tpu.sim.noise import NoiseModel
+
+
+# Each encoded program costs 30-90s of (CPU backend) compile time; the full
+# matrix runs with QCSS_SLOW_TESTS=1, while the default suite keeps a
+# representative end-to-end subset always on.
+slow = pytest.mark.skipif(
+    not os.environ.get("QCSS_SLOW_TESTS"),
+    reason="slow FTQC compile; set QCSS_SLOW_TESTS=1",
+)
+
+
+@pytest.fixture(scope="module")
+def steane():
+    return families.steane()
+
+
+def run(prog, code, batch=4, seed=0, noise=None):
+    enc = rewrite_program(prog, code, noise=noise)
+    return enc.run(batch, key=jax.random.key(seed))
+
+
+class TestSingleQubitPrograms:
+    def test_x_measures_one(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        res = run(prog, steane)
+        assert (res["ro"][:, 0] == 1).all()
+
+    @slow
+    def test_y_measures_one(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.y(0).measure(0, ro[0])
+        res = run(prog, steane)
+        assert (res["ro"][:, 0] == 1).all()
+
+    @slow
+    def test_z_measures_zero(self, steane):
+        # The reference's own 'Z' test actually applies Y (copy-paste bug,
+        # reference: test/test_ftqc.py:48-57); a real Z on |0̄⟩ measures 0.
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.z(0).measure(0, ro[0])
+        res = run(prog, steane)
+        assert (res["ro"][:, 0] == 0).all()
+
+    @slow
+    def test_xxx_measures_one(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).x(0).x(0).measure(0, ro[0])
+        res = run(prog, steane)
+        assert (res["ro"][:, 0] == 1).all()
+
+    @slow
+    def test_yz_measures_one(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.y(0).z(0).measure(0, ro[0])
+        res = run(prog, steane)
+        assert (res["ro"][:, 0] == 1).all()
+
+    @slow
+    def test_hzh_measures_one(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.h(0).z(0).h(0).measure(0, ro[0])
+        res = run(prog, steane)
+        assert (res["ro"][:, 0] == 1).all()
+
+    @slow
+    def test_s_gates(self, steane):
+        # H S S H = H Z H = X up to phase.
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.h(0).s(0).s(0).h(0).measure(0, ro[0])
+        res = run(prog, steane)
+        assert (res["ro"][:, 0] == 1).all()
+
+
+class TestFeedback:
+    def test_measure_feedback_measure(self, steane):
+        # H; measure; if outcome X; measure -> always 0
+        # (reference: test/test_ftqc.py:101-113).
+        prog = Program()
+        ro = prog.declare("ro", 2)
+        prog.h(0)
+        prog.measure(0, ro[0])
+        prog.if_then(ro[0], Circuit().x(0))
+        prog.measure(0, ro[1])
+        res = run(prog, steane, batch=8)
+        assert (res["ro"][:, 1] == 0).all()
+        # First measurement must be genuinely random across 8 shots with
+        # overwhelming probability... but assert weakly to avoid flakes.
+        assert res["ro"][:, 0].min() == 0 or res["ro"][:, 0].max() == 1
+
+
+class TestTwoQubitPrograms:
+    @slow
+    @pytest.mark.parametrize("bits", [(0, 0), (1, 1)])
+    def test_superdense_coding(self, steane, bits):
+        # reference: test/test_ftqc.py:116-151 — skipped there as too slow.
+        bit0, bit1 = bits
+        prog = Program()
+        ro = prog.declare("ro", 2)
+        prog.h(0).cnot(0, 1)
+        if bit0 == 0 and bit1 == 1:
+            prog.x(0)
+        if bit0 == 1 and bit1 == 0:
+            prog.z(0)
+        if bit0 == 1 and bit1 == 1:
+            prog.x(0).z(0)
+        prog.cnot(0, 1).h(0)
+        prog.measure(0, ro[0])
+        prog.measure(1, ro[1])
+        res = run(prog, steane, batch=2)
+        assert (res["ro"][:, 0] == bit0).all()
+        assert (res["ro"][:, 1] == bit1).all()
+
+
+class TestErrorCorrection:
+    def test_ec_corrects_injected_error(self, steane):
+        """Inject a physical X error on a data qubit after encoding; the
+        Steane EC round must track it in the frame, and the logical
+        measurement must still return 0."""
+        import jax.numpy as jnp
+
+        from qcss_tpu.ftqc.executor import FTProtocols
+        from qcss_tpu.sim import tableau as tb
+
+        p = FTProtocols(steane, 3)
+        data, anc1, anc2 = p.block(0), p.block(1), p.block(2)
+
+        def go(key):
+            st = p.init_state(4, key)
+            st = p.encode_zero(st, data, anc1)
+            # Inject X on data qubit 2 for samples 0,1; Z on qubit 5 for 1,2.
+            x_flips = jnp.zeros((4, st.tab.n), jnp.uint8)
+            x_flips = x_flips.at[0, 2].set(1).at[1, 2].set(1)
+            z_flips = jnp.zeros((4, st.tab.n), jnp.uint8)
+            z_flips = z_flips.at[1, 5].set(1).at[2, 5].set(1)
+            st = st._replace(tab=tb.apply_pauli_frame(st.tab, x_flips, z_flips))
+            st = p.error_correct(st, data, anc1, anc2)
+            frames = (st.x_frames[:, 0, :], st.z_frames[:, 0, :])
+            st, outcome = p.measure(st, data, anc1, anc2)
+            return frames, outcome
+
+        (xf, zf), outcome = jax.jit(go)(jax.random.key(3))
+        xf, zf = np.asarray(xf), np.asarray(zf)
+        # EC found exactly the injected errors.
+        assert xf[0, 2] == 1 and xf[0].sum() == 1
+        assert xf[1, 2] == 1 and xf[1].sum() == 1
+        assert xf[3].sum() == 0
+        assert zf[1, 5] == 1 and zf[1].sum() == 1
+        assert zf[2, 5] == 1 and zf[2].sum() == 1
+        # Logical state survives.
+        assert (np.asarray(outcome) == 0).all()
+
+    @slow
+    def test_noisy_x_program_majority_correct(self, steane):
+        """Under small circuit-level noise, the FT-encoded X program must
+        still output 1 for the large majority of shots (fault tolerance)."""
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        noise = NoiseModel(p_gate1=0.0005, p_gate2=0.0005, p_meas=0.0005)
+        res = run(prog, steane, batch=32, seed=11, noise=noise)
+        assert res["ro"][:, 0].mean() > 0.9
+
+
+class TestValidation:
+    def test_unsupported_gate_rejected(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.s(0)  # S IS transversal for Steane; use a non-self-dual code
+        from qcss_tpu.codes.families import shor
+
+        code = shor()
+        with pytest.raises(UnsupportedGateError):
+            rewrite_program(prog, code)
+
+    def test_shor_supports_cnot_only_2q(self):
+        from qcss_tpu.codes.families import shor
+
+        code = shor()
+        prog = Program()
+        prog.h(0)
+        with pytest.raises(UnsupportedGateError):
+            rewrite_program(prog, code)
