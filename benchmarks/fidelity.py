@@ -10,6 +10,11 @@ printed as JSON (logical error rates + throughput).
 Usage: python benchmarks/fidelity.py [--p 0.001] [--shots 1024]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -12,8 +12,10 @@ from qcss_tpu.decode.lut import (
 from qcss_tpu.decode.montecarlo import (
     sample_depolarizing,
     mc_decode_step,
+    mc_decode_rounds,
     logical_error_rate,
 )
+from qcss_tpu.decode.sweep import error_rate_curve
 
 __all__ = [
     "decode_corrections",
@@ -21,5 +23,7 @@ __all__ = [
     "detect_errors",
     "sample_depolarizing",
     "mc_decode_step",
+    "mc_decode_rounds",
     "logical_error_rate",
+    "error_rate_curve",
 ]

@@ -27,11 +27,22 @@ from qcss_tpu.ops import gf2_jax
 def sample_depolarizing(key: jax.Array, batch: int, n: int, p) -> tuple[jax.Array, jax.Array]:
     """IID single-qubit depolarizing noise: each qubit suffers X, Y or Z
     with probability p/3 each. Returns (x_err, z_err), each [batch, n] uint8.
+
+    Implemented as integer threshold tests on raw 32-bit random words
+    (exact to 2^-32, no int->float conversion on the hot path): with
+    u ~ U[0, 2^32), X-or-Y <=> u < 2p/3 * 2^32 and Y-or-Z <=>
+    p/3 * 2^32 <= u < p * 2^32.
     """
-    u = jax.random.uniform(key, (batch, n), dtype=jnp.float32)
-    p = jnp.float32(p)
-    x_err = (u < 2.0 * p / 3.0).astype(jnp.uint8)  # X or Y component
-    z_err = ((u >= p / 3.0) & (u < p)).astype(jnp.uint8)  # Y or Z component
+    u = jax.random.bits(key, (batch, n), dtype=jnp.uint32)
+    p = jnp.asarray(p, jnp.float32)
+    cap = jnp.float32(2.0**32 - 1)
+
+    def thresh(frac):
+        return jnp.minimum(frac * jnp.float32(2.0**32), cap).astype(jnp.uint32)
+
+    t1, t2, t3 = thresh(p / 3.0), thresh(2.0 * p / 3.0), thresh(p)
+    x_err = (u < t2).astype(jnp.uint8)  # X or Y component
+    z_err = ((u >= t1) & (u < t3)).astype(jnp.uint8)  # Y or Z component
     return x_err, z_err
 
 
