@@ -4,6 +4,7 @@ classification, plus a library of standard code families."""
 
 from qcss_tpu.codes.css import CSSCode
 from qcss_tpu.codes.pauli import PauliOperator, pauli_for_row
+from qcss_tpu.codes.qecc import QECC
 from qcss_tpu.codes import families
 
-__all__ = ["CSSCode", "PauliOperator", "pauli_for_row", "families"]
+__all__ = ["CSSCode", "QECC", "PauliOperator", "pauli_for_row", "families"]

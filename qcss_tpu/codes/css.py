@@ -19,6 +19,7 @@ import numpy as np
 
 from qcss_tpu.circuits import encoding
 from qcss_tpu.codes.pauli import PauliOperator, pauli_for_row
+from qcss_tpu.codes.qecc import QECC
 from qcss_tpu.errors import InvalidCodeError
 from qcss_tpu.ops import gf2
 
@@ -28,7 +29,7 @@ from qcss_tpu.ops import gf2
 _GATE_ALIASES = {"PHASE": "S"}
 
 
-class CSSCode:
+class CSSCode(QECC):
     """A Calderbank-Steane-Shor code defined by two classical binary codes
     C_1, C_2 with the dual of C_2 a subspace of C_1.
 
