@@ -52,12 +52,16 @@ class EncodedProgram:
     """A validated FT-encoded program, executable over a batch of shots."""
 
     def __init__(self, raw: Program, code, noise: noise_mod.NoiseModel | None = None,
-                 max_prep_attempts: int = 8):
+                 max_prep_attempts: int = 8, engine: str = "scheduled"):
         if code.k != 1:
             raise UnsupportedQECCError("code must have k = 1")
+        if engine not in ("scheduled", "unrolled"):
+            raise ValueError("engine must be 'scheduled' or 'unrolled'")
         self.raw = raw
         self.code = code
         self.noise = noise or noise_mod.NoiseModel()
+        self.engine = engine
+        self.max_prep_attempts = max_prep_attempts
         self.qubit_map = {q: i for i, q in enumerate(raw.qubits())}
         self.n_logical = len(self.qubit_map)
         # Blocks: one per logical qubit, then two shared EC/measure ancillas.
@@ -138,6 +142,21 @@ class EncodedProgram:
                 raise UnsupportedProgramError(str(inst))
         return mem
 
+    def _execute_scheduled(self, key: jax.Array, batch: int) -> dict[str, jax.Array]:
+        """Macro-op engine: O(1) compile cost in program length — see
+        `qcss_tpu.ftqc.schedule`."""
+        from qcss_tpu.ftqc import schedule
+
+        macro = schedule.lower(self.raw, self.code)
+        executor = schedule.MacroExecutor(
+            self.code, self.n_logical, self.noise, self.max_prep_attempts
+        )
+        st = executor.execute(macro, key, batch)
+        return {
+            name: st.memory[:, off : off + size]
+            for name, (off, size) in macro.memory_layout.items()
+        }
+
     def run(self, batch: int, key: jax.Array | None = None) -> dict[str, np.ndarray]:
         """Execute `batch` shots; returns classical registers as numpy
         arrays [batch, size] — the analogue of the reference's
@@ -145,17 +164,25 @@ class EncodedProgram:
         but produced by one jitted device program instead of an external
         simulator process."""
         key = jax.random.key(0) if key is None else key
-        fn = jax.jit(self._execute, static_argnames=("batch",))
+        body = (
+            self._execute_scheduled if self.engine == "scheduled" else self._execute
+        )
+        fn = jax.jit(body, static_argnames=("batch",))
         out = fn(key, batch)
         return {name: np.asarray(v) for name, v in out.items()}
 
 
 def rewrite_program(raw: Program, code, *,
                     noise: noise_mod.NoiseModel | None = None,
-                    max_prep_attempts: int = 8) -> EncodedProgram:
+                    max_prep_attempts: int = 8,
+                    engine: str = "scheduled") -> EncodedProgram:
     """Validate and FT-encode a raw Clifford program — the framework's
-    flagship entry point (reference analogue: ftqc.py:42)."""
-    return EncodedProgram(raw, code, noise, max_prep_attempts)
+    flagship entry point (reference analogue: ftqc.py:42).
+
+    engine: 'scheduled' (macro-op scan, O(1) compile in program length) or
+    'unrolled' (trace every protocol occurrence; simpler graph, useful for
+    debugging)."""
+    return EncodedProgram(raw, code, noise, max_prep_attempts, engine)
 
 
 def run_program(raw: Program, code, batch: int = 1, *,

@@ -1,0 +1,415 @@
+"""Macro-op scheduler: constant-size compiled programs for FTQC execution.
+
+The unrolled executor (`EncodedProgram._execute`) re-traces the full FT
+machinery (preparation while-loops, Steane EC, measurement trials) at every
+occurrence, so compile time grows linearly with program length — the traced
+analogue of the reference's output-program blowup (its emitted Quil grows as
+O(2^r · n) per EC round — reference: css_code.py:649-685, SURVEY §3.2).
+
+The scheduler instead lowers an encoded program to a small array of
+macro-instructions over a uniform machine state and executes it with ONE
+`lax.scan` whose body `lax.switch`es over five macro-op bodies:
+
+    PREP_ZERO b        FT |0̄⟩ preparation of block b
+    GATE g b0 b1 cond  logical gate (masked by a classical bit if cond >= 0)
+    EC_ALL             Steane error correction on every data block
+                       (fori_loop over a traced block index: EC traces once)
+    MEASURE_TRIAL b s  one noisy logical measurement into vote slot s
+    VOTE_STORE off     majority over the 2t+1 vote slots -> memory[off]
+
+Every body takes block indices as *traced* values (qubit sets are
+``b * n + iota``), so each FT subroutine traces exactly once regardless of
+program length: compile time is O(1) in the number of logical gates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcss_tpu.circuits.ir import (
+    DeclareInst,
+    GateInst,
+    IfThenInst,
+    MeasureInst,
+    ResetInst,
+)
+from qcss_tpu.decode import lut as decode_lut
+from qcss_tpu.sim import noise as noise_mod
+from qcss_tpu.sim import tableau as tb
+
+# Macro opcodes.
+OP_PREP_ZERO = 0
+OP_GATE = 1
+OP_EC_ALL = 2
+OP_MEASURE_TRIAL = 3
+OP_VOTE_STORE = 4
+
+# Logical gate ids for OP_GATE's arg0 ('PHASE' is the reference's old name
+# for S — reference: test/test_css_code.py:25).
+GATE_IDS = {"I": 0, "X": 1, "Y": 2, "Z": 3, "H": 4, "S": 5, "CNOT": 6, "CZ": 7,
+            "PHASE": 5}
+
+
+class MachineState(NamedTuple):
+    tab: tb.Tableau
+    x_frames: jax.Array  # [B, n_blocks, n]
+    z_frames: jax.Array
+    votes: jax.Array     # [B, trials]
+    memory: jax.Array    # [B, M]
+    key: jax.Array
+
+
+class MacroProgram(NamedTuple):
+    """Lowered program: rows of (opcode, a0, a1, a2, a3) int32."""
+
+    ops: np.ndarray          # [T, 5]
+    n_logical: int
+    memory_layout: dict[str, tuple[int, int]]  # name -> (offset, size)
+    memory_size: int
+
+
+def lower(raw, code) -> MacroProgram:
+    """Lower a validated `circuits.ir.Program` to macro-instructions,
+    following the reference's transpile structure (reference: ftqc.py:42-120):
+    FT-prep all blocks, EC after every logical gate, EC between measurement
+    trials, majority vote."""
+    qubit_map = {q: i for i, q in enumerate(raw.qubits())}
+    n_logical = len(qubit_map)
+    trials = 2 * code.t + 1
+
+    layout: dict[str, tuple[int, int]] = {}
+    offset = 0
+    for name, size in raw.memory.items():
+        layout[name] = (offset, size)
+        offset += size
+
+    rows: list[tuple[int, int, int, int, int]] = []
+    for b in range(n_logical):
+        rows.append((OP_PREP_ZERO, b, 0, 0, 0))
+
+    def emit_gate(g: GateInst, cond: int):
+        b0 = qubit_map[g.qubits[0]]
+        b1 = qubit_map[g.qubits[1]] if len(g.qubits) > 1 else 0
+        rows.append((OP_GATE, GATE_IDS[g.name], b0, b1, cond))
+        rows.append((OP_EC_ALL, 0, 0, 0, 0))
+
+    for inst in raw.instructions:
+        if isinstance(inst, DeclareInst):
+            continue
+        if isinstance(inst, GateInst):
+            emit_gate(inst, -1)
+        elif isinstance(inst, IfThenInst):
+            off, _ = layout[inst.condition.name]
+            for g in inst.body:
+                emit_gate(g, off + inst.condition.index)
+        elif isinstance(inst, MeasureInst):
+            b = qubit_map[inst.qubit]
+            for s in range(trials):
+                rows.append((OP_MEASURE_TRIAL, b, s, 0, 0))
+                rows.append((OP_EC_ALL, 0, 0, 0, 0))
+            off, _ = layout[inst.target.name]
+            rows.append((OP_VOTE_STORE, off + inst.target.index, 0, 0, 0))
+        elif isinstance(inst, ResetInst):
+            rows.append((OP_PREP_ZERO, qubit_map[inst.qubit], 0, 0, 0))
+        else:  # pragma: no cover — rewrite validates first
+            raise ValueError(f"cannot lower {inst}")
+
+    return MacroProgram(
+        ops=np.asarray(rows, dtype=np.int32).reshape(-1, 5),
+        n_logical=n_logical,
+        memory_layout=layout,
+        memory_size=max(offset, 1),
+    )
+
+
+class MacroExecutor:
+    """Executes a MacroProgram batched on the tableau simulator. All block
+    arguments below may be traced scalars OR Python ints."""
+
+    def __init__(self, code, n_logical: int,
+                 noise: noise_mod.NoiseModel | None = None,
+                 max_prep_attempts: int = 8):
+        self.code = code
+        self.n = code.n
+        self.n_logical = n_logical
+        self.n_blocks = n_logical + 2  # + shared anc1, anc2
+        self.noise = noise or noise_mod.NoiseModel()
+        self.max_prep_attempts = max_prep_attempts
+        self.trials = 2 * code.t + 1
+        dev = code.device
+        self.h1, self.h2 = dev.h1, dev.h2
+        self.lut1, self.lut2 = dev.lut_c1, dev.lut_c2
+        self.logical_x, self.logical_z = dev.logical_x, dev.logical_z
+        self.detect_x_plain = dev.h2
+        self.detect_x_with_ops = jnp.concatenate([dev.h2, dev.logical_z], axis=0)
+        self.detect_z_plain = dev.h1
+        self.detect_z_with_ops = jnp.concatenate([dev.h1, dev.logical_x], axis=0)
+        # Block-0 prep networks, lowered once; block b adds a b*n offset.
+        self._prep_zero0 = code.noisy_encode_zero(range(self.n)).to_arrays()
+        self._prep_plus0 = code.noisy_encode_plus(range(self.n)).to_arrays()
+        # Static ancilla block indices (reference: ftqc.py:60-61).
+        self.anc1 = n_logical
+        self.anc2 = n_logical + 1
+
+    # -- helpers ------------------------------------------------------------------
+
+    def _qubits(self, b) -> jax.Array:
+        return jnp.asarray(b, jnp.int32) * self.n + jnp.arange(self.n, dtype=jnp.int32)
+
+    def _split(self, st: MachineState):
+        key, sub = jax.random.split(st.key)
+        return st._replace(key=key), sub
+
+    def _run_prep(self, st: MachineState, b, plus: bool) -> MachineState:
+        ops, q0, q1 = self._prep_plus0 if plus else self._prep_zero0
+        off = jnp.asarray(b, jnp.int32) * self.n
+        st, sub = self._split(st)
+        tab = noise_mod.run_arrays_noisy(
+            st.tab, jnp.asarray(ops), jnp.asarray(q0) + off, jnp.asarray(q1) + off,
+            self.noise, sub,
+        )
+        return st._replace(tab=tab)
+
+    def _reset_block(self, st: MachineState, b) -> MachineState:
+        st, sub = self._split(st)
+        tab = tb.reset_many(st.tab, self._qubits(b), sub)
+        if self.noise.p_reset:
+            st = st._replace(tab=tab)
+            st, sub = self._split(st)
+            flips = jax.random.bernoulli(
+                sub, self.noise.p_reset, (st.tab.batch, self.n)
+            ).astype(jnp.uint8)
+            zeros = jnp.zeros((st.tab.batch, st.tab.n), dtype=jnp.uint8)
+            tab = tb.apply_pauli_frame(
+                st.tab, zeros.at[:, self._qubits(b)].set(flips), zeros
+            )
+        zeros_f = jnp.zeros((st.tab.batch, self.n), dtype=jnp.uint8)
+        return st._replace(
+            tab=tab,
+            x_frames=st.x_frames.at[:, b, :].set(zeros_f),
+            z_frames=st.z_frames.at[:, b, :].set(zeros_f),
+        )
+
+    def _transversal_cnot(self, st: MachineState, b_ctrl, b_tgt) -> MachineState:
+        qc, qt = self._qubits(b_ctrl), self._qubits(b_tgt)
+        st = st._replace(tab=tb.apply_cnot_many(st.tab, qc, qt))
+        if self.noise.p_gate2:
+            st, sub = self._split(st)
+            st = st._replace(
+                tab=noise_mod.depolarize2_many(st.tab, qc, qt, self.noise.p_gate2, sub)
+            )
+        return st
+
+    def _transversal_1q(self, st: MachineState, fn, b) -> MachineState:
+        q = self._qubits(b)
+        st = st._replace(tab=fn(st.tab, q))
+        if self.noise.p_gate1:
+            st, sub = self._split(st)
+            st = st._replace(
+                tab=noise_mod.depolarize1_many(st.tab, q, self.noise.p_gate1, sub)
+            )
+        return st
+
+    def _measure_block(self, st: MachineState, b):
+        st, sub = self._split(st)
+        tab, outs = tb.measure_many(st.tab, self._qubits(b), sub)
+        st = st._replace(tab=tab)
+        if self.noise.p_meas:
+            st, sub = self._split(st)
+            outs = noise_mod.flip_bits(outs, self.noise.p_meas, sub)
+        return st, outs
+
+    # -- FT subroutines (reference: css_code.py:314-533) ----------------------------
+
+    def _error_detect(self, st: MachineState, b, anc, x_sector: bool,
+                      include_operators: bool):
+        """Detect X (or Z) errors on block b against noisily prepared block
+        `anc` (reference: css_code.py:472-533)."""
+        st = self._reset_block(st, anc)
+        if x_sector:
+            st = self._run_prep(st, anc, plus=not include_operators)
+            st = self._transversal_cnot(st, b, anc)
+        else:
+            st = self._run_prep(st, anc, plus=include_operators)
+            st = self._transversal_cnot(st, anc, b)
+            st = self._transversal_1q(st, tb.apply_h_many, anc)
+        st, mem = self._measure_block(st, anc)
+        if x_sector:
+            check = self.detect_x_with_ops if include_operators else self.detect_x_plain
+            frame = st.x_frames[:, b, :]
+        else:
+            check = self.detect_z_with_ops if include_operators else self.detect_z_plain
+            frame = st.z_frames[:, b, :]
+        return st, decode_lut.detect_errors(mem, frame, check)
+
+    def _encode_ft(self, st: MachineState, b, anc, plus: bool) -> MachineState:
+        """Repeat-until-success |0̄⟩/|+̄⟩ preparation of block b with
+        detection against `anc` (reference: css_code.py:314-366): the
+        while-loop body runs batch-wide but commits only still-flagged
+        samples."""
+        batch = st.tab.batch
+
+        def body(carry):
+            st_in, flag, attempts = carry
+            s = self._reset_block(st_in, b)
+            s = self._run_prep(s, b, plus)
+            s, out_x = self._error_detect(s, b, anc, x_sector=True,
+                                          include_operators=not plus)
+            s, out_z = self._error_detect(s, b, anc, x_sector=False,
+                                          include_operators=plus)
+            new_flag = out_x | out_z
+            m3 = flag[:, None, None].astype(bool)
+            committed = MachineState(
+                tb.select(flag, s.tab, st_in.tab),
+                jnp.where(m3, s.x_frames, st_in.x_frames),
+                jnp.where(m3, s.z_frames, st_in.z_frames),
+                st_in.votes, st_in.memory, s.key,
+            )
+            flag = jnp.where(flag.astype(bool), new_flag, flag)
+            return committed, flag, attempts + 1
+
+        def cond(carry):
+            _, flag, attempts = carry
+            return jnp.any(flag.astype(bool)) & (attempts < self.max_prep_attempts)
+
+        flag0 = jnp.ones((batch,), dtype=jnp.uint8)
+        st, _, _ = jax.lax.while_loop(cond, body, (st, flag0, jnp.int32(0)))
+        return st
+
+    def _ec_one(self, st: MachineState, b) -> MachineState:
+        """Steane EC on block b with the shared ancilla pair
+        (reference: css_code.py:436-470)."""
+        st = self._encode_ft(st, self.anc1, self.anc2, plus=True)
+        st = self._transversal_cnot(st, b, self.anc1)
+        st, mem = self._measure_block(st, self.anc1)
+        _, new_x = decode_lut.correct_errors(
+            mem, st.x_frames[:, b, :], self.h2, self.lut2
+        )
+        st = st._replace(x_frames=st.x_frames.at[:, b, :].set(new_x))
+
+        st = self._encode_ft(st, self.anc1, self.anc2, plus=False)
+        st = self._transversal_cnot(st, self.anc1, b)
+        st = self._transversal_1q(st, tb.apply_h_many, self.anc1)
+        st, mem = self._measure_block(st, self.anc1)
+        _, new_z = decode_lut.correct_errors(
+            mem, st.z_frames[:, b, :], self.h1, self.lut1
+        )
+        return st._replace(z_frames=st.z_frames.at[:, b, :].set(new_z))
+
+    # -- macro-op bodies --------------------------------------------------------------
+
+    def _op_prep_zero(self, st: MachineState, a) -> MachineState:
+        return self._encode_ft(st, a[0], self.anc1, plus=False)
+
+    def _op_gate(self, st: MachineState, a) -> MachineState:
+        gate_id, b0, b1, cond = a[0], a[1], a[2], a[3]
+        mask = jnp.where(
+            cond >= 0,
+            st.memory[:, jnp.maximum(cond, 0)],
+            jnp.ones((st.tab.batch,), jnp.uint8),
+        )
+
+        def pauli_branch(s, x_row, z_row):
+            # Logical Pauli = masked frame injection along the operator's
+            # support at block b0: conjugating a Pauli through the tableau
+            # only flips row signs (reference applies physical gates along
+            # the operator — css_code.py:386-407 — which is the same map).
+            zeros = jnp.zeros((s.tab.batch, s.tab.n), dtype=jnp.uint8)
+            q = self._qubits(b0)
+            xf = zeros.at[:, q].set(mask[:, None] * x_row[None, :])
+            zf = zeros.at[:, q].set(mask[:, None] * z_row[None, :])
+            s = s._replace(tab=tb.apply_pauli_frame(s.tab, xf, zf))
+            if self.noise.p_gate1:
+                s, sub = self._split(s)
+                s = s._replace(
+                    tab=noise_mod.depolarize1_many(s.tab, q, self.noise.p_gate1, sub)
+                )
+            return s
+
+        xop, zop = self.logical_x[0], self.logical_z[0]
+        zeros_row = jnp.zeros_like(xop)
+
+        def masked(s, apply_fn):
+            s2 = apply_fn(s)
+            return s2._replace(tab=tb.select(mask, s2.tab, s.tab))
+
+        branches = [
+            lambda s: s,                                            # I
+            lambda s: pauli_branch(s, xop, zeros_row),              # X
+            lambda s: pauli_branch(s, xop, zop),                    # Y
+            lambda s: pauli_branch(s, zeros_row, zop),              # Z
+            lambda s: masked(s, lambda t: self._transversal_1q(t, tb.apply_h_many, b0)),   # H
+            lambda s: masked(s, lambda t: self._transversal_1q(
+                self._transversal_1q(t, tb.apply_z_many, b0), tb.apply_s_many, b0)),       # S
+            lambda s: masked(s, lambda t: self._transversal_cnot(t, b0, b1)),              # CNOT
+            lambda s: masked(s, lambda t: self._cz(t, b0, b1)),                            # CZ
+        ]
+        return jax.lax.switch(gate_id, branches, st)
+
+    def _cz(self, st: MachineState, b0, b1) -> MachineState:
+        qa, qb = self._qubits(b0), self._qubits(b1)
+        st = st._replace(tab=tb.apply_cz_many(st.tab, qa, qb))
+        if self.noise.p_gate2:
+            st, sub = self._split(st)
+            st = st._replace(
+                tab=noise_mod.depolarize2_many(st.tab, qa, qb, self.noise.p_gate2, sub)
+            )
+        return st
+
+    def _op_ec_all(self, st: MachineState, a) -> MachineState:
+        return jax.lax.fori_loop(
+            0, self.n_logical, lambda b, s: self._ec_one(s, b), st
+        )
+
+    def _op_measure_trial(self, st: MachineState, a) -> MachineState:
+        b, slot = a[0], a[1]
+        # Noisy logical Z measurement (reference: css_code.py:599-646).
+        st = self._encode_ft(st, self.anc1, self.anc2, plus=False)
+        st = self._transversal_cnot(st, b, self.anc1)
+        st, mem = self._measure_block(st, self.anc1)
+        corrected, new_x = decode_lut.correct_errors(
+            mem, st.x_frames[:, b, :], self.h2, self.lut2
+        )
+        st = st._replace(x_frames=st.x_frames.at[:, b, :].set(new_x))
+        zbar = self.logical_z[0]
+        outcome = (
+            jnp.sum(corrected.astype(jnp.int32) * zbar.astype(jnp.int32), axis=-1) & 1
+        ).astype(jnp.uint8)
+        return st._replace(votes=st.votes.at[:, slot].set(outcome))
+
+    def _op_vote_store(self, st: MachineState, a) -> MachineState:
+        trials = self.trials
+        counts = jnp.sum(st.votes[:, :trials].astype(jnp.int32), axis=-1)
+        outcome = (counts >= (trials + 1) // 2).astype(jnp.uint8)
+        return st._replace(memory=st.memory.at[:, a[0]].set(outcome))
+
+    # -- top level -----------------------------------------------------------------------
+
+    def execute(self, macro: MacroProgram, key: jax.Array, batch: int) -> MachineState:
+        n_qubits = self.n_blocks * self.n
+        zeros_f = jnp.zeros((batch, self.n_blocks, self.n), dtype=jnp.uint8)
+        st = MachineState(
+            tab=tb.zero_state(batch, n_qubits),
+            x_frames=zeros_f,
+            z_frames=zeros_f,
+            votes=jnp.zeros((batch, self.trials), dtype=jnp.uint8),
+            memory=jnp.zeros((batch, macro.memory_size), dtype=jnp.uint8),
+            key=key,
+        )
+        bodies = [
+            self._op_prep_zero,
+            self._op_gate,
+            self._op_ec_all,
+            self._op_measure_trial,
+            self._op_vote_store,
+        ]
+
+        def step(carry, row):
+            return jax.lax.switch(row[0], bodies, carry, row[1:]), None
+
+        st, _ = jax.lax.scan(step, st, jnp.asarray(macro.ops))
+        return st

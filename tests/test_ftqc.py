@@ -80,7 +80,6 @@ class TestSingleQubitPrograms:
         res = run(prog, steane)
         assert (res["ro"][:, 0] == 1).all()
 
-    @slow
     def test_hzh_measures_one(self, steane):
         prog = Program()
         ro = prog.declare("ro", 1)
@@ -88,7 +87,6 @@ class TestSingleQubitPrograms:
         res = run(prog, steane)
         assert (res["ro"][:, 0] == 1).all()
 
-    @slow
     def test_s_gates(self, steane):
         # H S S H = H Z H = X up to phase.
         prog = Program()
@@ -116,7 +114,6 @@ class TestFeedback:
 
 
 class TestTwoQubitPrograms:
-    @slow
     @pytest.mark.parametrize("bits", [(0, 0), (1, 1)])
     def test_superdense_coding(self, steane, bits):
         # reference: test/test_ftqc.py:116-151 — skipped there as too slow.
@@ -207,3 +204,17 @@ class TestValidation:
         prog.h(0)
         with pytest.raises(UnsupportedGateError):
             rewrite_program(prog, code)
+
+
+class TestEngines:
+    @slow
+    def test_unrolled_engine_agrees(self, steane):
+        """The unrolled (trace-everything) engine and the macro-op scheduled
+        engine must produce identical deterministic outcomes."""
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        a = rewrite_program(prog, steane, engine="unrolled").run(4)
+        b = rewrite_program(prog, steane, engine="scheduled").run(4)
+        assert (a["ro"][:, 0] == 1).all()
+        assert (b["ro"][:, 0] == 1).all()
