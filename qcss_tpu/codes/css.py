@@ -259,3 +259,21 @@ class CSSCodeDeviceArrays:
             )
         else:
             self.lut_c2 = None
+        # Per-syndrome logical-flip parities: flip_z[s] = Z̄ · lut_c1... see
+        # decode.montecarlo — folding the correction's contribution to the
+        # logical flip into a [2^r, k] bit table turns
+        # ``parity(L · (e ^ lut[s]))`` into ``parity(L · e) ^ flip[s]``,
+        # removing a [B, n] gather + matmul from the Monte-Carlo hot path.
+        import numpy as _np
+
+        def _flip_table(lut, logical):
+            if lut is None:
+                return None
+            lut_np = _np.asarray(lut, dtype=_np.int64)
+            log_np = _np.asarray(logical, dtype=_np.int64)
+            return jnp.asarray((lut_np @ log_np.T) & 1, dtype=jnp.uint8)
+
+        # X-sector corrections come from lut_c2 and flip logical Z̄ parity;
+        # Z-sector corrections from lut_c1 flip X̄ parity.
+        self.flip_z_of_lut_c2 = _flip_table(self.lut_c2, code.z_operator_matrix())
+        self.flip_x_of_lut_c1 = _flip_table(self.lut_c1, code.x_operator_matrix())

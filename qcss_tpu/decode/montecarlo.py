@@ -55,22 +55,38 @@ def decode_failures(
     lut2: jax.Array,
     logical_x: jax.Array,
     logical_z: jax.Array,
+    flip_z_of_lut2: jax.Array | None = None,
+    flip_x_of_lut1: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """Decode a batch of Pauli errors and report per-sample logical flips.
 
     All inputs are 0/1 arrays; x_err/z_err are [B, n]. Returns uint8 [B]
     flags ``x_fail`` (logical bit flip), ``z_fail`` (logical phase flip) and
     ``word_fail`` (either).
+
+    When the per-syndrome flip tables (``flip_z_of_lut2[s] = L_Z · lut2[s]``,
+    [2^r, k]) are provided, the residual logical check
+    ``parity(L · (e ^ lut[s]))`` is computed as ``parity(L · e) ^ flip[s]``
+    — mathematically identical, but a [B, k]-bit gather instead of a [B, n]
+    correction gather plus a second matmul.
     """
     syn_x = gf2_jax.syndromes_dense(x_err, h2)
-    corr_x = decode_corrections(syn_x, lut2)
-    resid_x = x_err ^ corr_x
-    x_fail = gf2_jax.mod2_matmul(resid_x, logical_z.T).any(axis=-1).astype(jnp.uint8)
+    err_flip_x = gf2_jax.mod2_matmul(x_err, logical_z.T)  # [B, k]
+    if flip_z_of_lut2 is not None:
+        corr_flip_x = jnp.take(flip_z_of_lut2, gf2_jax.bits_to_index(syn_x), axis=0)
+    else:
+        corr_x = decode_corrections(syn_x, lut2)
+        corr_flip_x = gf2_jax.mod2_matmul(corr_x, logical_z.T)
+    x_fail = (err_flip_x ^ corr_flip_x).any(axis=-1).astype(jnp.uint8)
 
     syn_z = gf2_jax.syndromes_dense(z_err, h1)
-    corr_z = decode_corrections(syn_z, lut1)
-    resid_z = z_err ^ corr_z
-    z_fail = gf2_jax.mod2_matmul(resid_z, logical_x.T).any(axis=-1).astype(jnp.uint8)
+    err_flip_z = gf2_jax.mod2_matmul(z_err, logical_x.T)
+    if flip_x_of_lut1 is not None:
+        corr_flip_z = jnp.take(flip_x_of_lut1, gf2_jax.bits_to_index(syn_z), axis=0)
+    else:
+        corr_z = decode_corrections(syn_z, lut1)
+        corr_flip_z = gf2_jax.mod2_matmul(corr_z, logical_x.T)
+    z_fail = (err_flip_z ^ corr_flip_z).any(axis=-1).astype(jnp.uint8)
 
     return {
         "x_fail": x_fail,
@@ -99,12 +115,14 @@ def mc_decode_step(code, key: jax.Array, batch: int, p) -> dict[str, jax.Array]:
 
 
 @partial(jax.jit, static_argnames=("batch", "rounds"))
-def _mc_scan(key, p, batch, rounds, h1, h2, lut1, lut2, lx, lz):
+def _mc_scan(key, p, batch, rounds, h1, h2, lut1, lut2, lx, lz, flip2, flip1):
     keys = jax.random.split(key, rounds)
 
     def body(carry, k):
         x_err, z_err = sample_depolarizing(k, batch, h1.shape[1], p)
-        fails = decode_failures(x_err, z_err, h1, h2, lut1, lut2, lx, lz)
+        fails = decode_failures(
+            x_err, z_err, h1, h2, lut1, lut2, lx, lz, flip2, flip1
+        )
         counts = {kk: jnp.sum(v, dtype=jnp.int32) for kk, v in fails.items()}
         return jax.tree.map(jnp.add, carry, counts), None
 
@@ -123,6 +141,7 @@ def mc_decode_rounds(code, key: jax.Array, batch: int, rounds: int, p) -> dict:
     return _mc_scan(
         key, jnp.float32(p), batch, rounds,
         dev.h1, dev.h2, dev.lut_c1, dev.lut_c2, dev.logical_x, dev.logical_z,
+        dev.flip_z_of_lut_c2, dev.flip_x_of_lut_c1,
     )
 
 
