@@ -8,6 +8,16 @@ chip samples, extracts and decodes its own shard of the Monte-Carlo batch
 and failure counts are combined with a single `psum`.
 """
 
-from qcss_tpu.parallel.mesh import make_mesh, sharded_mc_step, sharded_logical_error_rate
+from qcss_tpu.parallel.mesh import (
+    make_mesh,
+    sharded_ftqc_run,
+    sharded_logical_error_rate,
+    sharded_mc_step,
+)
 
-__all__ = ["make_mesh", "sharded_mc_step", "sharded_logical_error_rate"]
+__all__ = [
+    "make_mesh",
+    "sharded_ftqc_run",
+    "sharded_logical_error_rate",
+    "sharded_mc_step",
+]

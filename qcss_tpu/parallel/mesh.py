@@ -75,10 +75,21 @@ def sharded_ftqc_run(encoded, mesh: Mesh, batch: int, key: jax.Array) -> dict:
     local = batch // n_dev
     axis = mesh.axis_names[0]
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axis))
+    body = (
+        encoded._execute_scheduled
+        if getattr(encoded, "engine", "unrolled") == "scheduled"
+        else encoded._execute
+    )
+
+    # check_vma=False: the executor's initial (replicated) tableau enters a
+    # lax.scan whose carry becomes device-varying after the first keyed op;
+    # the varying-axis type check rejects that mix even though the program
+    # is valid SPMD.
+    @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axis),
+             check_vma=False)
     def step(key):
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        return encoded._execute(my_key, local)
+        return body(my_key, local)
 
     return jax.jit(step)(key)
 

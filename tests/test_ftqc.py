@@ -218,3 +218,20 @@ class TestEngines:
         b = rewrite_program(prog, steane, engine="scheduled").run(4)
         assert (a["ro"][:, 0] == 1).all()
         assert (b["ro"][:, 0] == 1).all()
+
+
+class TestShardedExecution:
+    def test_sharded_ftqc_matches_semantics(self, steane):
+        """The FT-encoded X program sharded over the 8-device mesh must
+        produce all-1 outcomes, shape [batch, 1]."""
+        from qcss_tpu.parallel import make_mesh, sharded_ftqc_run
+
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        enc = rewrite_program(prog, steane)
+        mesh = make_mesh()
+        out = sharded_ftqc_run(enc, mesh, batch=16, key=jax.random.key(2))
+        ro_bits = np.asarray(jax.device_get(out["ro"]))
+        assert ro_bits.shape == (16, 1)
+        assert (ro_bits[:, 0] == 1).all()
