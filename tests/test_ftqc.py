@@ -235,3 +235,26 @@ class TestShardedExecution:
         ro_bits = np.asarray(jax.device_get(out["ro"]))
         assert ro_bits.shape == (16, 1)
         assert (ro_bits[:, 0] == 1).all()
+
+
+class TestOtherCodeFamilies:
+    def test_surface3_x_program(self):
+        """FT transpile + run on the rotated surface d=3 code (k=1, only
+        CNOT transversal; X/Y/Z as Pauli-frame ops; t=0 -> single
+        measurement trial, faithful to the reference's unique-decoding
+        semantics for degenerate codes)."""
+        code = families.rotated_surface(3, max_table_weight=2, t=None)
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        res = run(prog, code)
+        assert (res["ro"][:, 0] == 1).all()
+
+    @slow
+    def test_shor_x_program(self):
+        code = families.shor()
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        res = run(prog, code)
+        assert (res["ro"][:, 0] == 1).all()
