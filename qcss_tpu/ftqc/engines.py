@@ -1,0 +1,335 @@
+"""Block-level tableau engine backends for the macro-op FTQC executor.
+
+The macro executor manipulates whole code blocks (prep networks, transversal
+layers, block measurements, Pauli-frame injections). This module provides
+that block-level interface over two state representations:
+
+* `UnpackedEngine` — byte-per-bit tableaus (`sim.tableau`); blocks are
+  contiguous qubit ranges of length n. Right choice for small codes
+  (Steane-scale), where packing overhead outweighs its wins.
+* `PackedEngine` — uint32-word tableaus (`sim.tableau_packed`) with
+  word-aligned blocks: block b occupies words [b*Wb, (b+1)*Wb), so
+  transversal layers between blocks are pure word-wide XOR/AND ops with no
+  per-qubit indexing at all — the payoff of packing for FT protocols on
+  surface-code-sized blocks.
+
+Both expose the same method set; block indices may be traced.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from qcss_tpu.ops import gf2_jax
+from qcss_tpu.sim import noise as noise_mod
+from qcss_tpu.sim import tableau as tb
+from qcss_tpu.sim import tableau_packed as tp
+
+WORD = 32
+
+
+class UnpackedEngine:
+    """Blocks are contiguous [b*n, (b+1)*n) qubit ranges, byte-per-bit."""
+
+    def __init__(self, n: int, n_blocks: int, noise: noise_mod.NoiseModel):
+        self.n = n
+        self.n_blocks = n_blocks
+        self.noise = noise
+        self.stride = n
+
+    def block_qubits(self, b) -> jax.Array:
+        return jnp.asarray(b, jnp.int32) * self.stride + jnp.arange(
+            self.n, dtype=jnp.int32
+        )
+
+    def zero_state(self, batch: int):
+        return tb.zero_state(batch, self.n_blocks * self.stride)
+
+    def select(self, mask, new, old):
+        return tb.select(mask, new, old)
+
+    def reset_block(self, tab, b, key):
+        tab = tb.reset_many(tab, self.block_qubits(b), key)
+        return tab
+
+    def run_block_circuit(self, tab, arrays, b, key):
+        """Run a block-local circuit (qubit indices in [0, n)) on block b,
+        with per-gate depolarizing noise."""
+        ops, q0, q1 = arrays
+        off = jnp.asarray(b, jnp.int32) * self.stride
+        return noise_mod.run_arrays_noisy(
+            tab, jnp.asarray(ops), jnp.asarray(q0) + off, jnp.asarray(q1) + off,
+            self.noise, key,
+        )
+
+    def measure_block(self, tab, b, key):
+        return tb.measure_many(tab, self.block_qubits(b), key)
+
+    def transversal_cnot(self, tab, b_ctrl, b_tgt, key):
+        tab = tb.apply_cnot_many(
+            tab, self.block_qubits(b_ctrl), self.block_qubits(b_tgt)
+        )
+        if self.noise.p_gate2:
+            tab = noise_mod.depolarize2_many(
+                tab, self.block_qubits(b_ctrl), self.block_qubits(b_tgt),
+                self.noise.p_gate2, key,
+            )
+        return tab
+
+    def transversal_1q(self, tab, gate: str, b, key):
+        fn = {"H": tb.apply_h_many, "S": tb.apply_s_many,
+              "X": tb.apply_x_many, "Z": tb.apply_z_many}[gate]
+        tab = fn(tab, self.block_qubits(b))
+        if self.noise.p_gate1:
+            tab = noise_mod.depolarize1_many(
+                tab, self.block_qubits(b), self.noise.p_gate1, key
+            )
+        return tab
+
+    def transversal_cz(self, tab, b0, b1, key):
+        tab = tb.apply_cz_many(tab, self.block_qubits(b0), self.block_qubits(b1))
+        if self.noise.p_gate2:
+            tab = noise_mod.depolarize2_many(
+                tab, self.block_qubits(b0), self.block_qubits(b1),
+                self.noise.p_gate2, key,
+            )
+        return tab
+
+    def pauli_inject(self, tab, b, x_row, z_row, mask):
+        """Masked logical-Pauli application: flips along the operator's
+        support at block b (signs only)."""
+        zeros = jnp.zeros((tab.batch, tab.n), dtype=jnp.uint8)
+        q = self.block_qubits(b)
+        xf = zeros.at[:, q].set(mask[:, None] * x_row[None, :])
+        zf = zeros.at[:, q].set(mask[:, None] * z_row[None, :])
+        return tb.apply_pauli_frame(tab, xf, zf)
+
+    def depolarize_block(self, tab, b, p, key):
+        return noise_mod.depolarize1_many(tab, self.block_qubits(b), p, key)
+
+    def inject_block_flips(self, tab, b, x_flips, z_flips):
+        """Per-sample [B, n] Pauli flips on block b (noise injection)."""
+        zeros = jnp.zeros((tab.batch, tab.n), dtype=jnp.uint8)
+        q = self.block_qubits(b)
+        return tb.apply_pauli_frame(
+            tab, zeros.at[:, q].set(x_flips), zeros.at[:, q].set(z_flips)
+        )
+
+
+class PackedEngine:
+    """Word-aligned packed blocks: block b owns words [b*Wb, (b+1)*Wb)."""
+
+    def __init__(self, n: int, n_blocks: int, noise: noise_mod.NoiseModel):
+        self.n = n
+        self.n_blocks = n_blocks
+        self.noise = noise
+        self.wb = (n + WORD - 1) // WORD  # words per block
+        self.stride = self.wb * WORD      # qubits per block slot (padded)
+
+    def block_qubits(self, b) -> jax.Array:
+        return jnp.asarray(b, jnp.int32) * self.stride + jnp.arange(
+            self.n, dtype=jnp.int32
+        )
+
+    def zero_state(self, batch: int):
+        return tp.zero_state(batch, self.n_blocks * self.stride)
+
+    def select(self, mask, new, old):
+        return tp.select(mask, new, old)
+
+    def reset_block(self, tab, b, key):
+        return tp.reset_many(tab, self.block_qubits(b), key)
+
+    # -- packed noise helpers ----------------------------------------------------
+
+    def _word_off(self, b):
+        return jnp.asarray(b, jnp.int32) * self.wb
+
+    def _inject_packed(self, tab, b, xw, zw):
+        """xw/zw: [B, Wb] packed flips for block b."""
+        B = tab.batch
+        W = tab.words
+        zeros = jnp.zeros((B, W), jnp.uint32)
+        off = self._word_off(b)
+        xf = jax.lax.dynamic_update_slice(zeros, xw, (jnp.int32(0), off))
+        zf = jax.lax.dynamic_update_slice(zeros, zw, (jnp.int32(0), off))
+        return tp.apply_pauli_frame(tab, xf, zf)
+
+    def inject_block_flips(self, tab, b, x_flips, z_flips):
+        return self._inject_packed(
+            tab, b, gf2_jax.pack_bits(x_flips), gf2_jax.pack_bits(z_flips)
+        )
+
+    def _depolarize_block(self, tab, b, p, key):
+        B = tab.batch
+        u = jax.random.bits(key, (B, self.n), dtype=jnp.uint32)
+        cap = jnp.float32(2.0**32 - 1)
+        pf = jnp.asarray(p, jnp.float32)
+        t1 = jnp.minimum(pf / 3.0 * jnp.float32(2.0**32), cap).astype(jnp.uint32)
+        t2 = jnp.minimum(2.0 * pf / 3.0 * jnp.float32(2.0**32), cap).astype(jnp.uint32)
+        t3 = jnp.minimum(pf * jnp.float32(2.0**32), cap).astype(jnp.uint32)
+        x_hit = (u < t2).astype(jnp.uint8)
+        z_hit = ((u >= t1) & (u < t3)).astype(jnp.uint8)
+        return self.inject_block_flips(tab, b, x_hit, z_hit)
+
+    def _depolarize_pair_blocks(self, tab, b0, b1, p, key):
+        B = tab.batch
+        k_u, k_p = jax.random.split(key)
+        hit = (
+            jax.random.uniform(k_u, (B, self.n), dtype=jnp.float32) < jnp.float32(p)
+        ).astype(jnp.uint8)
+        pat = jax.random.randint(k_p, (B, self.n), 1, 16, dtype=jnp.int32)
+        x1 = (pat & 1).astype(jnp.uint8) * hit
+        z1 = ((pat >> 1) & 1).astype(jnp.uint8) * hit
+        x2 = ((pat >> 2) & 1).astype(jnp.uint8) * hit
+        z2 = ((pat >> 3) & 1).astype(jnp.uint8) * hit
+        tab = self.inject_block_flips(tab, b0, x1, z1)
+        return self.inject_block_flips(tab, b1, x2, z2)
+
+    # -- circuits and measurement -----------------------------------------------
+
+    def run_block_circuit(self, tab, arrays, b, key):
+        ops, q0, q1 = arrays
+        off = jnp.asarray(b, jnp.int32) * self.stride
+        ops = jnp.asarray(ops, jnp.int32)
+        q0 = jnp.asarray(q0, jnp.int32) + off
+        q1 = jnp.asarray(q1, jnp.int32) + off
+        if self.noise.is_trivial:
+            return tp.run_circuit_scanned(tab, ops, q0, q1)
+        keys = jax.random.split(key, max(int(ops.shape[0]), 1))
+        two_q_start = 6  # OPCODES["CNOT"]
+
+        def dep1(t, q, k):
+            B = t.batch
+            u = jax.random.uniform(k, (B,), dtype=jnp.float32)
+            p = jnp.float32(self.noise.p_gate1)
+            x_hit = (u < 2.0 * p / 3.0).astype(jnp.uint32)
+            z_hit = ((u >= p / 3.0) & (u < p)).astype(jnp.uint32)
+            w, bit = q // WORD, (q % WORD).astype(jnp.uint32)
+            zeros = jnp.zeros((B, t.words), jnp.uint32)
+            return tp.apply_pauli_frame(
+                t, zeros.at[:, w].set(x_hit << bit), zeros.at[:, w].set(z_hit << bit)
+            )
+
+        def dep2(t, a, b_q, k):
+            B = t.batch
+            k_u, k_p = jax.random.split(k)
+            hit = (
+                jax.random.uniform(k_u, (B,), dtype=jnp.float32)
+                < jnp.float32(self.noise.p_gate2)
+            ).astype(jnp.uint32)
+            pat = jax.random.randint(k_p, (B,), 1, 16, dtype=jnp.int32).astype(jnp.uint32)
+            wa, ba = a // WORD, (a % WORD).astype(jnp.uint32)
+            wb, bb = b_q // WORD, (b_q % WORD).astype(jnp.uint32)
+            zeros = jnp.zeros((B, t.words), jnp.uint32)
+            xf = zeros.at[:, wa].set((hit * (pat & 1)) << ba)
+            xf = xf.at[:, wb].set(xf[:, wb] ^ ((hit * ((pat >> 2) & 1)) << bb))
+            zf = zeros.at[:, wa].set((hit * ((pat >> 1) & 1)) << ba)
+            zf = zf.at[:, wb].set(zf[:, wb] ^ ((hit * ((pat >> 3) & 1)) << bb))
+            return tp.apply_pauli_frame(t, xf, zf)
+
+        def body(carry, xs):
+            op, a, b_q, k = xs
+            carry = jax.lax.switch(op, tp._SCAN_BRANCHES, carry, a, b_q)
+            if self.noise.p_gate1 or self.noise.p_gate2:
+                carry = jax.lax.cond(
+                    op >= two_q_start,
+                    lambda t: dep2(t, a, b_q, k),
+                    lambda t: dep1(t, a, k),
+                    carry,
+                )
+            return carry, None
+
+        tab, _ = jax.lax.scan(body, tab, (ops, q0, q1, keys))
+        return tab
+
+    def measure_block(self, tab, b, key):
+        return tp.measure_many(tab, self.block_qubits(b), key)
+
+    # -- transversal word-ops: the packing payoff ---------------------------------
+
+    def _block_words(self, arr, b):
+        off = self._word_off(b)
+        return jax.lax.dynamic_slice_in_dim(arr, off, self.wb, axis=-1)
+
+    def _set_block_words(self, arr, b, words):
+        off = self._word_off(b)
+        return jax.lax.dynamic_update_slice_in_dim(arr, words, off, axis=-1)
+
+    @staticmethod
+    def _parity_words(words) -> jax.Array:
+        from qcss_tpu.ops.gf2_jax import popcount32
+
+        return (jnp.sum(popcount32(words), axis=-1) & 1).astype(jnp.uint8)
+
+    def transversal_cnot(self, tab, b_ctrl, b_tgt, key):
+        xc = self._block_words(tab.x, b_ctrl)
+        zc = self._block_words(tab.z, b_ctrl)
+        xt = self._block_words(tab.x, b_tgt)
+        zt = self._block_words(tab.z, b_tgt)
+        # Per-position sign rule xc & zt & ~(xt ^ zc); block padding bits are
+        # zero in xc/zt, so the complement's padding ones are masked away.
+        r = tab.r ^ self._parity_words(xc & zt & ~(xt ^ zc))
+        x = self._set_block_words(tab.x, b_tgt, xt ^ xc)
+        z = self._set_block_words(tab.z, b_ctrl, zc ^ zt)
+        tab = tab.replace(x=x, z=z, r=r)
+        if self.noise.p_gate2:
+            tab = self._depolarize_pair_blocks(tab, b_ctrl, b_tgt,
+                                               self.noise.p_gate2, key)
+        return tab
+
+    def transversal_1q(self, tab, gate: str, b, key):
+        xw = self._block_words(tab.x, b)
+        zw = self._block_words(tab.z, b)
+        if gate == "H":
+            r = tab.r ^ self._parity_words(xw & zw)
+            tab = tab.replace(
+                x=self._set_block_words(tab.x, b, zw),
+                z=self._set_block_words(tab.z, b, xw),
+                r=r,
+            )
+        elif gate == "S":
+            r = tab.r ^ self._parity_words(xw & zw)
+            tab = tab.replace(z=self._set_block_words(tab.z, b, zw ^ xw), r=r)
+        elif gate == "X":
+            tab = tab.replace(r=tab.r ^ self._parity_words(zw))
+        elif gate == "Z":
+            tab = tab.replace(r=tab.r ^ self._parity_words(xw))
+        else:  # pragma: no cover
+            raise ValueError(gate)
+        if self.noise.p_gate1:
+            tab = self._depolarize_block(tab, b, self.noise.p_gate1, key)
+        return tab
+
+    def transversal_cz(self, tab, b0, b1, key):
+        xa = self._block_words(tab.x, b0)
+        za = self._block_words(tab.z, b0)
+        xb = self._block_words(tab.x, b1)
+        zb = self._block_words(tab.z, b1)
+        r = tab.r ^ self._parity_words(xa & xb & (za ^ zb))
+        z = self._set_block_words(tab.z, b0, za ^ xb)
+        z = jax.lax.dynamic_update_slice_in_dim(
+            z, jax.lax.dynamic_slice_in_dim(z, self._word_off(b1), self.wb, -1) ^ xa,
+            self._word_off(b1), axis=-1,
+        )
+        tab = tab.replace(z=z, r=r)
+        if self.noise.p_gate2:
+            tab = self._depolarize_pair_blocks(tab, b0, b1, self.noise.p_gate2, key)
+        return tab
+
+    def pauli_inject(self, tab, b, x_row, z_row, mask):
+        xw = gf2_jax.pack_bits(x_row)[None, :] * mask[:, None].astype(jnp.uint32)
+        zw = gf2_jax.pack_bits(z_row)[None, :] * mask[:, None].astype(jnp.uint32)
+        return self._inject_packed(tab, b, xw, zw)
+
+    def depolarize_block(self, tab, b, p, key):
+        return self._depolarize_block(tab, b, p, key)
+
+
+def make_engine(kind: str, n: int, n_blocks: int, noise) -> UnpackedEngine | PackedEngine:
+    if kind == "unpacked":
+        return UnpackedEngine(n, n_blocks, noise)
+    if kind == "packed":
+        return PackedEngine(n, n_blocks, noise)
+    raise ValueError(f"unknown tableau engine {kind!r}")

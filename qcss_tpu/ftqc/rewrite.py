@@ -52,15 +52,21 @@ class EncodedProgram:
     """A validated FT-encoded program, executable over a batch of shots."""
 
     def __init__(self, raw: Program, code, noise: noise_mod.NoiseModel | None = None,
-                 max_prep_attempts: int = 8, engine: str = "scheduled"):
+                 max_prep_attempts: int = 8, engine: str = "scheduled",
+                 tableau: str = "unpacked"):
         if code.k != 1:
             raise UnsupportedQECCError("code must have k = 1")
         if engine not in ("scheduled", "unrolled"):
             raise ValueError("engine must be 'scheduled' or 'unrolled'")
+        if tableau not in ("unpacked", "packed"):
+            raise ValueError("tableau must be 'unpacked' or 'packed'")
+        if engine == "unrolled" and tableau == "packed":
+            raise ValueError("the packed tableau requires the scheduled engine")
         self.raw = raw
         self.code = code
         self.noise = noise or noise_mod.NoiseModel()
         self.engine = engine
+        self.tableau = tableau
         self.max_prep_attempts = max_prep_attempts
         self.qubit_map = {q: i for i, q in enumerate(raw.qubits())}
         self.n_logical = len(self.qubit_map)
@@ -149,7 +155,8 @@ class EncodedProgram:
 
         macro = schedule.lower(self.raw, self.code)
         executor = schedule.MacroExecutor(
-            self.code, self.n_logical, self.noise, self.max_prep_attempts
+            self.code, self.n_logical, self.noise, self.max_prep_attempts,
+            tableau_engine=self.tableau,
         )
         st = executor.execute(macro, key, batch)
         return {
@@ -175,14 +182,18 @@ class EncodedProgram:
 def rewrite_program(raw: Program, code, *,
                     noise: noise_mod.NoiseModel | None = None,
                     max_prep_attempts: int = 8,
-                    engine: str = "scheduled") -> EncodedProgram:
+                    engine: str = "scheduled",
+                    tableau: str = "unpacked") -> EncodedProgram:
     """Validate and FT-encode a raw Clifford program — the framework's
     flagship entry point (reference analogue: ftqc.py:42).
 
     engine: 'scheduled' (macro-op scan, O(1) compile in program length) or
     'unrolled' (trace every protocol occurrence; simpler graph, useful for
-    debugging)."""
-    return EncodedProgram(raw, code, noise, max_prep_attempts, engine)
+    debugging).
+    tableau: 'unpacked' (byte-per-bit, best for small codes) or 'packed'
+    (uint32 words, word-aligned blocks; best for surface-code-scale blocks).
+    """
+    return EncodedProgram(raw, code, noise, max_prep_attempts, engine, tableau)
 
 
 def run_program(raw: Program, code, batch: int = 1, *,

@@ -127,12 +127,17 @@ def lower(raw, code) -> MacroProgram:
 
 
 class MacroExecutor:
-    """Executes a MacroProgram batched on the tableau simulator. All block
-    arguments below may be traced scalars OR Python ints."""
+    """Executes a MacroProgram batched on a block-level tableau engine
+    (`ftqc.engines`): 'unpacked' byte-per-bit tableaus for small codes,
+    'packed' word-aligned uint32 tableaus for surface-code-scale blocks.
+    All block arguments below may be traced scalars or Python ints."""
 
     def __init__(self, code, n_logical: int,
                  noise: noise_mod.NoiseModel | None = None,
-                 max_prep_attempts: int = 8):
+                 max_prep_attempts: int = 8,
+                 tableau_engine: str = "unpacked"):
+        from qcss_tpu.ftqc.engines import make_engine
+
         self.code = code
         self.n = code.n
         self.n_logical = n_logical
@@ -140,6 +145,7 @@ class MacroExecutor:
         self.noise = noise or noise_mod.NoiseModel()
         self.max_prep_attempts = max_prep_attempts
         self.trials = 2 * code.t + 1
+        self.engine = make_engine(tableau_engine, self.n, self.n_blocks, self.noise)
         dev = code.device
         self.h1, self.h2 = dev.h1, dev.h2
         self.lut1, self.lut2 = dev.lut_c1, dev.lut_c2
@@ -148,7 +154,8 @@ class MacroExecutor:
         self.detect_x_with_ops = jnp.concatenate([dev.h2, dev.logical_z], axis=0)
         self.detect_z_plain = dev.h1
         self.detect_z_with_ops = jnp.concatenate([dev.h1, dev.logical_x], axis=0)
-        # Block-0 prep networks, lowered once; block b adds a b*n offset.
+        # Block-local prep networks (qubits in [0, n)), lowered once; the
+        # engine offsets them to the target block.
         self._prep_zero0 = code.noisy_encode_zero(range(self.n)).to_arrays()
         self._prep_plus0 = code.noisy_encode_plus(range(self.n)).to_arrays()
         # Static ancilla block indices (reference: ftqc.py:60-61).
@@ -157,37 +164,27 @@ class MacroExecutor:
 
     # -- helpers ------------------------------------------------------------------
 
-    def _qubits(self, b) -> jax.Array:
-        return jnp.asarray(b, jnp.int32) * self.n + jnp.arange(self.n, dtype=jnp.int32)
-
     def _split(self, st: MachineState):
         key, sub = jax.random.split(st.key)
         return st._replace(key=key), sub
 
     def _run_prep(self, st: MachineState, b, plus: bool) -> MachineState:
-        ops, q0, q1 = self._prep_plus0 if plus else self._prep_zero0
-        off = jnp.asarray(b, jnp.int32) * self.n
+        arrays = self._prep_plus0 if plus else self._prep_zero0
         st, sub = self._split(st)
-        tab = noise_mod.run_arrays_noisy(
-            st.tab, jnp.asarray(ops), jnp.asarray(q0) + off, jnp.asarray(q1) + off,
-            self.noise, sub,
-        )
-        return st._replace(tab=tab)
+        return st._replace(tab=self.engine.run_block_circuit(st.tab, arrays, b, sub))
 
     def _reset_block(self, st: MachineState, b) -> MachineState:
         st, sub = self._split(st)
-        tab = tb.reset_many(st.tab, self._qubits(b), sub)
+        tab = self.engine.reset_block(st.tab, b, sub)
         if self.noise.p_reset:
-            st = st._replace(tab=tab)
             st, sub = self._split(st)
             flips = jax.random.bernoulli(
-                sub, self.noise.p_reset, (st.tab.batch, self.n)
+                sub, self.noise.p_reset, (tab.batch, self.n)
             ).astype(jnp.uint8)
-            zeros = jnp.zeros((st.tab.batch, st.tab.n), dtype=jnp.uint8)
-            tab = tb.apply_pauli_frame(
-                st.tab, zeros.at[:, self._qubits(b)].set(flips), zeros
+            tab = self.engine.inject_block_flips(
+                tab, b, flips, jnp.zeros_like(flips)
             )
-        zeros_f = jnp.zeros((st.tab.batch, self.n), dtype=jnp.uint8)
+        zeros_f = jnp.zeros((tab.batch, self.n), dtype=jnp.uint8)
         return st._replace(
             tab=tab,
             x_frames=st.x_frames.at[:, b, :].set(zeros_f),
@@ -195,28 +192,16 @@ class MacroExecutor:
         )
 
     def _transversal_cnot(self, st: MachineState, b_ctrl, b_tgt) -> MachineState:
-        qc, qt = self._qubits(b_ctrl), self._qubits(b_tgt)
-        st = st._replace(tab=tb.apply_cnot_many(st.tab, qc, qt))
-        if self.noise.p_gate2:
-            st, sub = self._split(st)
-            st = st._replace(
-                tab=noise_mod.depolarize2_many(st.tab, qc, qt, self.noise.p_gate2, sub)
-            )
-        return st
+        st, sub = self._split(st)
+        return st._replace(tab=self.engine.transversal_cnot(st.tab, b_ctrl, b_tgt, sub))
 
-    def _transversal_1q(self, st: MachineState, fn, b) -> MachineState:
-        q = self._qubits(b)
-        st = st._replace(tab=fn(st.tab, q))
-        if self.noise.p_gate1:
-            st, sub = self._split(st)
-            st = st._replace(
-                tab=noise_mod.depolarize1_many(st.tab, q, self.noise.p_gate1, sub)
-            )
-        return st
+    def _transversal_1q(self, st: MachineState, gate: str, b) -> MachineState:
+        st, sub = self._split(st)
+        return st._replace(tab=self.engine.transversal_1q(st.tab, gate, b, sub))
 
     def _measure_block(self, st: MachineState, b):
         st, sub = self._split(st)
-        tab, outs = tb.measure_many(st.tab, self._qubits(b), sub)
+        tab, outs = self.engine.measure_block(st.tab, b, sub)
         st = st._replace(tab=tab)
         if self.noise.p_meas:
             st, sub = self._split(st)
@@ -236,7 +221,7 @@ class MacroExecutor:
         else:
             st = self._run_prep(st, anc, plus=include_operators)
             st = self._transversal_cnot(st, anc, b)
-            st = self._transversal_1q(st, tb.apply_h_many, anc)
+            st = self._transversal_1q(st, "H", anc)
         st, mem = self._measure_block(st, anc)
         if x_sector:
             check = self.detect_x_with_ops if include_operators else self.detect_x_plain
@@ -264,7 +249,7 @@ class MacroExecutor:
             new_flag = out_x | out_z
             m3 = flag[:, None, None].astype(bool)
             committed = MachineState(
-                tb.select(flag, s.tab, st_in.tab),
+                self.engine.select(flag, s.tab, st_in.tab),
                 jnp.where(m3, s.x_frames, st_in.x_frames),
                 jnp.where(m3, s.z_frames, st_in.z_frames),
                 st_in.votes, st_in.memory, s.key,
@@ -293,7 +278,7 @@ class MacroExecutor:
 
         st = self._encode_ft(st, self.anc1, self.anc2, plus=False)
         st = self._transversal_cnot(st, self.anc1, b)
-        st = self._transversal_1q(st, tb.apply_h_many, self.anc1)
+        st = self._transversal_1q(st, "H", self.anc1)
         st, mem = self._measure_block(st, self.anc1)
         _, new_z = decode_lut.correct_errors(
             mem, st.z_frames[:, b, :], self.h1, self.lut1
@@ -318,47 +303,41 @@ class MacroExecutor:
             # support at block b0: conjugating a Pauli through the tableau
             # only flips row signs (reference applies physical gates along
             # the operator — css_code.py:386-407 — which is the same map).
-            zeros = jnp.zeros((s.tab.batch, s.tab.n), dtype=jnp.uint8)
-            q = self._qubits(b0)
-            xf = zeros.at[:, q].set(mask[:, None] * x_row[None, :])
-            zf = zeros.at[:, q].set(mask[:, None] * z_row[None, :])
-            s = s._replace(tab=tb.apply_pauli_frame(s.tab, xf, zf))
+            s2 = s._replace(
+                tab=self.engine.pauli_inject(s.tab, b0, x_row, z_row, mask)
+            )
             if self.noise.p_gate1:
-                s, sub = self._split(s)
-                s = s._replace(
-                    tab=noise_mod.depolarize1_many(s.tab, q, self.noise.p_gate1, sub)
+                s2, sub = self._split(s2)
+                s2 = s2._replace(
+                    tab=self.engine.depolarize_block(
+                        s2.tab, b0, self.noise.p_gate1, sub
+                    )
                 )
-            return s
+            return s2
 
         xop, zop = self.logical_x[0], self.logical_z[0]
         zeros_row = jnp.zeros_like(xop)
 
         def masked(s, apply_fn):
             s2 = apply_fn(s)
-            return s2._replace(tab=tb.select(mask, s2.tab, s.tab))
+            return s2._replace(tab=self.engine.select(mask, s2.tab, s.tab))
 
         branches = [
             lambda s: s,                                            # I
             lambda s: pauli_branch(s, xop, zeros_row),              # X
             lambda s: pauli_branch(s, xop, zop),                    # Y
             lambda s: pauli_branch(s, zeros_row, zop),              # Z
-            lambda s: masked(s, lambda t: self._transversal_1q(t, tb.apply_h_many, b0)),   # H
+            lambda s: masked(s, lambda t: self._transversal_1q(t, "H", b0)),   # H
             lambda s: masked(s, lambda t: self._transversal_1q(
-                self._transversal_1q(t, tb.apply_z_many, b0), tb.apply_s_many, b0)),       # S
-            lambda s: masked(s, lambda t: self._transversal_cnot(t, b0, b1)),              # CNOT
-            lambda s: masked(s, lambda t: self._cz(t, b0, b1)),                            # CZ
+                self._transversal_1q(t, "Z", b0), "S", b0)),                   # S
+            lambda s: masked(s, lambda t: self._transversal_cnot(t, b0, b1)),  # CNOT
+            lambda s: masked(s, lambda t: self._cz(t, b0, b1)),                # CZ
         ]
         return jax.lax.switch(gate_id, branches, st)
 
     def _cz(self, st: MachineState, b0, b1) -> MachineState:
-        qa, qb = self._qubits(b0), self._qubits(b1)
-        st = st._replace(tab=tb.apply_cz_many(st.tab, qa, qb))
-        if self.noise.p_gate2:
-            st, sub = self._split(st)
-            st = st._replace(
-                tab=noise_mod.depolarize2_many(st.tab, qa, qb, self.noise.p_gate2, sub)
-            )
-        return st
+        st, sub = self._split(st)
+        return st._replace(tab=self.engine.transversal_cz(st.tab, b0, b1, sub))
 
     def _op_ec_all(self, st: MachineState, a) -> MachineState:
         return jax.lax.fori_loop(
@@ -390,10 +369,9 @@ class MacroExecutor:
     # -- top level -----------------------------------------------------------------------
 
     def execute(self, macro: MacroProgram, key: jax.Array, batch: int) -> MachineState:
-        n_qubits = self.n_blocks * self.n
         zeros_f = jnp.zeros((batch, self.n_blocks, self.n), dtype=jnp.uint8)
         st = MachineState(
-            tab=tb.zero_state(batch, n_qubits),
+            tab=self.engine.zero_state(batch),
             x_frames=zeros_f,
             z_frames=zeros_f,
             votes=jnp.zeros((batch, self.trials), dtype=jnp.uint8),

@@ -258,3 +258,40 @@ class TestOtherCodeFamilies:
         prog.x(0).measure(0, ro[0])
         res = run(prog, code)
         assert (res["ro"][:, 0] == 1).all()
+
+
+class TestPackedTableauEngine:
+    def test_packed_x_program(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        res = rewrite_program(prog, steane, tableau="packed").run(4)
+        assert (res["ro"][:, 0] == 1).all()
+
+    def test_packed_feedback(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 2)
+        prog.h(0)
+        prog.measure(0, ro[0])
+        prog.if_then(ro[0], Circuit().x(0))
+        prog.measure(0, ro[1])
+        res = rewrite_program(prog, steane, tableau="packed").run(8)
+        assert (res["ro"][:, 1] == 0).all()
+
+    @slow
+    def test_packed_superdense(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 2)
+        prog.h(0).cnot(0, 1).x(0).z(0).cnot(0, 1).h(0)
+        prog.measure(0, ro[0])
+        prog.measure(1, ro[1])
+        res = rewrite_program(prog, steane, tableau="packed").run(2)
+        assert (res["ro"][:, 0] == 1).all()
+        assert (res["ro"][:, 1] == 1).all()
+
+    def test_packed_requires_scheduled(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        with pytest.raises(ValueError):
+            rewrite_program(prog, steane, engine="unrolled", tableau="packed")
