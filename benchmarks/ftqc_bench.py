@@ -1,0 +1,84 @@
+"""FTQC end-to-end throughput: encoded-program shots/sec at growing code
+size, packed vs unpacked tableau engines.
+
+Runs the FT-encoded X-then-measure program (FT prep, per-gate Steane EC,
+2t+1 majority-vote measurement) and reports steady-state shots/sec. The
+reference's comparable path is ~minutes per shot on the external QVM, with
+2 logical qubits declared "too slow" outright
+(reference: test/test_ftqc.py:115, test_fidelity.py:43-46).
+
+Usage: python benchmarks/ftqc_bench.py [--batch 64] [--codes steane surface5]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+
+from qcss_tpu.circuits import Program
+from qcss_tpu.codes import families
+from qcss_tpu.ftqc import rewrite_program
+
+CODES = {
+    "steane": lambda: families.steane(),
+    "surface3": lambda: families.rotated_surface(3, max_table_weight=2, t=None),
+    "surface5": lambda: families.rotated_surface(5, max_table_weight=3, t=None),
+}
+
+
+def x_program():
+    prog = Program()
+    ro = prog.declare("ro", 1)
+    prog.x(0).measure(0, ro[0])
+    return prog
+
+
+def bench(code, tableau: str, batch: int) -> dict:
+    enc = rewrite_program(x_program(), code, tableau=tableau)
+
+    def run_once(seed: int) -> int:
+        res = enc.run(batch, key=jax.random.key(seed))
+        return int(res["ro"].sum())  # host fence
+
+    run_once(100)
+    run_once(101)
+    reps = 3
+    t0 = time.perf_counter()
+    correct = sum(run_once(i + 1) for i in range(reps))
+    dt = time.perf_counter() - t0
+    return {
+        "shots_per_sec": round(reps * batch / dt, 1),
+        "correct_fraction": correct / (reps * batch),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--codes", nargs="+", default=["steane", "surface5"])
+    args = ap.parse_args()
+
+    for name in args.codes:
+        code = CODES[name]()
+        for tableau in ("unpacked", "packed"):
+            stats = bench(code, tableau, args.batch)
+            print(json.dumps({
+                "metric": "ftqc_encoded_program_throughput",
+                "code": name,
+                "n_physical": 3 * code.n,
+                "tableau": tableau,
+                "batch": args.batch,
+                "value": stats["shots_per_sec"],
+                "unit": "shots/sec/chip",
+                "correct_fraction": stats["correct_fraction"],
+            }))
+
+
+if __name__ == "__main__":
+    main()

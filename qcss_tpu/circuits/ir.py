@@ -15,7 +15,7 @@ not exist on this substrate by design.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterable, Union
 
 CLIFFORD_1Q = ("I", "X", "Y", "Z", "H", "S")

@@ -96,9 +96,9 @@ def decode_failures(
 
 
 @partial(jax.jit, static_argnames=("batch",))
-def _mc_step(key, p, batch, h1, h2, lut1, lut2, lx, lz):
+def _mc_step(key, p, batch, h1, h2, lut1, lut2, lx, lz, flip2, flip1):
     x_err, z_err = sample_depolarizing(key, batch, h1.shape[1], p)
-    fails = decode_failures(x_err, z_err, h1, h2, lut1, lut2, lx, lz)
+    fails = decode_failures(x_err, z_err, h1, h2, lut1, lut2, lx, lz, flip2, flip1)
     return {k: jnp.sum(v, dtype=jnp.int32) for k, v in fails.items()}
 
 
@@ -111,6 +111,7 @@ def mc_decode_step(code, key: jax.Array, batch: int, p) -> dict[str, jax.Array]:
     return _mc_step(
         key, jnp.float32(p), batch,
         dev.h1, dev.h2, dev.lut_c1, dev.lut_c2, dev.logical_x, dev.logical_z,
+        dev.flip_z_of_lut_c2, dev.flip_x_of_lut_c1,
     )
 
 

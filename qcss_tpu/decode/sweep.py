@@ -12,8 +12,6 @@ from __future__ import annotations
 import json
 import os
 
-import jax
-
 from qcss_tpu.decode.montecarlo import logical_error_rate
 
 

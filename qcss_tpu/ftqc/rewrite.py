@@ -24,14 +24,11 @@ that jits end-to-end over a batch of shots.
 
 from __future__ import annotations
 
-from typing import Union
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from qcss_tpu.circuits.ir import (
-    BitRef,
     DeclareInst,
     GateInst,
     IfThenInst,

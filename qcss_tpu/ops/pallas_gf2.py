@@ -21,8 +21,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qcss_tpu.ops import gf2_jax
-
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"

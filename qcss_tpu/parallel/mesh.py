@@ -43,13 +43,15 @@ def sharded_mc_step(code, mesh: Mesh, key: jax.Array, batch: int, p):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(),) * 7,
+        in_specs=(P(),) * 9,
         out_specs=P(),
     )
-    def step(key, h1, h2, lut1, lut2, lx, lz):
+    def step(key, h1, h2, lut1, lut2, lx, lz, flip2, flip1):
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         x_err, z_err = sample_depolarizing(my_key, local_batch, h1.shape[1], p)
-        fails = decode_failures(x_err, z_err, h1, h2, lut1, lut2, lx, lz)
+        fails = decode_failures(
+            x_err, z_err, h1, h2, lut1, lut2, lx, lz, flip2, flip1
+        )
         return {
             k: jax.lax.psum(jnp.sum(v, dtype=jnp.int32), axis)
             for k, v in fails.items()
@@ -57,7 +59,8 @@ def sharded_mc_step(code, mesh: Mesh, key: jax.Array, batch: int, p):
 
     fn = jax.jit(step)
     return fn(key, dev.h1, dev.h2, dev.lut_c1, dev.lut_c2,
-              dev.logical_x, dev.logical_z)
+              dev.logical_x, dev.logical_z,
+              dev.flip_z_of_lut_c2, dev.flip_x_of_lut_c1)
 
 
 def sharded_ftqc_run(encoded, mesh: Mesh, batch: int, key: jax.Array) -> dict:

@@ -65,7 +65,7 @@ class TestMajorityVote:
 
 class TestQECCInterface:
     def test_csscode_implements_qecc(self):
-        from qcss_tpu.codes import CSSCode, QECC, families
+        from qcss_tpu.codes import QECC, families
 
         code = families.steane()
         assert isinstance(code, QECC)

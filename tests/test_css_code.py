@@ -7,7 +7,6 @@ import pytest
 from qcss_tpu import CSSCode, InvalidCodeError
 from qcss_tpu.codes.families import hamming_parity_check
 from qcss_tpu.codes.pauli import PauliOperator
-from qcss_tpu.ops import gf2
 
 
 @pytest.fixture(scope="module")

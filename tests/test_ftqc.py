@@ -14,7 +14,7 @@ import pytest
 
 from qcss_tpu.circuits import Circuit, Program
 from qcss_tpu.codes import families
-from qcss_tpu.errors import UnsupportedGateError, UnsupportedProgramError
+from qcss_tpu.errors import UnsupportedGateError
 from qcss_tpu.ftqc import rewrite_program
 from qcss_tpu.sim.noise import NoiseModel
 
