@@ -76,7 +76,15 @@ def lower(raw, code) -> MacroProgram:
     """Lower a validated `circuits.ir.Program` to macro-instructions,
     following the reference's transpile structure (reference: ftqc.py:42-120):
     FT-prep all blocks, EC after every logical gate, EC between measurement
-    trials, majority vote."""
+    trials, majority vote.
+
+    One deliberate divergence: the EC round after a *conditional* gate runs
+    unconditionally here (only the gate itself is masked per sample). In the
+    reference the emitted EC sits inside the jump-skipped span, so shots
+    whose condition is 0 skip that EC round too; under batching, skipping EC
+    per sample would force masking the entire EC machinery. EC on an
+    untouched block is a semantic no-op (it can only refine the frames), so
+    only the noise-location count differs for unfired branches."""
     qubit_map = {q: i for i, q in enumerate(raw.qubits())}
     n_logical = len(qubit_map)
     trials = 2 * code.t + 1
@@ -313,6 +321,9 @@ class MacroExecutor:
                         s2.tab, b0, self.noise.p_gate1, sub
                     )
                 )
+                # Samples whose conditional gate did not fire get no noise
+                # location either (the reference's jump skips the gate).
+                s2 = s2._replace(tab=self.engine.select(mask, s2.tab, s.tab))
             return s2
 
         xop, zop = self.logical_x[0], self.logical_z[0]
