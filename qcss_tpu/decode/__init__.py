@@ -16,6 +16,7 @@ from qcss_tpu.decode.montecarlo import (
     logical_error_rate,
 )
 from qcss_tpu.decode.sweep import error_rate_curve
+from qcss_tpu.decode.multiround import multiround_error_rate
 from qcss_tpu.decode import classical
 
 __all__ = [
@@ -27,5 +28,6 @@ __all__ = [
     "mc_decode_rounds",
     "logical_error_rate",
     "error_rate_curve",
+    "multiround_error_rate",
     "classical",
 ]
