@@ -102,9 +102,24 @@ class CSSCode(QECC):
             self._t = t
             self.c1_syndromes: dict[int, np.ndarray] = {}
             self.c2_syndromes: dict[int, np.ndarray] = {}
+        elif max_table_weight is not None:
+            # An explicit weight bound selects the degeneracy-aware
+            # minimum-weight decoder tables: the reference's collision-stop
+            # enumeration yields a nearly-empty table for degenerate codes
+            # (e.g. any surface code, where two weight-1 errors share a
+            # syndrome at w=1 — see `gf2.min_weight_table`). t still follows
+            # the reference's unique-decoding semantics unless overridden.
+            self.c1_syndromes = gf2.min_weight_table(h_1, max_table_weight)
+            self.c2_syndromes = gf2.min_weight_table(h_2, max_table_weight)
+            if t is None:
+                t_1, _ = gf2.syndrome_table(h_1, max_table_weight)
+                t_2, _ = gf2.syndrome_table(h_2, max_table_weight)
+                t = min(t_1, t_2)
+            self._t = t
         else:
-            t_1, self.c1_syndromes = gf2.syndrome_table(h_1, max_table_weight)
-            t_2, self.c2_syndromes = gf2.syndrome_table(h_2, max_table_weight)
+            # Reference-faithful default (reference: css_code.py:69-71).
+            t_1, self.c1_syndromes = gf2.syndrome_table(h_1)
+            t_2, self.c2_syndromes = gf2.syndrome_table(h_2)
             self._t = min(t_1, t_2) if t is None else t
 
         self._transversal_gates = self._determine_transversal_gates(h_1, h_2)

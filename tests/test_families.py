@@ -113,3 +113,31 @@ class TestToric:
         assert not np.any((h1 @ h2.T) & 1)
         assert gf2.rank(h1) == d * d - 1
         assert gf2.rank(h2) == d * d - 1
+
+
+class TestDegenerateLUTs:
+    def test_surface5_luts_decode_weight2(self):
+        """Regression: explicit max_table_weight must build degeneracy-aware
+        min-weight tables (the collision-stop table is nearly empty for
+        surface codes, silently disabling LUT decode)."""
+        import jax.numpy as jnp
+
+        from qcss_tpu.decode import montecarlo as mc
+
+        code = families.rotated_surface(5, max_table_weight=3, t=None)
+        dev = code.device
+        assert dev.lut_c2.shape[0] == 1 << code.r_2
+        # All weight-1 and weight-2 X errors decode without a logical flip.
+        errs = []
+        for e in gf2.weight_w_vectors(code.n, 1):
+            errs.append(e)
+        for e in gf2.weight_w_vectors(code.n, 2):
+            errs.append(e)
+        errs = np.array(errs, dtype=np.uint8)
+        fails = mc.decode_failures(
+            jnp.asarray(errs), jnp.zeros_like(jnp.asarray(errs)),
+            dev.h1, dev.h2, dev.lut_c1, dev.lut_c2,
+            dev.logical_x, dev.logical_z,
+            dev.flip_z_of_lut_c2, dev.flip_x_of_lut_c1,
+        )
+        assert int(fails["x_fail"].sum()) == 0
