@@ -43,9 +43,11 @@ def bench_engine(module, state, n, key, n_measure=32):
     def run(state, key):
         return module.measure_many(state, qubits, key)
 
-    out = run(state, key)
-    jax.block_until_ready(out)
-    # Host-fence each rep (block_until_ready is unreliable on the tunnel).
+    # TWO warmups (first post-compile result can be stale on the tunnel),
+    # then host-fenced reps (block_until_ready is unreliable there).
+    for i in (100, 101):
+        _, outs = run(state, jax.random.fold_in(key, i))
+        int(outs.sum())
     reps = 3
     t0 = time.perf_counter()
     acc = 0

@@ -285,26 +285,24 @@ def measure_z(t: PackedTableau, q, key: jax.Array):
     random_state = PackedTableau(new_x, new_z, new_r, n)
 
     # ---- deterministic branch ----
-    def body(i, acc):
-        sx, sz, sr4 = acc
-        mask = (xq[:, i] == 1)[:, None]  # destabilizer i anticommutes
-        rx, rz = t.x[:, n + i, :], t.z[:, n + i, :]
-        rr = t.r[:, n + i].astype(jnp.int32)
-        g = _g_sum_words(rx, rz, sx, sz)
-        sr4_new = (sr4 + 2 * rr + g) % 4
-        return (
-            jnp.where(mask, sx ^ rx, sx),
-            jnp.where(mask, sz ^ rz, sz),
-            jnp.where(mask[:, 0], sr4_new, sr4),
-        )
-
-    init = (
-        jnp.zeros((B, W), jnp.uint32),
-        jnp.zeros((B, W), jnp.uint32),
-        jnp.zeros((B,), jnp.int32),
+    # Closed-form commuting-product phase (see sim.tableau.measure_z): the
+    # ordered pair term needs only its parity, so the exclusive prefix of
+    # masked z rows is a cumulative XOR — a log-depth associative scan over
+    # packed words instead of a sequential row accumulation.
+    m = (xq[:, :n] == 1)  # [B, n] selected stabilizer rows
+    m_words = m[:, :, None].astype(jnp.uint32)
+    sx = t.x[:, n:, :] * m_words
+    sz = t.z[:, n:, :] * m_words
+    prefix_incl = jax.lax.associative_scan(jnp.bitwise_xor, sz, axis=1)
+    prefix_excl = prefix_incl ^ sz
+    pair_parity = (
+        jnp.sum(popcount32(sx & prefix_excl), axis=(1, 2)) & 1
+    ).astype(jnp.int32)
+    y = jnp.sum(popcount32(t.x[:, n:, :] & t.z[:, n:, :]), axis=-1)
+    base = jnp.sum(
+        m.astype(jnp.int32) * (2 * t.r[:, n:].astype(jnp.int32) + y), axis=1
     )
-    _, _, sr4 = jax.lax.fori_loop(0, n, body, init)
-    det_outcome = (sr4 // 2).astype(jnp.uint8)
+    det_outcome = (((base + 2 * pair_parity) % 4) // 2).astype(jnp.uint8)
 
     outcome = jnp.where(is_random, rand_bit, det_outcome)
     state = select(is_random, random_state, t)
