@@ -72,6 +72,8 @@ class EncodedProgram:
             code, self.n_logical + 2, self.noise, max_prep_attempts
         )
         self.memory = dict(raw.memory)
+        self._compiled = None  # jit wrapper, built once (a fresh jax.jit
+        # per run() would retrace and recompile on every call)
         self._validate()
 
     def _validate(self):
@@ -168,11 +170,13 @@ class EncodedProgram:
         but produced by one jitted device program instead of an external
         simulator process."""
         key = jax.random.key(0) if key is None else key
-        body = (
-            self._execute_scheduled if self.engine == "scheduled" else self._execute
-        )
-        fn = jax.jit(body, static_argnames=("batch",))
-        out = fn(key, batch)
+        if self._compiled is None:
+            body = (
+                self._execute_scheduled if self.engine == "scheduled"
+                else self._execute
+            )
+            self._compiled = jax.jit(body, static_argnames=("batch",))
+        out = self._compiled(key, batch)
         return {name: np.asarray(v) for name, v in out.items()}
 
 

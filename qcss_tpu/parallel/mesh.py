@@ -27,26 +27,25 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def sharded_mc_step(code, mesh: Mesh, key: jax.Array, batch: int, p):
-    """One Monte-Carlo round sharded over the mesh's ``data`` axis.
+# Compiled sharded-step cache: a fresh shard_map + jit per call would
+# retrace and recompile every round of a sweep.
+_MC_STEP_CACHE: dict = {}
 
-    ``batch`` is the *global* sample count; it must divide evenly by the
-    mesh size. Returns global failure counts (already psummed, replicated).
-    """
-    dev = code.device
-    n_dev = mesh.devices.size
-    if batch % n_dev:
-        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
-    local_batch = batch // n_dev
+
+def _mc_step_fn(mesh: Mesh, local_batch: int):
+    key_ = (mesh, local_batch)
+    fn = _MC_STEP_CACHE.get(key_)
+    if fn is not None:
+        return fn
     axis = mesh.axis_names[0]
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(),) * 9,
+        in_specs=(P(),) * 10,
         out_specs=P(),
     )
-    def step(key, h1, h2, lut1, lut2, lx, lz, flip2, flip1):
+    def step(key, p, h1, h2, lut1, lut2, lx, lz, flip2, flip1):
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         x_err, z_err = sample_depolarizing(my_key, local_batch, h1.shape[1], p)
         fails = decode_failures(
@@ -58,7 +57,22 @@ def sharded_mc_step(code, mesh: Mesh, key: jax.Array, batch: int, p):
         }
 
     fn = jax.jit(step)
-    return fn(key, dev.h1, dev.h2, dev.lut_c1, dev.lut_c2,
+    _MC_STEP_CACHE[key_] = fn
+    return fn
+
+
+def sharded_mc_step(code, mesh: Mesh, key: jax.Array, batch: int, p):
+    """One Monte-Carlo round sharded over the mesh's ``data`` axis.
+
+    ``batch`` is the *global* sample count; it must divide evenly by the
+    mesh size. Returns global failure counts (already psummed, replicated).
+    """
+    dev = code.device
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    fn = _mc_step_fn(mesh, batch // n_dev)
+    return fn(key, jnp.float32(p), dev.h1, dev.h2, dev.lut_c1, dev.lut_c2,
               dev.logical_x, dev.logical_z,
               dev.flip_z_of_lut_c2, dev.flip_x_of_lut_c1)
 
@@ -78,23 +92,31 @@ def sharded_ftqc_run(encoded, mesh: Mesh, batch: int, key: jax.Array) -> dict:
     local = batch // n_dev
     axis = mesh.axis_names[0]
 
-    body = (
-        encoded._execute_scheduled
-        if getattr(encoded, "engine", "unrolled") == "scheduled"
-        else encoded._execute
-    )
+    cache = getattr(encoded, "_sharded_cache", None)
+    if cache is None:
+        cache = {}
+        encoded._sharded_cache = cache
+    fn = cache.get((mesh, local))
+    if fn is None:
+        body = (
+            encoded._execute_scheduled
+            if getattr(encoded, "engine", "unrolled") == "scheduled"
+            else encoded._execute
+        )
 
-    # check_vma=False: the executor's initial (replicated) tableau enters a
-    # lax.scan whose carry becomes device-varying after the first keyed op;
-    # the varying-axis type check rejects that mix even though the program
-    # is valid SPMD.
-    @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axis),
-             check_vma=False)
-    def step(key):
-        my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        return body(my_key, local)
+        # check_vma=False: the executor's initial (replicated) tableau enters
+        # a lax.scan whose carry becomes device-varying after the first keyed
+        # op; the varying-axis type check rejects that mix even though the
+        # program is valid SPMD.
+        @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axis),
+                 check_vma=False)
+        def step(key):
+            my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            return body(my_key, local)
 
-    return jax.jit(step)(key)
+        fn = jax.jit(step)
+        cache[(mesh, local)] = fn
+    return fn(key)
 
 
 def sharded_logical_error_rate(
