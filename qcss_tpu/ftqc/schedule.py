@@ -305,6 +305,11 @@ class MacroExecutor:
             st.memory[:, jnp.maximum(cond, 0)],
             jnp.ones((st.tab.batch,), jnp.uint8),
         )
+        return self._apply_gate(st, gate_id, b0, b1, mask)
+
+    def _apply_gate(self, st: MachineState, gate_id, b0, b1, mask) -> MachineState:
+        """Logical gate dispatch (reference: css_code.py:368-434), masked per
+        sample. gate_id may be traced (lax.switch) or a Python int."""
 
         def pauli_branch(s, x_row, z_row):
             # Logical Pauli = masked frame injection along the operator's
@@ -355,9 +360,11 @@ class MacroExecutor:
             0, self.n_logical, lambda b, s: self._ec_one(s, b), st
         )
 
-    def _op_measure_trial(self, st: MachineState, a) -> MachineState:
-        b, slot = a[0], a[1]
-        # Noisy logical Z measurement (reference: css_code.py:599-646).
+    def _noisy_measure(self, st: MachineState, b):
+        """Single (non-FT) logical Z measurement of block b via a fresh |0̄⟩
+        ancilla (reference: css_code.py:599-646): transversal CNOT onto the
+        ancilla, measure it, opportunistically correct the X frame, outcome
+        = Z̄ · corrected bits. Returns (state, outcome[B])."""
         st = self._encode_ft(st, self.anc1, self.anc2, plus=False)
         st = self._transversal_cnot(st, b, self.anc1)
         st, mem = self._measure_block(st, self.anc1)
@@ -369,6 +376,11 @@ class MacroExecutor:
         outcome = (
             jnp.sum(corrected.astype(jnp.int32) * zbar.astype(jnp.int32), axis=-1) & 1
         ).astype(jnp.uint8)
+        return st, outcome
+
+    def _op_measure_trial(self, st: MachineState, a) -> MachineState:
+        b, slot = a[0], a[1]
+        st, outcome = self._noisy_measure(st, b)
         return st._replace(votes=st.votes.at[:, slot].set(outcome))
 
     def _op_vote_store(self, st: MachineState, a) -> MachineState:
