@@ -45,8 +45,10 @@ def encoded_x_program_error_rate(shots: int, model: noise_mod.NoiseModel, key) -
     ro = prog.declare("ro", 1)
     prog.x(0).measure(0, ro[0])
     enc = rewrite_program(prog, families.steane(), noise=model)
+    enc.run(shots, key=jax.random.key(123))  # compile warm-up
     t0 = time.perf_counter()
     res = enc.run(shots, key=key)
+    res["ro"].sum()  # host fence
     elapsed = time.perf_counter() - t0
     return float(1.0 - res["ro"][:, 0].mean()), elapsed
 
