@@ -56,20 +56,43 @@ def shor(**kwargs) -> CSSCode:
     return CSSCode(h_x, h_z, **kwargs)
 
 
-def reed_muller_15(**kwargs) -> CSSCode:
-    """The quantum Reed-Muller [[15,1,3]] code.
+def reed_muller(m: int, **kwargs) -> CSSCode:
+    """The quantum Reed-Muller [[2^m - 1, 1, 3]] code, m >= 4.
 
-    H_X is the Hamming(15,11) check (4x15); H_Z stacks the H_X rows with all
-    pairwise bitwise products (10x15 total), i.e. the punctured RM(1,4)
-    structure. Famous for a transversal T gate (outside the reference's
-    Clifford-only classification)."""
-    h_x = hamming_parity_check(4)
-    rows = [h_x[i] for i in range(4)]
-    for i in range(4):
-        for j in range(i + 1, 4):
-            rows.append(h_x[i] & h_x[j])
+    H_X is the Hamming(2^m - 1) check (m rows); H_Z stacks all bitwise
+    products of 1..(m-2) distinct H_X rows (the punctured RM(m-2, m)
+    structure), so r_2 = sum_{j=1..m-2} C(m, j) and k = 1. Duality holds
+    because any <= m-1 coordinate hyperplanes of the punctured cube
+    intersect in an even number of points. The m=4 member is famous for a
+    transversal T gate (outside the reference's Clifford-only
+    classification).
+
+    For m >= 5 the C_2 syndrome table is 2^{r_2} entries — far past LUT
+    range — so tables are skipped by default (t=1 from the Hamming side);
+    pass max_table_weight explicitly to build bounded tables.
+    """
+    from itertools import combinations
+
+    if m < 4:
+        raise ValueError("quantum Reed-Muller codes need m >= 4")
+    h_x = hamming_parity_check(m)
+    rows = []
+    for deg in range(1, m - 1):
+        for combo in combinations(range(m), deg):
+            row = np.ones(h_x.shape[1], dtype=np.uint8)
+            for i in combo:
+                row &= h_x[i]
+            rows.append(row)
     h_z = np.array(rows, dtype=np.uint8)
+    if m >= 5:
+        kwargs.setdefault("t", 1)
+        kwargs.setdefault("max_table_weight", 0)
     return CSSCode(h_x, h_z, **kwargs)
+
+
+def reed_muller_15(**kwargs) -> CSSCode:
+    """The quantum Reed-Muller [[15,1,3]] code (= `reed_muller(4)`)."""
+    return reed_muller(4, **kwargs)
 
 
 def rotated_surface(d: int, **kwargs) -> CSSCode:

@@ -141,3 +141,26 @@ class TestDegenerateLUTs:
             dev.flip_z_of_lut_c2, dev.flip_x_of_lut_c1,
         )
         assert int(fails["x_fail"].sum()) == 0
+
+
+class TestReedMullerFamily:
+    def test_m5_parameters(self):
+        code = families.reed_muller(5)
+        assert code.n == 31
+        assert code.k == 1
+        assert code.r_1 == 5
+        assert code.r_2 == 5 + 10 + 10  # C(5,1)+C(5,2)+C(5,3)
+        assert code.t == 1
+        check_css_structure(code)
+
+    def test_m4_alias(self):
+        a = families.reed_muller(4)
+        b = families.reed_muller_15()
+        assert np.array_equal(a.parity_check_c1, b.parity_check_c1)
+        assert np.array_equal(a.parity_check_c2, b.parity_check_c2)
+
+    def test_m3_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            families.reed_muller(3)
