@@ -1,0 +1,121 @@
+"""Circuit-level quantum-memory experiment (logical Z memory).
+
+The standard QEC benchmark the reference has no analogue of: hold a logical
+|0̄⟩ for R rounds, each round running the *actual* syndrome-extraction
+circuit (one ancilla per Z-type check, transversal CNOTs data→ancilla,
+ancilla measurement + reset) under circuit-level Pauli noise, then read the
+data out and decode.
+
+Decoding here is the simple temporal-majority scheme: each syndrome bit is
+majority-voted across the R (odd) rounds before one LUT decode — sound in
+the regime where at most one data error occurs during the experiment
+(syndrome noise is suppressed by the vote; the single data error's syndrome
+wins the vote once it has occurred in more than half the rounds).
+Space-time (matching) decoding is a round-2+ item; this module provides the
+experiment harness it will plug into.
+
+Only X-type data errors matter for a Z-basis memory (Z errors commute with
+the readout), so only the Z-check sector is extracted.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcss_tpu.circuits.ir import Circuit
+from qcss_tpu.decode.lut import decode_corrections
+from qcss_tpu.decode.multiround import vote_syndromes
+from qcss_tpu.ops import gf2_jax
+from qcss_tpu.sim import noise as noise_mod
+from qcss_tpu.sim import tableau as tb
+
+
+def z_extraction_circuit(code, data_offset: int = 0, anc_offset: int | None = None) -> Circuit:
+    """One round of Z-check syndrome extraction: CNOT(data_j -> anc_i) for
+    every 1 in row i of the Z-check matrix (ancilla i measures stabilizer
+    Z-row i when read in the Z basis after the CNOT fan-in)."""
+    n = code.n
+    anc_offset = n if anc_offset is None else anc_offset
+    circ = Circuit()
+    for i in range(code.r_2):
+        for j in np.nonzero(code.parity_check_c2[i])[0]:
+            circ.cnot(data_offset + int(j), anc_offset + i)
+    return circ
+
+
+def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays):
+    n, r2 = code.n, code.r_2
+    dev = code.device
+    n_qubits = n + r2
+    anc = jnp.arange(n, n + r2, dtype=jnp.int32)
+    data = jnp.arange(n, dtype=jnp.int32)
+
+    t = tb.zero_state(batch, n_qubits)
+    # Noiseless logical |0̄⟩ preparation (the experiment measures memory
+    # fidelity, not preparation fidelity).
+    t = tb.run_circuit_scanned(t, *prep_arrays)
+
+    def round_body(carry, k):
+        t = carry
+        k1, k2, k3 = jax.random.split(k, 3)
+        t = noise_mod.run_arrays_noisy(t, *extract_arrays, noise, k1)
+        t, syn = tb.measure_many(t, anc, k2)
+        if noise.p_meas:
+            k2b, _ = jax.random.split(k3)
+            syn = noise_mod.flip_bits(syn, noise.p_meas, k2b)
+        t = tb.reset_many(t, anc, k3)
+        return t, syn
+
+    keys = jax.random.split(key, rounds + 1)
+    t, syns = jax.lax.scan(round_body, t, keys[:rounds])  # [R, B, r2]
+
+    # Perfect readout round.
+    t, word = tb.measure_many(t, data, keys[rounds])  # [B, n]
+
+    voted = vote_syndromes(syns)
+    corr = decode_corrections(voted, dev.lut_c2)
+    corrected = word ^ corr
+    zbar = dev.logical_z[0]
+    outcome = (
+        jnp.sum(corrected.astype(jnp.int32) * zbar.astype(jnp.int32), axis=-1) & 1
+    ).astype(jnp.uint8)
+    # Residual stabilizer violations in the corrected word flag decode
+    # failures that did not flip the logical (for diagnostics).
+    resid_syn = gf2_jax.syndromes_dense(corrected, dev.h2)
+    return {
+        "logical_fail": jnp.sum(outcome, dtype=jnp.int32),
+        "residual_syndrome": jnp.sum(
+            jnp.any(resid_syn == 1, axis=-1), dtype=jnp.int32
+        ),
+    }
+
+
+def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
+                        batch: int = 1 << 12, seed: int = 0) -> dict[str, float]:
+    """Run the logical-Z memory experiment; returns failure rates.
+
+    rounds must be odd (temporal majority vote).
+    """
+    if rounds % 2 == 0:
+        raise ValueError("rounds must be odd for the temporal vote")
+    if code.device.lut_c2 is None:
+        raise ValueError("code has no C2 LUT; pass max_table_weight")
+    prep_arrays = tuple(map(jnp.asarray, code.noisy_encode_zero().to_arrays()))
+    extract_arrays = tuple(map(jnp.asarray, z_extraction_circuit(code).to_arrays()))
+
+    fn = jax.jit(
+        partial(_memory_body, code=code, noise=noise,
+                prep_arrays=prep_arrays, extract_arrays=extract_arrays),
+        static_argnames=("batch", "rounds"),
+    )
+    counts = fn(jax.random.key(seed), batch, rounds)
+    return {
+        "logical_fail": int(counts["logical_fail"]) / batch,
+        "residual_syndrome": int(counts["residual_syndrome"]) / batch,
+        "rounds": rounds,
+        "samples": batch,
+    }

@@ -1,0 +1,59 @@
+"""Circuit-level logical-Z memory experiment tests."""
+
+import numpy as np
+import pytest
+
+from qcss_tpu.codes import families
+from qcss_tpu.experiments import z_extraction_circuit, z_memory_experiment
+from qcss_tpu.sim.noise import NoiseModel
+
+
+@pytest.fixture(scope="module")
+def steane():
+    return families.steane()
+
+
+class TestExtractionCircuit:
+    def test_structure(self, steane):
+        circ = z_extraction_circuit(steane)
+        # One CNOT per 1 in the Z-check matrix, data -> ancilla.
+        assert len(circ) == int(steane.parity_check_c2.sum())
+        for g in circ:
+            assert g.name == "CNOT"
+            assert g.qubits[0] < steane.n  # control on data
+            assert g.qubits[1] >= steane.n  # target on ancilla
+
+    def test_noiseless_extraction_reads_zero_syndrome(self, steane):
+        out = z_memory_experiment(
+            steane, rounds=3, noise=NoiseModel(), batch=256, seed=0
+        )
+        assert out["logical_fail"] == 0.0
+        assert out["residual_syndrome"] == 0.0
+
+
+class TestUnderNoise:
+    def test_measurement_noise_only_is_suppressed(self, steane):
+        # With only syndrome-measurement noise, the data stays clean; the
+        # temporal vote must keep false corrections rare.
+        noisy = z_memory_experiment(
+            steane, rounds=5, noise=NoiseModel(p_meas=0.05), batch=4096, seed=1
+        )
+        single = z_memory_experiment(
+            steane, rounds=1, noise=NoiseModel(p_meas=0.05), batch=4096, seed=2
+        )
+        assert noisy["logical_fail"] <= single["logical_fail"]
+        assert noisy["logical_fail"] < 0.01
+
+    def test_gate_noise_produces_bounded_failures(self, steane):
+        out = z_memory_experiment(
+            steane, rounds=3,
+            noise=NoiseModel(p_gate2=0.002, p_meas=0.002),
+            batch=4096, seed=3,
+        )
+        # ~63 CNOT locations per round x 3 rounds at p=2e-3: failures occur
+        # but the code suppresses most single faults.
+        assert 0.0 <= out["logical_fail"] < 0.1
+
+    def test_even_rounds_rejected(self, steane):
+        with pytest.raises(ValueError):
+            z_memory_experiment(steane, rounds=2, noise=NoiseModel(), batch=8)
