@@ -1,0 +1,61 @@
+"""Logical-Z memory experiment benchmark: circuit-level rounds/sec and
+logical failure rates per (code, rounds) on the chip.
+
+Usage: python benchmarks/memory_bench.py [--batch 16384] [--rounds 1 3 5]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+from qcss_tpu.codes import families
+from qcss_tpu.experiments import z_memory_experiment
+from qcss_tpu.sim.noise import NoiseModel
+
+CODES = {
+    "steane": lambda: families.steane(),
+    "surface3": lambda: families.rotated_surface(3, max_table_weight=2, t=None),
+    "surface5": lambda: families.rotated_surface(5, max_table_weight=3, t=None),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--rounds", type=int, nargs="+", default=[1, 3, 5])
+    ap.add_argument("--codes", nargs="+", default=["steane", "surface5"])
+    ap.add_argument("--p-gate", type=float, default=0.001)
+    ap.add_argument("--p-meas", type=float, default=0.005)
+    args = ap.parse_args()
+
+    noise = NoiseModel(p_gate2=args.p_gate, p_meas=args.p_meas)
+    for name in args.codes:
+        code = CODES[name]()
+        for rounds in args.rounds:
+            # Warm (compile) then time (host-fenced inside the experiment).
+            z_memory_experiment(code, rounds=rounds, noise=noise,
+                                batch=args.batch, seed=100)
+            t0 = time.perf_counter()
+            out = z_memory_experiment(code, rounds=rounds, noise=noise,
+                                      batch=args.batch, seed=0)
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "z_memory_experiment",
+                "code": name,
+                "rounds": rounds,
+                "batch": args.batch,
+                "p_gate2": args.p_gate,
+                "p_meas": args.p_meas,
+                "logical_fail": out["logical_fail"],
+                "value": round(args.batch / dt, 1),
+                "unit": "shots/sec/chip",
+            }))
+
+
+if __name__ == "__main__":
+    main()
