@@ -29,6 +29,17 @@ from qcss_tpu.errors import (
 from qcss_tpu.codes.css import CSSCode
 from qcss_tpu.codes import families
 from qcss_tpu.circuits.ir import Circuit, Program
+from qcss_tpu import (
+    circuits,
+    codes,
+    decode,
+    experiments,
+    ftqc,
+    ops,
+    parallel,
+    sim,
+    utils,
+)
 
 __version__ = "0.1.0"
 
@@ -41,4 +52,13 @@ __all__ = [
     "UnsupportedGateError",
     "UnsupportedProgramError",
     "UnsupportedQECCError",
+    "circuits",
+    "codes",
+    "decode",
+    "experiments",
+    "ftqc",
+    "ops",
+    "parallel",
+    "sim",
+    "utils",
 ]
