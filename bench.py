@@ -22,7 +22,7 @@ from qcss_tpu.decode.montecarlo import mc_decode_rounds
 
 BASELINE_SAMPLES_PER_SEC = 1.0e6  # BASELINE.md target for v5e
 BATCH = 1 << 22
-ROUNDS = 16
+ROUNDS = 64
 P_PHYS = 0.01
 
 
