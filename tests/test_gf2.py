@@ -218,3 +218,28 @@ class TestCodesEqual:
 
     def test_shape_mismatch(self):
         assert not gf2.codes_equal(HAMMING, HAMMING[:2])
+
+
+class TestBatchedDeviceRref:
+    def test_matches_host_rref(self):
+        import jax.numpy as jnp
+
+        from qcss_tpu.ops import gf2_jax
+
+        rng = np.random.default_rng(11)
+        mats = rng.integers(0, 2, size=(32, 6, 10), dtype=np.uint8)
+        out = np.asarray(gf2_jax.rref_batched(jnp.asarray(mats)))
+        for i in range(32):
+            assert np.array_equal(out[i], gf2.rref(mats[i])), i
+
+    def test_wide_and_tall(self):
+        import jax.numpy as jnp
+
+        from qcss_tpu.ops import gf2_jax
+
+        rng = np.random.default_rng(12)
+        for m, n in ((3, 20), (12, 5), (8, 8)):
+            mats = rng.integers(0, 2, size=(8, m, n), dtype=np.uint8)
+            out = np.asarray(gf2_jax.rref_batched(jnp.asarray(mats)))
+            for i in range(8):
+                assert np.array_equal(out[i], gf2.rref(mats[i])), (m, n, i)
