@@ -57,3 +57,33 @@ class TestUnderNoise:
     def test_even_rounds_rejected(self, steane):
         with pytest.raises(ValueError):
             z_memory_experiment(steane, rounds=2, noise=NoiseModel(), batch=8)
+
+
+class TestDifferenceDecoder:
+    def test_valid_codeword_guarantee(self, steane):
+        """The difference decoder always closes the final syndrome window:
+        residual syndrome must be exactly zero."""
+        out = z_memory_experiment(
+            steane, rounds=4, noise=NoiseModel(p_gate2=0.002, p_meas=0.01),
+            batch=4096, seed=7, decoder="difference",
+        )
+        assert out["residual_syndrome"] == 0.0
+
+    def test_noiseless_exact(self, steane):
+        out = z_memory_experiment(
+            steane, rounds=4, noise=NoiseModel(), batch=256, decoder="difference"
+        )
+        assert out["logical_fail"] == 0.0
+
+    def test_even_rounds_allowed(self, steane):
+        # No odd-round constraint for the difference decoder.
+        out = z_memory_experiment(
+            steane, rounds=2, noise=NoiseModel(), batch=64, decoder="difference"
+        )
+        assert out["logical_fail"] == 0.0
+
+    def test_unknown_decoder_rejected(self, steane):
+        with pytest.raises(ValueError):
+            z_memory_experiment(
+                steane, rounds=3, noise=NoiseModel(), batch=8, decoder="nope"
+            )
