@@ -243,3 +243,28 @@ class TestBatchedDeviceRref:
             out = np.asarray(gf2_jax.rref_batched(jnp.asarray(mats)))
             for i in range(8):
                 assert np.array_equal(out[i], gf2.rref(mats[i])), (m, n, i)
+
+
+class TestSwapListRoundTrip:
+    def test_undoing_swaps_recovers_row_space(self):
+        """The swap list returned by normalize_parity_check is a qubit
+        relabeling: undoing it (applied in reverse) must recover the
+        original matrix's row space exactly."""
+        rng = np.random.default_rng(21)
+        checked = 0
+        for _ in range(60):
+            r, n = int(rng.integers(2, 5)), int(rng.integers(6, 11))
+            mat = rng.integers(0, 2, size=(r, n), dtype=np.uint8)
+            if gf2.rank(mat) != r:
+                continue
+            offset = int(rng.integers(0, n - r + 1))
+            try:
+                h, swaps = gf2.normalize_parity_check(mat.copy(), offset)
+            except InvalidCodeError:
+                continue
+            undone = h.copy()
+            for i, j in reversed(swaps):
+                gf2.swap_columns(undone, i, j)
+            assert gf2.codes_equal(undone, mat), (mat, offset)
+            checked += 1
+        assert checked >= 20
