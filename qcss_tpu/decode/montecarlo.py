@@ -28,10 +28,12 @@ def sample_depolarizing(key: jax.Array, batch: int, n: int, p) -> tuple[jax.Arra
     """IID single-qubit depolarizing noise: each qubit suffers X, Y or Z
     with probability p/3 each. Returns (x_err, z_err), each [batch, n] uint8.
 
-    Implemented as integer threshold tests on raw 32-bit random words
-    (exact to 2^-32, no int->float conversion on the hot path): with
-    u ~ U[0, 2^32), X-or-Y <=> u < 2p/3 * 2^32 and Y-or-Z <=>
-    p/3 * 2^32 <= u < p * 2^32.
+    Implemented as integer threshold tests on raw 32-bit random words (no
+    int->float conversion on the hot path): with u ~ U[0, 2^32),
+    X-or-Y <=> u < 2p/3 * 2^32 and Y-or-Z <=> p/3 * 2^32 <= u < p * 2^32.
+    The thresholds are float32 products, so the realized probabilities are
+    accurate to ~2^-24 relative (and p=1.0 fires with probability
+    1 - 2^-32 due to the threshold cap).
     """
     u = jax.random.bits(key, (batch, n), dtype=jnp.uint32)
     p = jnp.asarray(p, jnp.float32)

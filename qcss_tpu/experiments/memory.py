@@ -95,13 +95,15 @@ def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
 
     def round_body(carry, k):
         t = carry
-        k1, k2, k3 = jax.random.split(k, 3)
+        # Four independent subkeys (circuit noise / measurement / readout
+        # flips / ancilla reset) — re-splitting one of them would alias
+        # threefry streams between consumers.
+        k1, k2, k3, k4 = jax.random.split(k, 4)
         t = noise_mod.run_arrays_noisy(t, *extract_arrays, noise, k1)
         t, syn = tb.measure_many(t, anc, k2)
         if noise.p_meas:
-            k2b, _ = jax.random.split(k3)
-            syn = noise_mod.flip_bits(syn, noise.p_meas, k2b)
-        t = tb.reset_many(t, anc, k3)
+            syn = noise_mod.flip_bits(syn, noise.p_meas, k3)
+        t = tb.reset_many(t, anc, k4)
         return t, syn
 
     keys = jax.random.split(key, rounds + 1)

@@ -78,6 +78,7 @@ class FTProtocols(MacroExecutor):
             votes=jnp.zeros((batch, self.trials), dtype=jnp.uint8),
             memory=jnp.zeros((batch, 1), dtype=jnp.uint8),
             key=key,
+            prep_fail=jnp.zeros((batch,), dtype=jnp.uint8),
         )
 
     # -- FT preparation (reference: css_code.py:314-366) --------------------------

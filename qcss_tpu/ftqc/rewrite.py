@@ -145,6 +145,7 @@ class EncodedProgram:
                 st = p.encode_zero(st, block, anc1)
             else:  # pragma: no cover - validated away
                 raise UnsupportedProgramError(str(inst))
+        mem["__prep_fail__"] = st.prep_fail[:, None]
         return mem
 
     def _execute_scheduled(self, key: jax.Array, batch: int) -> dict[str, jax.Array]:
@@ -158,17 +159,24 @@ class EncodedProgram:
             tableau_engine=self.tableau,
         )
         st = executor.execute(macro, key, batch)
-        return {
+        out = {
             name: st.memory[:, off : off + size]
             for name, (off, size) in macro.memory_layout.items()
         }
+        out["__prep_fail__"] = st.prep_fail[:, None]
+        return out
 
     def run(self, batch: int, key: jax.Array | None = None) -> dict[str, np.ndarray]:
         """Execute `batch` shots; returns classical registers as numpy
         arrays [batch, size] — the analogue of the reference's
         ``qvm.run(prog)`` result matrix (reference: test/test_ftqc.py:153-156),
         but produced by one jitted device program instead of an external
-        simulator process."""
+        simulator process.
+
+        The reserved register ``"__prep_fail__"`` ([batch, 1] uint8) flags
+        samples where some FT preparation exhausted ``max_prep_attempts``
+        without passing verification; callers can discard those shots or
+        bound the unverified fraction."""
         key = jax.random.key(0) if key is None else key
         if self._compiled is None:
             body = (

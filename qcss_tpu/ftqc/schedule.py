@@ -61,6 +61,9 @@ class MachineState(NamedTuple):
     votes: jax.Array     # [B, trials]
     memory: jax.Array    # [B, M]
     key: jax.Array
+    prep_fail: jax.Array  # [B] uint8 — 1 iff any FT preparation for this
+    # sample exhausted max_prep_attempts while still flagged by error
+    # detection (an unverified preparation the caller may want to discard)
 
 
 class MacroProgram(NamedTuple):
@@ -260,7 +263,7 @@ class MacroExecutor:
                 self.engine.select(flag, s.tab, st_in.tab),
                 jnp.where(m3, s.x_frames, st_in.x_frames),
                 jnp.where(m3, s.z_frames, st_in.z_frames),
-                st_in.votes, st_in.memory, s.key,
+                st_in.votes, st_in.memory, s.key, st_in.prep_fail,
             )
             flag = jnp.where(flag.astype(bool), new_flag, flag)
             return committed, flag, attempts + 1
@@ -270,8 +273,11 @@ class MacroExecutor:
             return jnp.any(flag.astype(bool)) & (attempts < self.max_prep_attempts)
 
         flag0 = jnp.ones((batch,), dtype=jnp.uint8)
-        st, _, _ = jax.lax.while_loop(cond, body, (st, flag0, jnp.int32(0)))
-        return st
+        st, flag, _ = jax.lax.while_loop(cond, body, (st, flag0, jnp.int32(0)))
+        # Samples still flagged here carry a preparation that never passed
+        # verification (the reference loops unboundedly — css_code.py:314-366;
+        # a traced program needs a bound). Record rather than silently commit.
+        return st._replace(prep_fail=st.prep_fail | flag)
 
     def _ec_one(self, st: MachineState, b) -> MachineState:
         """Steane EC on block b with the shared ancilla pair
@@ -400,6 +406,7 @@ class MacroExecutor:
             votes=jnp.zeros((batch, self.trials), dtype=jnp.uint8),
             memory=jnp.zeros((batch, macro.memory_size), dtype=jnp.uint8),
             key=key,
+            prep_fail=jnp.zeros((batch,), dtype=jnp.uint8),
         )
         bodies = [
             self._op_prep_zero,

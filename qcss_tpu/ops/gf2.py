@@ -9,7 +9,7 @@ reduction and the exact contents of syndrome lookup tables.
 All matrices are numpy arrays over {0,1}; arithmetic is XOR.
 """
 
-from itertools import combinations
+from itertools import combinations, islice
 
 import numpy as np
 
@@ -204,23 +204,35 @@ def syndrome_table(parity_check, max_weight: int | None = None):
 
     table: dict[int, np.ndarray] = {}
     for w in range(limit + 1):
-        # Enumerate all weight-w errors as one batch and compute their
-        # syndromes in a single mod-2 matmul (the reference does a Python
+        # Enumerate weight-w errors in bounded chunks and compute each
+        # chunk's syndromes in one mod-2 matmul (the reference does a Python
         # loop with one matmul per error — reference: css_code.py:724-732).
-        supports = list(combinations(range(n), w))
+        # Chunking keeps peak memory bounded for large C(n, w) while
+        # preserving the reference's enumeration (and collision-stop) order.
+        w_table: dict[int, np.ndarray] = {}
+        for errs in _weight_w_chunks(n, w):
+            syndromes = (errs.astype(np.int64) @ parity_check.T.astype(np.int64)) & 1
+            for row in range(errs.shape[0]):
+                key = vec_to_int(syndromes[row])
+                if key in table or key in w_table:
+                    return w - 1, table
+                w_table[key] = errs[row]
+        table.update(w_table)
+    return limit, table
+
+
+def _weight_w_chunks(n: int, w: int, chunk: int = 1 << 20):
+    """Yield all weight-w error vectors on n bits as [<=chunk, n] uint8
+    blocks, in `itertools.combinations` order."""
+    it = combinations(range(n), w)
+    while True:
+        supports = list(islice(it, chunk))
+        if not supports:
+            return
         errs = np.zeros((len(supports), n), dtype=np.uint8)
         for row, support in enumerate(supports):
             errs[row, list(support)] = 1
-        syndromes = (errs.astype(np.int64) @ parity_check.T.astype(np.int64)) & 1
-
-        w_table: dict[int, np.ndarray] = {}
-        for row in range(errs.shape[0]):
-            key = vec_to_int(syndromes[row])
-            if key in table or key in w_table:
-                return w - 1, table
-            w_table[key] = errs[row]
-        table.update(w_table)
-    return limit, table
+        yield errs
 
 
 def min_weight_table(parity_check, max_weight: int) -> dict[int, np.ndarray]:
@@ -243,15 +255,12 @@ def min_weight_table(parity_check, max_weight: int) -> dict[int, np.ndarray]:
 
     table: dict[int, np.ndarray] = {}
     for w in range(min(max_weight, n) + 1):
-        supports = list(combinations(range(n), w))
-        errs = np.zeros((len(supports), n), dtype=np.uint8)
-        for row, support in enumerate(supports):
-            errs[row, list(support)] = 1
-        syndromes = (errs.astype(np.int64) @ parity_check.T.astype(np.int64)) & 1
-        for row in range(errs.shape[0]):
-            key = vec_to_int(syndromes[row])
-            if key not in table:
-                table[key] = errs[row]
+        for errs in _weight_w_chunks(n, w):
+            syndromes = (errs.astype(np.int64) @ parity_check.T.astype(np.int64)) & 1
+            for row in range(errs.shape[0]):
+                key = vec_to_int(syndromes[row])
+                if key not in table:
+                    table[key] = errs[row]
     return table
 
 

@@ -20,9 +20,21 @@ from qcss_tpu.decode.montecarlo import decode_failures, sample_depolarizing
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    """A 1-D mesh over the first ``n_devices`` local devices."""
+    """A 1-D mesh over the first ``n_devices`` local devices.
+
+    Raises if fewer than ``n_devices`` devices exist — silently returning a
+    smaller mesh once produced sharded programs that ran un-parallelized
+    (and an assertion failure downstream); see tests/conftest.py for how to
+    provision virtual CPU devices.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) exist; provision virtual CPU "
+                "devices (jax_num_cpu_devices) or request fewer"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

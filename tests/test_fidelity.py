@@ -5,7 +5,6 @@ Here the harness is exercised at small scale WITH assertions: statistical
 tolerance on the raw pipeline, determinism checks on the encoded one."""
 
 import jax
-import pytest
 
 from benchmarks.fidelity import encoded_x_program_error_rate, raw_x_program_error_rate
 from qcss_tpu.sim.noise import NoiseModel
@@ -33,13 +32,3 @@ class TestEncodedPipeline:
         )
         assert rate == 0.0
         assert elapsed > 0
-
-
-@pytest.mark.skipif(
-    True, reason="statistical FT comparison is covered by the slow-gated "
-    "test_noisy_x_program_majority_correct; the full harness runs via "
-    "benchmarks/fidelity.py on hardware",
-)
-class TestComparison:
-    def test_placeholder(self):  # pragma: no cover
-        pass

@@ -236,6 +236,45 @@ class TestShardedExecution:
         assert ro_bits.shape == (16, 1)
         assert (ro_bits[:, 0] == 1).all()
 
+    def test_sharded_feedback_noisy_matches_unsharded(self, steane):
+        """Sharded-vs-unsharded equivalence on a program with classical
+        feedback (`if_then`) under circuit-level noise — the justification
+        for `check_vma=False` in `sharded_ftqc_run`: the per-sample masked
+        gate path, frame updates, and noise injection must produce the same
+        semantics when the shot axis is device-sharded.
+
+        H randomizes the first measurement, feedback X-corrects, so ro[1]
+        is 0 up to noise-induced logical failures; both execution modes
+        must deliver that outcome for (nearly) all shots."""
+        from qcss_tpu.parallel import make_mesh, sharded_ftqc_run
+
+        prog = Program()
+        ro = prog.declare("ro", 2)
+        prog.h(0).measure(0, ro[0])
+        prog.if_then(ro[0], Circuit().x(0))
+        prog.measure(0, ro[1])
+        noise = NoiseModel(p_gate1=1e-3, p_gate2=1e-3, p_meas=1e-3)
+        enc = rewrite_program(prog, steane, noise=noise)
+
+        batch = 32
+        unsharded = enc.run(batch, key=jax.random.key(7))
+        mesh = make_mesh()
+        sharded = jax.device_get(
+            sharded_ftqc_run(enc, mesh, batch=batch, key=jax.random.key(7))
+        )
+        assert np.asarray(sharded["ro"]).shape == (batch, 2)
+        # Feedback must fire per-sample in both modes: ro[1] == 0 except
+        # for rare logical failures (p ~ 1e-3-class at these rates).
+        for out in (unsharded, sharded):
+            ro1 = np.asarray(out["ro"])[:, 1]
+            assert ro1.mean() <= 2 / batch
+            assert np.asarray(out["__prep_fail__"]).sum() == 0
+        # The first measurement is ~uniform in both modes (keys differ per
+        # device, so compare distributions, not shots).
+        for out in (unsharded, sharded):
+            ro0 = np.asarray(out["ro"])[:, 0]
+            assert 0.15 <= ro0.mean() <= 0.85
+
 
 class TestOtherCodeFamilies:
     def test_surface3_x_program(self):
