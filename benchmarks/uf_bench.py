@@ -1,0 +1,115 @@
+"""Union-find decoder benchmark: threshold curves + decode throughput.
+
+Prints JSON lines:
+  {"bench": "uf_threshold_curve", "curve": {d: {p: word_fail}}, ...}
+  {"bench": "uf_decode_throughput", "d": 11, "shots_per_sec": ...}
+  {"bench": "uf_spacetime_memory", "d": 5, "rounds": 5, ...}
+
+The decoder is a threaded host kernel (`native/uf_decoder.cc`); syndromes
+come from the batched device sampler. The reported shots/s is decoder
+throughput (the host side is the bottleneck by design — device syndrome
+extraction runs at Gsamples/s, see benchmarks/syndrome_sweep.py).
+
+Run on the CPU backend by default: the metric is host-decoder-bound, and
+the per-distance device compiles through the TPU tunnel would dominate
+wall time. Pass --tpu to sample on the real chip instead.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true", help="sample on the real chip")
+    ap.add_argument("--samples", type=int, default=1 << 15)
+    ap.add_argument("--dmax", type=int, default=11)
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from qcss_tpu.codes import families
+    from qcss_tpu.decode.uf import (
+        UFDecoder,
+        graph_from_checks,
+        uf_logical_error_rate,
+    )
+
+    distances = [d for d in (3, 5, 7, 9, 11) if d <= args.dmax]
+    ps = [0.06, 0.08, 0.10, 0.12, 0.14, 0.16]
+
+    curve: dict[int, dict[float, float]] = {}
+    t0 = time.perf_counter()
+    for d in distances:
+        code = families.rotated_surface(d)
+        curve[d] = {}
+        for p in ps:
+            r = uf_logical_error_rate(
+                code, p, samples=args.samples, batch=args.samples, seed=d * 100
+            )
+            curve[d][p] = r["word_fail"]
+    elapsed = time.perf_counter() - t0
+    # threshold bracket: largest p where the max distance still beats d=3
+    dmax = distances[-1]
+    below = [p for p in ps if curve[dmax][p] < curve[3][p]]
+    print(json.dumps({
+        "bench": "uf_threshold_curve",
+        "noise": "code-capacity depolarizing",
+        "samples_per_point": args.samples,
+        "curve": {str(d): {str(p): v for p, v in c.items()} for d, c in curve.items()},
+        "crossing_below_p": max(below) if below else None,
+        "elapsed_s": round(elapsed, 1),
+    }))
+
+    # decode throughput (X sector), native threads
+    for d in (7, 11):
+        if d > args.dmax:
+            continue
+        code = families.rotated_surface(d)
+        h = code.raw_parity_check_c2
+        dec = UFDecoder(graph_from_checks(h, code.z_operator_matrix()))
+        rng = np.random.default_rng(0)
+        B = 1 << 16
+        errs = (rng.random((B, code.n)) < 0.05).astype(np.uint8)
+        syn = ((errs.astype(np.int64) @ h.T.astype(np.int64)) & 1).astype(np.uint8)
+        dec.decode_batch(syn[:2048], want_corrections=False)  # warm/build
+        t0 = time.perf_counter()
+        dec.decode_batch(syn, want_corrections=False)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "bench": "uf_decode_throughput", "d": d, "p": 0.05,
+            "shots_per_sec": round(B / dt),
+            "us_per_shot": round(dt * 1e6 / B, 2),
+            "threads": min(os.cpu_count() or 1, 16),
+        }))
+
+    # spacetime memory experiment, surface d=5
+    from qcss_tpu.experiments.memory import z_memory_experiment
+    from qcss_tpu.sim.noise import NoiseModel
+
+    code = families.rotated_surface(5)
+    noise = NoiseModel(p_gate2=1e-3, p_meas=5e-3)
+    t0 = time.perf_counter()
+    r = z_memory_experiment(code, rounds=5, noise=noise, batch=1 << 12,
+                            decoder="uf")
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "bench": "uf_spacetime_memory", "d": 5, "rounds": 5,
+        "p_gate2": 1e-3, "p_meas": 5e-3,
+        "logical_fail": r["logical_fail"],
+        "shots_per_sec": round((1 << 12) / dt),
+    }))
+
+
+if __name__ == "__main__":
+    main()

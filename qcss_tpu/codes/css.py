@@ -84,12 +84,21 @@ class CSSCode(QECC):
         # H_2 -> [D I E] (identity at column r_1); every column (= qubit)
         # swap in one matrix is mirrored into the other
         # (reference: css_code.py:51-61).
+        # The pre-row-reduction checks are kept (with the same qubit
+        # relabeling) as raw_parity_check_c*: row reduction destroys check
+        # locality, which matching decoders (`decode.uf`) rely on.
+        raw_1 = h_1.copy()
+        raw_2 = h_2.copy()
         h_1, swaps = gf2.normalize_parity_check(h_1, offset=0)
         for i, j in swaps:
             gf2.swap_columns(h_2, i, j)
+            gf2.swap_columns(raw_1, i, j)
+            gf2.swap_columns(raw_2, i, j)
         h_2, swaps = gf2.normalize_parity_check(h_2, offset=r_1)
         for i, j in swaps:
             gf2.swap_columns(h_1, i, j)
+            gf2.swap_columns(raw_1, i, j)
+            gf2.swap_columns(raw_2, i, j)
 
         self._n = n_1
         self._k = n_1 - r_1 - r_2
@@ -97,6 +106,8 @@ class CSSCode(QECC):
         self.r_2 = r_2
         self.parity_check_c1 = h_1
         self.parity_check_c2 = h_2
+        self.raw_parity_check_c1 = raw_1
+        self.raw_parity_check_c2 = raw_2
 
         if t is not None and max_table_weight == 0:
             self._t = t

@@ -17,9 +17,29 @@ from qcss_tpu.decode.montecarlo import (
 )
 from qcss_tpu.decode.sweep import error_rate_curve
 from qcss_tpu.decode.multiround import multiround_error_rate
+from qcss_tpu.decode.uf import (
+    MatchingGraph,
+    UFDecoder,
+    graph_from_checks,
+    spacetime_graph,
+    uf_logical_error_rate,
+)
+from qcss_tpu.decode.spacetime import (
+    detector_history,
+    spacetime_check_matrix,
+    spacetime_correction_lut,
+)
 from qcss_tpu.decode import classical
 
 __all__ = [
+    "MatchingGraph",
+    "UFDecoder",
+    "graph_from_checks",
+    "spacetime_graph",
+    "uf_logical_error_rate",
+    "detector_history",
+    "spacetime_check_matrix",
+    "spacetime_correction_lut",
     "decode_corrections",
     "correct_errors",
     "detect_errors",

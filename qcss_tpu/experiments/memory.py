@@ -6,13 +6,20 @@ circuit (one ancilla per Z-type check, transversal CNOTs data→ancilla,
 ancilla measurement + reset) under circuit-level Pauli noise, then read the
 data out and decode.
 
-Decoding here is the simple temporal-majority scheme: each syndrome bit is
-majority-voted across the R (odd) rounds before one LUT decode — sound in
-the regime where at most one data error occurs during the experiment
-(syndrome noise is suppressed by the vote; the single data error's syndrome
-wins the vote once it has occurred in more than half the rounds).
-Space-time (matching) decoding is a round-2+ item; this module provides the
-experiment harness it will plug into.
+Four decoders, weakest to strongest:
+
+* ``'vote'`` — temporal majority per syndrome bit, one LUT decode. Sound
+  only while at most one data error occurs across the whole experiment.
+* ``'difference'`` — per-round detection events decoded independently,
+  corrections XORed. Handles accumulating data errors but mis-pairs a data
+  error coinciding with a measurement error.
+* ``'stlut'`` — minimum-weight decode over the full SPACETIME fault set
+  (`decode.spacetime`), evaluated on device as one gather. The proper
+  detector-history decoder for small codes (incl. non-matchable ones like
+  Steane) while (R+1)·r detector bits stay LUT-sized.
+* ``'uf'`` — union-find on the 3D spacetime matching graph
+  (`decode.uf.spacetime_graph`), host-native; matchable codes (surface,
+  toric, repetition) at any distance and round count.
 
 Only X-type data errors matter for a Z-basis memory (Z errors commute with
 the readout), so only the Z-check sector is extracted.
@@ -29,63 +36,38 @@ import numpy as np
 from qcss_tpu.circuits.ir import Circuit
 from qcss_tpu.decode.lut import decode_corrections
 from qcss_tpu.decode.multiround import vote_syndromes
+from qcss_tpu.decode.spacetime import detector_history, spacetime_correction_lut
 from qcss_tpu.ops import gf2_jax
 from qcss_tpu.sim import noise as noise_mod
 from qcss_tpu.sim import tableau as tb
 
 
-def z_extraction_circuit(code, data_offset: int = 0, anc_offset: int | None = None) -> Circuit:
+def z_extraction_circuit(code, data_offset: int = 0, anc_offset: int | None = None,
+                         checks: np.ndarray | None = None) -> Circuit:
     """One round of Z-check syndrome extraction: CNOT(data_j -> anc_i) for
     every 1 in row i of the Z-check matrix (ancilla i measures stabilizer
-    Z-row i when read in the Z basis after the CNOT fan-in)."""
+    Z-row i when read in the Z basis after the CNOT fan-in).
+
+    ``checks`` defaults to the standard-form matrix (LUT decoders key on
+    it); the union-find path passes ``code.raw_parity_check_c2`` because
+    matching needs the local, pre-row-reduction stabilizers."""
+    checks = code.parity_check_c2 if checks is None else np.asarray(checks)
     n = code.n
     anc_offset = n if anc_offset is None else anc_offset
     circ = Circuit()
-    for i in range(code.r_2):
-        for j in np.nonzero(code.parity_check_c2[i])[0]:
+    for i in range(checks.shape[0]):
+        for j in np.nonzero(checks[i])[0]:
             circ.cnot(data_offset + int(j), anc_offset + i)
     return circ
 
 
-def _decode_vote(syns, word, dev):
-    """Temporal-majority decoding: vote each syndrome bit across rounds,
-    one LUT decode. Sound for at most one data error over the experiment."""
-    voted = vote_syndromes(syns)
-    return decode_corrections(voted, dev.lut_c2)
-
-
-def _decode_difference(syns, word, dev):
-    """Difference-syndrome decoding: decode each round's NEW detection
-    events (syn[r] ^ syn[r-1]) independently and XOR the corrections.
-
-    A data error arising in round r appears in exactly one difference and
-    is corrected once; a measurement error at round r flips differences r
-    and r+1, so its two (identical, deterministic-LUT) corrections cancel
-    under XOR. The final readout supplies the exact end syndrome, closing
-    the last difference window. The standard phenomenological scheme the
-    temporal vote approximates only for static errors.
-    """
-    rounds = syns.shape[0]
-    prev = jnp.zeros_like(syns[0])
-    corr = jnp.zeros((word.shape[0], word.shape[1]), jnp.uint8)
-    for r in range(rounds):  # static unroll; rounds is small
-        diff = syns[r] ^ prev
-        corr = corr ^ decode_corrections(diff, dev.lut_c2)
-        prev = syns[r]
-    final_syn = gf2_jax.syndromes_dense(word, dev.h2)
-    corr = corr ^ decode_corrections(final_syn ^ prev, dev.lut_c2)
-    return corr
-
-
-_DECODERS = {"vote": _decode_vote, "difference": _decode_difference}
-
-
-def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
-                 decoder="vote"):
-    n, r2 = code.n, code.r_2
-    dev = code.device
-    n_qubits = n + r2
-    anc = jnp.arange(n, n + r2, dtype=jnp.int32)
+def _memory_circuit(key, batch, rounds, code, noise, prep_arrays,
+                    extract_arrays, n_anc):
+    """The physics: noiseless |0̄⟩ prep, R noisy extraction rounds, perfect
+    final readout. Returns (syns [R, B, n_anc], word [B, n])."""
+    n = code.n
+    n_qubits = n + n_anc
+    anc = jnp.arange(n, n + n_anc, dtype=jnp.int32)
     data = jnp.arange(n, dtype=jnp.int32)
 
     t = tb.zero_state(batch, n_qubits)
@@ -107,61 +89,139 @@ def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
         return t, syn
 
     keys = jax.random.split(key, rounds + 1)
-    t, syns = jax.lax.scan(round_body, t, keys[:rounds])  # [R, B, r2]
+    t, syns = jax.lax.scan(round_body, t, keys[:rounds])  # [R, B, n_anc]
 
     # Perfect readout round.
     t, word = tb.measure_many(t, data, keys[rounds])  # [B, n]
+    return syns, word
 
-    corr = _DECODERS[decoder](syns, word, dev)
+
+def _decode_vote(syns, word, dev):
+    """Temporal-majority decoding: vote each syndrome bit across rounds,
+    one LUT decode. Sound for at most one data error over the experiment."""
+    voted = vote_syndromes(syns)
+    return decode_corrections(voted, dev.lut_c2)
+
+
+def _decode_difference(syns, word, dev):
+    """Difference-syndrome decoding: decode each round's NEW detection
+    events (syn[r] ^ syn[r-1]) independently and XOR the corrections.
+
+    A data error arising in round r appears in exactly one difference and
+    is corrected once; a measurement error at round r flips differences r
+    and r+1, so its two (identical, deterministic-LUT) corrections cancel
+    under XOR. The final readout supplies the exact end syndrome, closing
+    the last difference window. The phenomenological scheme the temporal
+    vote approximates only for static errors; dominated by 'stlut'/'uf'.
+    """
+    rounds = syns.shape[0]
+    prev = jnp.zeros_like(syns[0])
+    corr = jnp.zeros((word.shape[0], word.shape[1]), jnp.uint8)
+    for r in range(rounds):  # static unroll; rounds is small
+        diff = syns[r] ^ prev
+        corr = corr ^ decode_corrections(diff, dev.lut_c2)
+        prev = syns[r]
+    final_syn = gf2_jax.syndromes_dense(word, dev.h2)
+    corr = corr ^ decode_corrections(final_syn ^ prev, dev.lut_c2)
+    return corr
+
+
+_DEVICE_DECODERS = ("vote", "difference", "stlut")
+_DECODERS = _DEVICE_DECODERS + ("uf",)
+
+
+def _count_failures(word, corr, code):
+    """Shared logical/residual accounting; works on jax or numpy arrays."""
+    dev = code.device
     corrected = word ^ corr
-    zbar = dev.logical_z[0]
-    outcome = (
-        jnp.sum(corrected.astype(jnp.int32) * zbar.astype(jnp.int32), axis=-1) & 1
-    ).astype(jnp.uint8)
-    # Residual stabilizer violations in the corrected word flag decode
-    # failures that did not flip the logical (for diagnostics).
-    resid_syn = gf2_jax.syndromes_dense(corrected, dev.h2)
+    zbar = np.asarray(dev.logical_z[0]) if isinstance(word, np.ndarray) else dev.logical_z[0]
+    outcome = (corrected.astype("int32") * zbar.astype("int32")).sum(axis=-1) & 1
+    if isinstance(word, np.ndarray):
+        resid = (corrected.astype(np.int64) @ np.asarray(code.raw_parity_check_c2).T.astype(np.int64)) & 1
+        return {
+            "logical_fail": int(outcome.sum()),
+            "residual_syndrome": int((resid == 1).any(axis=-1).sum()),
+        }
+    resid = gf2_jax.syndromes_dense(corrected, dev.h2)
     return {
-        "logical_fail": jnp.sum(outcome, dtype=jnp.int32),
-        "residual_syndrome": jnp.sum(
-            jnp.any(resid_syn == 1, axis=-1), dtype=jnp.int32
-        ),
+        "logical_fail": jnp.sum(outcome.astype(jnp.int32), dtype=jnp.int32),
+        "residual_syndrome": jnp.sum(jnp.any(resid == 1, axis=-1), dtype=jnp.int32),
     }
+
+
+def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
+                 decoder="vote", stlut=None):
+    dev = code.device
+    syns, word = _memory_circuit(
+        key, batch, rounds, code, noise, prep_arrays, extract_arrays,
+        n_anc=code.parity_check_c2.shape[0],
+    )
+    if decoder == "stlut":
+        final_syn = gf2_jax.syndromes_dense(word, dev.h2)
+        dets = detector_history(syns, final_syn)
+        corr = jnp.take(stlut, gf2_jax.bits_to_index(dets), axis=0)
+    else:
+        corr = {"vote": _decode_vote, "difference": _decode_difference}[decoder](
+            syns, word, dev
+        )
+    return _count_failures(word, corr, code)
 
 
 def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
                         batch: int = 1 << 12, seed: int = 0,
-                        decoder: str = "vote") -> dict[str, float]:
+                        decoder: str = "vote",
+                        stlut_max_weight: int = 4,
+                        n_threads: int | None = None) -> dict[str, float]:
     """Run the logical-Z memory experiment; returns failure rates.
 
-    decoder:
-      'vote' (default) — temporal majority per syndrome bit; strongest when
-      at most one data error occurs during the experiment (it averages away
-      measurement noise), weak when data errors accumulate across rounds.
-      'difference' — decode per-round detection events and XOR corrections;
-      handles data errors arising in any round and always returns a valid
-      codeword (zero residual syndrome), but mis-pairs a data error that
-      coincides with a measurement error in the same round.
-    Measured (Steane, p_gate2=1e-3, p_meas=1e-2, 3 rounds): vote 0.59%,
-    difference 0.94% logical failure — true spacetime matching (round 2)
-    dominates both.
+    Measured (Steane, p_gate2=1e-3, p_meas=1e-2, 3 rounds, 2^14 shots):
+    vote 0.59%, difference 0.94%, stlut dominates both (see
+    tests/test_memory_experiment.py and benchmarks/memory_bench.py).
+    For surface codes at scale use decoder='uf' (any distance/rounds).
     """
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
     if decoder == "vote" and rounds % 2 == 0:
         raise ValueError("rounds must be odd for the temporal vote")
-    if code.device.lut_c2 is None:
+    # Materialize the cached device arrays OUTSIDE any jit trace — building
+    # them inside a trace turns the cached constants into tracers.
+    dev = code.device
+    if decoder in ("vote", "difference") and dev.lut_c2 is None:
         raise ValueError("code has no C2 LUT; pass max_table_weight")
     prep_arrays = tuple(map(jnp.asarray, code.noisy_encode_zero().to_arrays()))
-    extract_arrays = tuple(map(jnp.asarray, z_extraction_circuit(code).to_arrays()))
 
-    fn = jax.jit(
-        partial(_memory_body, code=code, noise=noise,
-                prep_arrays=prep_arrays, extract_arrays=extract_arrays,
-                decoder=decoder),
-        static_argnames=("batch", "rounds"),
-    )
-    counts = fn(jax.random.key(seed), batch, rounds)
+    if decoder == "uf":
+        from qcss_tpu.decode.uf import UFDecoder, spacetime_graph
+
+        h2_raw = code.raw_parity_check_c2
+        extract_arrays = tuple(map(jnp.asarray, z_extraction_circuit(
+            code, checks=h2_raw).to_arrays()))
+        circuit_fn = jax.jit(
+            partial(_memory_circuit, code=code, noise=noise,
+                    prep_arrays=prep_arrays, extract_arrays=extract_arrays,
+                    n_anc=h2_raw.shape[0]),
+            static_argnames=("batch", "rounds"),
+        )
+        syns, word = circuit_fn(jax.random.key(seed), batch, rounds)
+        syns, word = np.asarray(syns), np.asarray(word)
+        final_syn = (word.astype(np.int64) @ h2_raw.T.astype(np.int64)) & 1
+        dets = detector_history(syns, final_syn.astype(np.uint8))
+        graph = spacetime_graph(h2_raw, code.z_operator_matrix(), rounds)
+        corr, _ = UFDecoder(graph).decode_batch(dets, n_threads=n_threads)
+        counts = _count_failures(word, corr, code)
+    else:
+        stlut = None
+        if decoder == "stlut":
+            stlut = jnp.asarray(spacetime_correction_lut(
+                code.parity_check_c2, rounds, stlut_max_weight))
+        extract_arrays = tuple(map(jnp.asarray, z_extraction_circuit(code).to_arrays()))
+        fn = jax.jit(
+            partial(_memory_body, code=code, noise=noise,
+                    prep_arrays=prep_arrays, extract_arrays=extract_arrays,
+                    decoder=decoder, stlut=stlut),
+            static_argnames=("batch", "rounds"),
+        )
+        counts = fn(jax.random.key(seed), batch, rounds)
     return {
         "logical_fail": int(counts["logical_fail"]) / batch,
         "residual_syndrome": int(counts["residual_syndrome"]) / batch,

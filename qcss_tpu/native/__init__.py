@@ -18,7 +18,10 @@ import tempfile
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "syndrome_table.cc")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "syndrome_table.cc"),
+    os.path.join(os.path.dirname(__file__), "uf_decoder.cc"),
+]
 _LIB_NAME = "libqcss.so"
 _lib = None
 _load_attempted = False
@@ -42,19 +45,21 @@ def _try_load() -> ctypes.CDLL | None:
         os.path.join(os.path.dirname(__file__), _LIB_NAME),
         os.path.join(_build_dir(), _LIB_NAME),
     ]
+    src_mtime = max(os.path.getmtime(s) for s in _SRCS)
     for path in candidates:
-        if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(_SRC):
+        if os.path.exists(path) and os.path.getmtime(path) >= src_mtime:
             try:
                 _lib = _bind(ctypes.CDLL(path))
                 return _lib
-            except OSError:
+            except (OSError, AttributeError):
                 pass
 
     # Build into the cache dir.
     out_dir = _build_dir()
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, _LIB_NAME)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", out]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           *_SRCS, "-o", out, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         _lib = _bind(ctypes.CDLL(out))
@@ -75,6 +80,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.qcss_rref.restype = ctypes.c_int32
     lib.qcss_rref.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.qcss_uf_decode_batch.restype = ctypes.c_int32
+    lib.qcss_uf_decode_batch.argtypes = [
+        i32p, i32p, u32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u8p, ctypes.c_int64,
+        ctypes.c_void_p,  # corrections (nullable)
+        u32p, ctypes.c_int32,
+    ]
     return lib
 
 
@@ -118,6 +133,45 @@ def syndrome_table_native(
     else:
         keys = (syn_hi[:k].astype(object) << 64) | syn_lo[:k].astype(object)
     return t_out.value, [int(s) for s in keys], errors[:k].copy()
+
+
+def uf_decode_batch_native(
+    edges: np.ndarray,
+    edge_qubit: np.ndarray,
+    edge_obs: np.ndarray,
+    num_nodes: int,
+    n_qubits: int,
+    syndromes: np.ndarray,
+    want_corrections: bool = True,
+    n_threads: int | None = None,
+):
+    """Batched union-find decode (see `uf_decoder.cc`). Returns
+    (corrections [B, n_qubits] uint8 or None, obs_flips [B] uint32), or
+    None if the native library is unavailable."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    edges = np.ascontiguousarray(edges, dtype=np.int32)
+    edge_qubit = np.ascontiguousarray(edge_qubit, dtype=np.int32)
+    edge_obs = np.ascontiguousarray(edge_obs, dtype=np.uint32)
+    syndromes = np.ascontiguousarray(syndromes, dtype=np.uint8)
+    batch = syndromes.shape[0]
+    if syndromes.shape[1] != num_nodes:
+        raise ValueError("syndromes second axis must equal num_nodes")
+    corr = np.zeros((batch, n_qubits), dtype=np.uint8) if want_corrections else None
+    obs = np.zeros(batch, dtype=np.uint32)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.qcss_uf_decode_batch(
+        edges.reshape(-1), edge_qubit, edge_obs,
+        np.int32(num_nodes), np.int32(edges.shape[0]), np.int32(n_qubits),
+        syndromes.reshape(-1), np.int64(batch),
+        None if corr is None else corr.ctypes.data_as(ctypes.c_void_p),
+        obs, np.int32(n_threads),
+    )
+    if rc != 0:
+        return None
+    return corr, obs
 
 
 def rref_native(mat: np.ndarray):

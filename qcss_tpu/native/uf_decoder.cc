@@ -1,0 +1,275 @@
+// Batched union-find decoder for matchable codes (surface/toric/repetition),
+// host-native. The reference has no decoder beyond dense syndrome LUTs
+// (reference: css_code.py:649-735), which cap out near 2^14 syndromes; this
+// kernel decodes arbitrary-distance matching graphs — including 3D
+// spacetime graphs for multi-round memory experiments — at millions of
+// shots per second across host threads, while syndromes are produced on
+// the TPU.
+//
+// Algorithm: Delfosse-Nickerson union-find ("Almost-linear time decoding
+// algorithm for topological codes", arXiv:1709.06218): grow clusters of
+// half-edges around odd-parity defects, union on contact, stop clusters
+// that become even or touch a boundary; then peel a spanning forest of the
+// grown subgraph leaf-first, emitting an edge into the correction whenever
+// the leaf carries a defect.
+//
+// Graph encoding (shared with the Python fallback in qcss_tpu/decode/uf.py):
+//   edges      [E,2] int32 detector indices, -1 encodes the boundary
+//   edge_qubit [E]   int32 data-qubit flipped by this edge (-1: none, e.g.
+//                    measurement-error edges in spacetime graphs)
+//   edge_obs   [E]   uint32 bitmask of logical observables the edge flips
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <utility>
+#include <vector>
+
+namespace {
+
+struct Graph {
+  const int32_t* edges;
+  const int32_t* edge_qubit;
+  const uint32_t* edge_obs;
+  int32_t num_nodes;  // real detectors; the virtual boundary is node num_nodes
+  int32_t num_edges;
+  int32_t n_qubits;
+};
+
+struct Scratch {
+  // union-find state over num_nodes + 1 vertices (last = boundary)
+  std::vector<int32_t> parent;
+  std::vector<int8_t> rnk;
+  std::vector<uint8_t> parity;    // defect count mod 2 per root
+  std::vector<uint8_t> boundary;  // root touches the boundary
+  std::vector<uint8_t> support;   // per-edge growth in {0,1,2}
+  std::vector<uint8_t> defect;    // per-vertex defect for peeling
+  // adjacency over grown edges, rebuilt per shot
+  std::vector<int32_t> head;      // per-vertex list head (edge slot index)
+  std::vector<int32_t> nxt;       // [2E] next slot
+  std::vector<int32_t> slot_to;   // [2E] target vertex
+  std::vector<int32_t> slot_edge; // [2E] edge id
+  // forest order
+  std::vector<int32_t> order;        // visit order (vertices)
+  std::vector<int32_t> parent_vert;  // per-vertex forest parent (-2 root)
+  std::vector<int32_t> parent_edge;  // per-vertex forest parent edge
+  std::vector<uint8_t> visited;
+
+  void init(const Graph& g) {
+    int32_t nv = g.num_nodes + 1;
+    parent.resize(nv);
+    rnk.resize(nv);
+    parity.resize(nv);
+    boundary.resize(nv);
+    support.resize(g.num_edges);
+    defect.resize(nv);
+    head.resize(nv);
+    nxt.resize(2 * (size_t)g.num_edges);
+    slot_to.resize(2 * (size_t)g.num_edges);
+    slot_edge.resize(2 * (size_t)g.num_edges);
+    order.reserve(nv);
+    parent_vert.resize(nv);
+    parent_edge.resize(nv);
+    visited.resize(nv);
+  }
+
+  int32_t find(int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  }
+
+  // Union two roots, merging defect parity and boundary contact.
+  int32_t unite(int32_t a, int32_t b) {
+    if (a == b) return a;
+    if (rnk[a] < rnk[b]) std::swap(a, b);
+    parent[b] = a;
+    parity[a] ^= parity[b];
+    boundary[a] |= boundary[b];
+    if (rnk[a] == rnk[b]) rnk[a]++;
+    return a;
+  }
+};
+
+inline bool cluster_active(Scratch& s, int32_t root) {
+  return s.parity[root] && !s.boundary[root];
+}
+
+void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
+                uint32_t* obs_out, Scratch& s) {
+  const int32_t N = g.num_nodes;
+  const int32_t B = N;  // virtual boundary vertex
+
+  int32_t n_defects = 0;
+  for (int32_t i = 0; i < N; ++i) {
+    s.parent[i] = i;
+    s.rnk[i] = 0;
+    s.parity[i] = syn[i] & 1;
+    s.boundary[i] = 0;
+    s.defect[i] = syn[i] & 1;
+    n_defects += syn[i] & 1;
+  }
+  s.parent[B] = B;
+  s.rnk[B] = 0;
+  s.parity[B] = 0;
+  s.boundary[B] = 1;
+  s.defect[B] = 0;
+
+  uint32_t obs = 0;
+  if (n_defects == 0) {
+    *obs_out = 0;
+    return;
+  }
+
+  std::memset(s.support.data(), 0, g.num_edges);
+
+  // -- growth --------------------------------------------------------------
+  // Canonical simultaneous growth: each round, every edge incident to an
+  // active (odd, boundary-free) cluster grows by one half per active
+  // endpoint, judged against the cluster state at the START of the round
+  // (no unions happen until the round's growth phase is done — sequential
+  // mid-scan merging loses the minimum-weight guarantee). Saturated edges
+  // then merge their endpoint clusters.
+  std::vector<int32_t>& merges = s.order;  // reuse as scratch (ints)
+  while (true) {
+    bool exists_active = false;
+    for (int32_t i = 0; i < N; ++i) {
+      int32_t r = s.find(i);
+      if (cluster_active(s, r)) {
+        exists_active = true;
+        break;
+      }
+    }
+    if (!exists_active) break;
+    bool grew = false;
+    merges.clear();
+    for (int32_t e = 0; e < g.num_edges; ++e) {
+      if (s.support[e] >= 2) continue;
+      int32_t u = g.edges[2 * e];
+      int32_t v = g.edges[2 * e + 1];
+      int32_t ru = s.find(u < 0 ? B : u);
+      int32_t rv = s.find(v < 0 ? B : v);
+      if (ru == rv) continue;
+      int inc = (int)cluster_active(s, ru) + (int)cluster_active(s, rv);
+      if (!inc) continue;
+      grew = true;
+      s.support[e] = (uint8_t)(s.support[e] + inc);
+      if (s.support[e] >= 2) {
+        s.support[e] = 2;
+        merges.push_back(e);
+      }
+    }
+    for (int32_t e : merges) {
+      int32_t u = g.edges[2 * e];
+      int32_t v = g.edges[2 * e + 1];
+      s.unite(s.find(u < 0 ? B : u), s.find(v < 0 ? B : v));
+    }
+    if (!grew) break;  // defensive: disconnected defect with no boundary
+  }
+
+  // -- peeling ---------------------------------------------------------------
+  // Spanning forest of the grown subgraph, rooted at the boundary first so
+  // boundary-touching clusters can discharge their last defect into it.
+  std::fill(s.head.begin(), s.head.end(), -1);
+  int32_t n_slots = 0;
+  for (int32_t e = 0; e < g.num_edges; ++e) {
+    if (s.support[e] != 2) continue;
+    int32_t u = g.edges[2 * e];
+    int32_t v = g.edges[2 * e + 1];
+    int32_t a = u < 0 ? B : u;
+    int32_t b = v < 0 ? B : v;
+    s.slot_to[n_slots] = b;
+    s.slot_edge[n_slots] = e;
+    s.nxt[n_slots] = s.head[a];
+    s.head[a] = n_slots++;
+    s.slot_to[n_slots] = a;
+    s.slot_edge[n_slots] = e;
+    s.nxt[n_slots] = s.head[b];
+    s.head[b] = n_slots++;
+  }
+
+  std::memset(s.visited.data(), 0, N + 1);
+  s.order.clear();
+
+  auto bfs_from = [&](int32_t root) {
+    s.visited[root] = 1;
+    s.parent_vert[root] = -2;
+    s.parent_edge[root] = -1;
+    size_t qhead = s.order.size();
+    s.order.push_back(root);
+    while (qhead < s.order.size()) {
+      int32_t v = s.order[qhead++];
+      for (int32_t slot = s.head[v]; slot >= 0; slot = s.nxt[slot]) {
+        int32_t w = s.slot_to[slot];
+        if (s.visited[w]) continue;
+        s.visited[w] = 1;
+        s.parent_vert[w] = v;
+        s.parent_edge[w] = s.slot_edge[slot];
+        s.order.push_back(w);
+      }
+    }
+  };
+
+  bfs_from(B);
+  for (int32_t i = 0; i < N; ++i)
+    if (!s.visited[i] && s.defect[i]) bfs_from(i);
+
+  // Leaf-first: reverse BFS order. A defect at a leaf selects its parent
+  // edge and hands the defect up; even clusters and boundary-rooted trees
+  // absorb everything.
+  for (size_t idx = s.order.size(); idx-- > 0;) {
+    int32_t v = s.order[idx];
+    if (!s.defect[v] || s.parent_vert[v] < 0) continue;
+    int32_t e = s.parent_edge[v];
+    s.defect[v] = 0;
+    s.defect[s.parent_vert[v]] ^= 1;
+    obs ^= g.edge_obs[e];
+    int32_t q = g.edge_qubit[e];
+    if (corr != nullptr && q >= 0) corr[q] ^= 1;
+  }
+  s.defect[B] = 0;
+  *obs_out = obs;
+}
+
+void decode_range(const Graph& g, const uint8_t* syndromes, int64_t lo,
+                  int64_t hi, uint8_t* corrections, uint32_t* obs_out) {
+  Scratch s;
+  s.init(g);
+  for (int64_t b = lo; b < hi; ++b) {
+    uint8_t* corr = nullptr;
+    if (corrections != nullptr) {
+      corr = corrections + b * (int64_t)g.n_qubits;
+      std::memset(corr, 0, g.n_qubits);
+    }
+    decode_one(g, syndromes + b * (int64_t)g.num_nodes, corr, obs_out + b, s);
+  }
+}
+
+}  // namespace
+
+extern "C" int32_t qcss_uf_decode_batch(
+    const int32_t* edges, const int32_t* edge_qubit, const uint32_t* edge_obs,
+    int32_t num_nodes, int32_t num_edges, int32_t n_qubits,
+    const uint8_t* syndromes, int64_t batch, uint8_t* corrections,
+    uint32_t* obs_out, int32_t n_threads) {
+  if (num_nodes <= 0 || num_edges <= 0 || batch < 0) return 1;
+  Graph g{edges, edge_qubit, edge_obs, num_nodes, num_edges, n_qubits};
+  if (n_threads <= 1 || batch < 2 * n_threads) {
+    decode_range(g, syndromes, 0, batch, corrections, obs_out);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (batch + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min<int64_t>(batch, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(decode_range, g, syndromes, lo, hi, corrections,
+                         obs_out);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}

@@ -1,0 +1,267 @@
+"""Union-find and spacetime decoder tests.
+
+Exactness: UF must correct every error of weight <= t = (d-1)/2 (the
+Delfosse-Nickerson guarantee) and always return a correction consistent
+with the observed syndrome. Differential: the native C++ kernel and the
+pure-Python fallback are bit-identical. Statistical: UF error rates show
+distance suppression below threshold; the spacetime decoders dominate the
+vote/difference stopgaps in the memory experiment."""
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from qcss_tpu import native
+from qcss_tpu.codes import families
+from qcss_tpu.decode.spacetime import (
+    detector_history,
+    spacetime_check_matrix,
+    spacetime_correction_lut,
+)
+from qcss_tpu.decode.uf import (
+    UFDecoder,
+    _decode_batch_py,
+    graph_from_checks,
+    spacetime_graph,
+    uf_logical_error_rate,
+)
+
+
+def _all_errors_up_to(n, t):
+    errs = []
+    for w in range(1, t + 1):
+        for sup in combinations(range(n), w):
+            e = np.zeros(n, np.uint8)
+            e[list(sup)] = 1
+            errs.append(e)
+    return np.asarray(errs)
+
+
+def _repetition_graph(d):
+    h = np.zeros((d - 1, d), np.uint8)
+    for i in range(d - 1):
+        h[i, i] = h[i, i + 1] = 1
+    logical = np.ones((1, d), np.uint8)
+    return h, graph_from_checks(h, logical)
+
+
+class TestGraphConstruction:
+    def test_repetition_graph_shape(self):
+        h, g = _repetition_graph(5)
+        assert g.num_nodes == 4
+        assert g.num_edges == 5  # one edge per qubit
+        # end qubits touch the boundary
+        assert (g.edges == -1).sum() == 2
+
+    def test_surface_graph_uses_raw_checks(self):
+        code = families.rotated_surface(5)
+        g = graph_from_checks(code.raw_parity_check_c2, code.z_operator_matrix())
+        assert g.num_nodes == code.r_2
+        assert g.num_edges == code.n  # every qubit in 1 or 2 Z checks
+
+    def test_standard_form_checks_rejected(self):
+        code = families.steane()
+        with pytest.raises(ValueError, match="not a matchable"):
+            graph_from_checks(code.parity_check_c2, code.z_operator_matrix())
+
+    def test_spacetime_graph_counts(self):
+        code = families.rotated_surface(3)
+        h = code.raw_parity_check_c2
+        r, n = h.shape
+        rounds = 4
+        g = spacetime_graph(h, code.z_operator_matrix(), rounds)
+        assert g.num_nodes == (rounds + 1) * r
+        assert g.num_edges == (rounds + 1) * n + rounds * r
+        # time edges carry no data qubit and flip no observable
+        time_edges = g.edge_qubit == -1
+        assert time_edges.sum() == rounds * r
+        assert (g.edge_obs[time_edges] == 0).all()
+
+
+class TestExactness:
+    @pytest.mark.parametrize("d", [3, 5, 7])
+    def test_corrects_all_weight_t_errors(self, d):
+        code = families.rotated_surface(d)
+        h = code.raw_parity_check_c2
+        lz = code.z_operator_matrix()
+        dec = UFDecoder(graph_from_checks(h, lz))
+        errs = _all_errors_up_to(code.n, (d - 1) // 2)
+        syn = (errs.astype(np.int64) @ h.T.astype(np.int64)) & 1
+        corr, obs = dec.decode_batch(syn.astype(np.uint8))
+        # correction reproduces the syndrome exactly...
+        assert (((corr.astype(np.int64) @ h.T.astype(np.int64)) & 1) == syn).all()
+        # ...and never flips the logical for weight <= t
+        err_par = (errs @ lz[0]) % 2
+        assert (obs == err_par).all()
+
+    def test_syndrome_consistency_random(self):
+        code = families.rotated_surface(7)
+        h = code.raw_parity_check_c2
+        dec = UFDecoder(graph_from_checks(h, code.z_operator_matrix()))
+        rng = np.random.default_rng(3)
+        errs = (rng.random((512, code.n)) < 0.12).astype(np.uint8)
+        syn = ((errs.astype(np.int64) @ h.T.astype(np.int64)) & 1).astype(np.uint8)
+        corr, _ = dec.decode_batch(syn)
+        assert (((corr.astype(np.int64) @ h.T.astype(np.int64)) & 1) == syn).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
+class TestNativeDifferential:
+    @pytest.mark.parametrize("d", [3, 5])
+    def test_native_matches_python(self, d):
+        code = families.rotated_surface(d)
+        h = code.raw_parity_check_c2
+        g = graph_from_checks(h, code.z_operator_matrix())
+        rng = np.random.default_rng(d)
+        errs = (rng.random((256, code.n)) < 0.1).astype(np.uint8)
+        syn = ((errs.astype(np.int64) @ h.T.astype(np.int64)) & 1).astype(np.uint8)
+        corr_py, obs_py = _decode_batch_py(g, syn, True)
+        corr_nat, obs_nat = native.uf_decode_batch_native(
+            g.edges, g.edge_qubit, g.edge_obs, g.num_nodes, g.n_qubits,
+            syn, True, 4,
+        )
+        assert (corr_py == corr_nat).all()
+        assert (obs_py == obs_nat).all()
+
+    def test_native_matches_python_spacetime(self):
+        code = families.rotated_surface(3)
+        h = code.raw_parity_check_c2
+        g = spacetime_graph(h, code.z_operator_matrix(), rounds=3)
+        rng = np.random.default_rng(9)
+        syn = (rng.random((256, g.num_nodes)) < 0.05).astype(np.uint8)
+        corr_py, obs_py = _decode_batch_py(g, syn, True)
+        corr_nat, obs_nat = native.uf_decode_batch_native(
+            g.edges, g.edge_qubit, g.edge_obs, g.num_nodes, g.n_qubits,
+            syn, True, 4,
+        )
+        assert (corr_py == corr_nat).all()
+        assert (obs_py == obs_nat).all()
+
+
+class TestMonteCarlo:
+    def test_zero_noise_zero_failures(self):
+        code = families.rotated_surface(3)
+        r = uf_logical_error_rate(code, 0.0, samples=1 << 10, batch=1 << 10)
+        assert r["word_fail"] == 0.0
+
+    def test_distance_suppression_below_threshold(self):
+        # At p = 0.05 (well below the ~0.13 depolarizing crossing), higher
+        # distance must suppress the logical rate by a wide margin.
+        r3 = uf_logical_error_rate(
+            families.rotated_surface(3), 0.05, samples=1 << 13, batch=1 << 13, seed=1
+        )
+        r7 = uf_logical_error_rate(
+            families.rotated_surface(7), 0.05, samples=1 << 13, batch=1 << 13, seed=2
+        )
+        assert r7["word_fail"] < r3["word_fail"] * 0.7
+
+    def test_agrees_with_lut_at_d3(self):
+        # Same noise, same estimator contract as the LUT path; UF is a
+        # slightly weaker decoder, so its rate may sit a bit above, but
+        # within ~2x at moderate p.
+        from qcss_tpu.decode.montecarlo import logical_error_rate
+
+        code = families.rotated_surface(3, max_table_weight=2, t=1)
+        uf = uf_logical_error_rate(code, 0.06, samples=1 << 13, batch=1 << 13)
+        lut = logical_error_rate(code, 0.06, samples=1 << 13, batch=1 << 13)
+        assert lut["word_fail"] * 0.5 <= uf["word_fail"] <= lut["word_fail"] * 2.5
+
+
+class TestSpacetimeLUT:
+    def test_check_matrix_shapes(self):
+        code = families.steane()
+        h = code.parity_check_c2
+        h_st, fq = spacetime_check_matrix(h, rounds=3)
+        r, n = h.shape
+        assert h_st.shape == (4 * r, 4 * n + 3 * r)
+        assert (fq[: 4 * n] >= 0).all()
+        assert (fq[4 * n :] == -1).all()
+
+    def test_isolated_data_error_decodes_to_qubit(self):
+        code = families.steane()
+        h = code.parity_check_c2
+        r, n = h.shape
+        rounds = 3
+        lut = spacetime_correction_lut(h, rounds, max_weight=2)
+        # data error on qubit j arising in round 1 fires detector slice 1
+        for j in range(n):
+            dets = np.zeros((rounds + 1) * r, np.uint8)
+            dets[1 * r : 2 * r] = h[:, j]
+            from qcss_tpu.ops.gf2 import vec_to_int
+
+            corr = lut[vec_to_int(dets)]
+            expected = np.zeros(n, np.uint8)
+            expected[j] = 1
+            assert (corr == expected).all()
+
+    def test_isolated_measurement_error_decodes_to_nothing(self):
+        code = families.steane()
+        h = code.parity_check_c2
+        r, n = h.shape
+        rounds = 3
+        lut = spacetime_correction_lut(h, rounds, max_weight=2)
+        from qcss_tpu.ops.gf2 import vec_to_int
+
+        for c in range(r):
+            for t in range(rounds):
+                dets = np.zeros((rounds + 1) * r, np.uint8)
+                dets[t * r + c] = 1
+                dets[(t + 1) * r + c] = 1
+                assert (lut[vec_to_int(dets)] == 0).all()
+
+    def test_detector_history_layout(self):
+        rng = np.random.default_rng(0)
+        syns = rng.integers(0, 2, (3, 8, 5)).astype(np.uint8)
+        final = rng.integers(0, 2, (8, 5)).astype(np.uint8)
+        dets = detector_history(syns, final)
+        assert dets.shape == (8, 20)
+        assert (dets[:, :5] == syns[0]).all()
+        assert (dets[:, 5:10] == (syns[1] ^ syns[0])).all()
+        assert (dets[:, 15:] == (final ^ syns[2])).all()
+
+    def test_too_many_detectors_rejected(self):
+        code = families.rotated_surface(5)
+        with pytest.raises(ValueError, match="past LUT range"):
+            spacetime_correction_lut(code.parity_check_c2, rounds=3, max_weight=2)
+
+
+class TestMemoryExperimentDecoders:
+    def test_noiseless_memory_all_decoders_exact(self):
+        from qcss_tpu.experiments.memory import z_memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.steane()
+        surf = families.rotated_surface(3, max_table_weight=2, t=1)
+        for c, dec in ((code, "stlut"), (surf, "uf")):
+            r = z_memory_experiment(
+                c, rounds=3, noise=NoiseModel(), batch=64, decoder=dec
+            )
+            assert r["logical_fail"] == 0.0
+            assert r["residual_syndrome"] == 0.0
+
+    def test_stlut_beats_difference_at_operating_point(self):
+        # The VERDICT operating point: Steane, p_gate2=1e-3, p_meas=1e-2,
+        # 3 rounds. Measured: stlut 0.34%, vote 0.57%, difference 1.09%
+        # (batch 2^13, seed 0) — assert the solid 3x gap to 'difference'.
+        from qcss_tpu.experiments.memory import z_memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.steane()
+        noise = NoiseModel(p_gate2=1e-3, p_meas=1e-2)
+        kw = dict(rounds=3, noise=noise, batch=1 << 13, seed=0)
+        st = z_memory_experiment(code, decoder="stlut", **kw)
+        diff = z_memory_experiment(code, decoder="difference", **kw)
+        assert st["logical_fail"] < diff["logical_fail"]
+        assert st["residual_syndrome"] == 0.0
+
+    def test_uf_memory_beats_difference_surface3(self):
+        from qcss_tpu.experiments.memory import z_memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        surf = families.rotated_surface(3, max_table_weight=2, t=1)
+        noise = NoiseModel(p_gate2=1e-3, p_meas=1e-2)
+        kw = dict(rounds=3, noise=noise, batch=1 << 13, seed=0)
+        uf = z_memory_experiment(surf, decoder="uf", **kw)
+        diff = z_memory_experiment(surf, decoder="difference", **kw)
+        assert uf["logical_fail"] < diff["logical_fail"]
