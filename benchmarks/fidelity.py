@@ -57,11 +57,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--p", type=float, default=0.001, help="physical error rate")
     ap.add_argument("--shots", type=int, default=1024)
+    ap.add_argument("--t1", type=float, default=None,
+                    help="use a Pauli-twirled T1/T2 decoherence model "
+                    "instead of uniform depolarizing (matches the "
+                    "reference QVM harness: T1=T2=300e-6, ro=0.99)")
+    ap.add_argument("--t2", type=float, default=None)
+    ap.add_argument("--ro", type=float, default=0.99, help="readout fidelity")
     args = ap.parse_args()
 
-    model = noise_mod.NoiseModel(
-        p_gate1=args.p, p_gate2=args.p, p_meas=args.p, p_reset=args.p
-    )
+    if args.t1 is not None:
+        model = noise_mod.NoiseModel.from_decoherence(
+            t1=args.t1, t2=args.t2 if args.t2 is not None else args.t1,
+            ro_fidelity=args.ro,
+        )
+    else:
+        model = noise_mod.NoiseModel(
+            p_gate1=args.p, p_gate2=args.p, p_meas=args.p, p_reset=args.p
+        )
     key = jax.random.key(0)
     k_raw, k_enc = jax.random.split(key)
 
@@ -69,7 +81,11 @@ def main():
     enc_rate, enc_time = encoded_x_program_error_rate(args.shots, model, k_enc)
 
     print(json.dumps({
-        "p_physical": args.p,
+        "p_physical": args.p if args.t1 is None else None,
+        "noise": "uniform-depolarizing" if args.t1 is None else {
+            "t1": args.t1, "t2": args.t2 or args.t1, "ro_fidelity": args.ro,
+            "pauli1": model.pauli1, "pauli2": model.pauli2,
+        },
         "shots": args.shots,
         "raw_logical_error_rate": raw_rate,
         "encoded_logical_error_rate": enc_rate,

@@ -60,7 +60,10 @@ def bench_engine(module, state, n, key, n_measure=32):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    # Batch 4096 by default: at 256 the measurement loop is op-latency
+    # bound and under-reports the engine by >10x (267k vs 3.2M
+    # meas*samples/s at n=121 on v5e).
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--qubits", type=int, nargs="+", default=[49, 121, 363])
     args = ap.parse_args()
 
@@ -69,7 +72,18 @@ def main():
         key = jax.random.key(0)
         u = tb.run_circuit(tb.zero_state(args.batch, n), circ)
         p = tp.run_circuit(tp.zero_state(args.batch, n), circ)
-        for name, module, state in (("unpacked", tb, u), ("packed", tp, p)):
+
+        class fused:  # fused Pallas kernel, packed layout
+            @staticmethod
+            def measure_many(state, qubits, key):
+                from qcss_tpu.sim.pallas_measure import measure_many_fused
+
+                return measure_many_fused(state, qubits, key)
+
+        engines = [("unpacked", tb, u), ("packed", tp, p)]
+        if jax.default_backend() == "tpu":
+            engines.append(("packed-fused", fused, p))
+        for name, module, state in engines:
             secs, _ = bench_engine(module, state, n, key)
             print(json.dumps({
                 "metric": "tableau_measure_throughput",

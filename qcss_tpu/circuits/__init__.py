@@ -1,8 +1,10 @@
 """Clifford circuit/program IR and encoding-network synthesis."""
 
 from qcss_tpu.circuits.ir import (
+    Block,
     Circuit,
     Program,
+    RepeatUntilInst,
     GateInst,
     MeasureInst,
     ResetInst,
@@ -14,7 +16,9 @@ from qcss_tpu.circuits.ir import (
 )
 
 __all__ = [
+    "Block",
     "Circuit",
+    "RepeatUntilInst",
     "Program",
     "GateInst",
     "MeasureInst",

@@ -77,7 +77,81 @@ class IfThenInst:
     body: "Circuit"
 
 
-Instruction = Union[GateInst, MeasureInst, ResetInst, IfThenInst, DeclareInst]
+@dataclass(frozen=True)
+class RepeatUntilInst:
+    """Bounded repeat-until-success: execute `body` while the classical bit
+    is 0, re-checking before every body instruction, for at most
+    `max_iters` iterations.
+
+    The traced replacement for the unstructured Quil jump loops the
+    reference transpiles (reference: ftqc.py:98-107): under batching the
+    loop must have a fixed bound, and per-sample progress is handled by
+    masking (samples whose bit is already 1 pass through untouched). The
+    body may contain gates, measurements and resets (typically ending in
+    the measurement that sets the condition bit)."""
+
+    condition: BitRef
+    body: tuple  # of GateInst | MeasureInst | ResetInst
+    max_iters: int
+
+    def __post_init__(self):
+        if self.max_iters < 1:
+            raise ValueError("max_iters must be >= 1")
+        for inst in self.body:
+            if not isinstance(inst, (GateInst, MeasureInst, ResetInst)):
+                raise ValueError(
+                    f"repeat_until body cannot contain {type(inst).__name__}"
+                )
+
+
+Instruction = Union[
+    GateInst, MeasureInst, ResetInst, IfThenInst, RepeatUntilInst, DeclareInst
+]
+
+
+class Block:
+    """An instruction-list builder for `Program.repeat_until` bodies: the
+    same gate/measure/reset surface as `Program`, minus declarations (the
+    body references the enclosing program's registers)."""
+
+    def __init__(self):
+        self.instructions: list[Instruction] = []
+
+    def gate(self, name: str, *qubits: int) -> "Block":
+        self.instructions.append(GateInst(name, tuple(int(q) for q in qubits)))
+        return self
+
+    def i(self, q):
+        return self.gate("I", q)
+
+    def x(self, q):
+        return self.gate("X", q)
+
+    def y(self, q):
+        return self.gate("Y", q)
+
+    def z(self, q):
+        return self.gate("Z", q)
+
+    def h(self, q):
+        return self.gate("H", q)
+
+    def s(self, q):
+        return self.gate("S", q)
+
+    def cnot(self, c, t):
+        return self.gate("CNOT", c, t)
+
+    def cz(self, a, b):
+        return self.gate("CZ", a, b)
+
+    def measure(self, qubit: int, target: BitRef) -> "Block":
+        self.instructions.append(MeasureInst(int(qubit), target))
+        return self
+
+    def reset(self, qubit: int) -> "Block":
+        self.instructions.append(ResetInst(int(qubit)))
+        return self
 
 
 class Circuit:
@@ -213,15 +287,37 @@ class Program:
         self.instructions.append(IfThenInst(condition, body))
         return self
 
+    def repeat_until(self, condition: BitRef, body: Block,
+                     max_iters: int) -> "Program":
+        """Repeat `body` (a `Block`) while `condition` reads 0, at most
+        `max_iters` times — see `RepeatUntilInst`. The register must be
+        declared (and is zero-initialized, so a fresh bit always admits the
+        first iteration)."""
+        if condition.name not in self.memory:
+            raise ValueError(f"register {condition.name!r} not declared")
+        for inst in body.instructions:
+            if isinstance(inst, MeasureInst) and inst.target.name not in self.memory:
+                raise ValueError(f"register {inst.target.name!r} not declared")
+        self.instructions.append(
+            RepeatUntilInst(condition, tuple(body.instructions), int(max_iters))
+        )
+        return self
+
     def qubits(self) -> list[int]:
         found: set[int] = set()
-        for inst in self.instructions:
-            if isinstance(inst, GateInst):
-                found.update(inst.qubits)
-            elif isinstance(inst, (MeasureInst, ResetInst)):
-                found.add(inst.qubit)
-            elif isinstance(inst, IfThenInst):
-                found.update(q for g in inst.body for q in g.qubits)
+
+        def scan(insts):
+            for inst in insts:
+                if isinstance(inst, GateInst):
+                    found.update(inst.qubits)
+                elif isinstance(inst, (MeasureInst, ResetInst)):
+                    found.add(inst.qubit)
+                elif isinstance(inst, IfThenInst):
+                    found.update(q for g in inst.body for q in g.qubits)
+                elif isinstance(inst, RepeatUntilInst):
+                    scan(inst.body)
+
+        scan(self.instructions)
         return sorted(found)
 
     def __repr__(self):

@@ -18,6 +18,8 @@ Both expose the same method set; block indices may be traced.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -73,7 +75,7 @@ class UnpackedEngine:
         if self.noise.p_gate2:
             tab = noise_mod.depolarize2_many(
                 tab, self.block_qubits(b_ctrl), self.block_qubits(b_tgt),
-                self.noise.p_gate2, key,
+                self.noise.rate2, key,
             )
         return tab
 
@@ -83,7 +85,7 @@ class UnpackedEngine:
         tab = fn(tab, self.block_qubits(b))
         if self.noise.p_gate1:
             tab = noise_mod.depolarize1_many(
-                tab, self.block_qubits(b), self.noise.p_gate1, key
+                tab, self.block_qubits(b), self.noise.rate1, key
             )
         return tab
 
@@ -92,7 +94,7 @@ class UnpackedEngine:
         if self.noise.p_gate2:
             tab = noise_mod.depolarize2_many(
                 tab, self.block_qubits(b0), self.block_qubits(b1),
-                self.noise.p_gate2, key,
+                self.noise.rate2, key,
             )
         return tab
 
@@ -165,15 +167,24 @@ class PackedEngine:
         B = tab.batch
         u = jax.random.bits(key, (B, self.n), dtype=jnp.uint32)
         cap = jnp.float32(2.0**32 - 1)
-        pf = jnp.asarray(p, jnp.float32)
-        t1 = jnp.minimum(pf / 3.0 * jnp.float32(2.0**32), cap).astype(jnp.uint32)
-        t2 = jnp.minimum(2.0 * pf / 3.0 * jnp.float32(2.0**32), cap).astype(jnp.uint32)
-        t3 = jnp.minimum(pf * jnp.float32(2.0**32), cap).astype(jnp.uint32)
+        x_hi, z_lo, z_hi = noise_mod._thresholds_1q(p)
+
+        def thresh(frac):
+            return jnp.minimum(
+                jnp.float32(frac) * jnp.float32(2.0**32), cap
+            ).astype(jnp.uint32)
+
+        t1, t2, t3 = thresh(z_lo), thresh(x_hi), thresh(z_hi)
         x_hit = (u < t2).astype(jnp.uint8)
         z_hit = ((u >= t1) & (u < t3)).astype(jnp.uint8)
         return self.inject_block_flips(tab, b, x_hit, z_hit)
 
     def _depolarize_pair_blocks(self, tab, b0, b1, p, key):
+        if isinstance(p, tuple):
+            # Biased (twirled-decoherence) rates act independently per qubit.
+            k0, k1 = jax.random.split(key)
+            tab = self._depolarize_block(tab, b0, p, k0)
+            return self._depolarize_block(tab, b1, p, k1)
         B = tab.batch
         k_u, k_p = jax.random.split(key)
         hit = (
@@ -200,24 +211,33 @@ class PackedEngine:
         keys = jax.random.split(key, max(int(ops.shape[0]), 1))
         two_q_start = 6  # OPCODES["CNOT"]
 
-        def dep1(t, q, k):
+        def dep1_at(t, q, k, rate):
             B = t.batch
             u = jax.random.uniform(k, (B,), dtype=jnp.float32)
-            p = jnp.float32(self.noise.p_gate1)
-            x_hit = (u < 2.0 * p / 3.0).astype(jnp.uint32)
-            z_hit = ((u >= p / 3.0) & (u < p)).astype(jnp.uint32)
+            x_hi, z_lo, z_hi = (
+                jnp.float32(v) for v in noise_mod._thresholds_1q(rate)
+            )
+            x_hit = (u < x_hi).astype(jnp.uint32)
+            z_hit = ((u >= z_lo) & (u < z_hi)).astype(jnp.uint32)
             w, bit = q // WORD, (q % WORD).astype(jnp.uint32)
             zeros = jnp.zeros((B, t.words), jnp.uint32)
             return tp.apply_pauli_frame(
                 t, zeros.at[:, w].set(x_hit << bit), zeros.at[:, w].set(z_hit << bit)
             )
 
+        def dep1(t, q, k):
+            return dep1_at(t, q, k, self.noise.rate1)
+
         def dep2(t, a, b_q, k):
+            rate2 = self.noise.rate2
+            if isinstance(rate2, tuple):
+                ka, kb = jax.random.split(k)
+                return dep1_at(dep1_at(t, a, ka, rate2), b_q, kb, rate2)
             B = t.batch
             k_u, k_p = jax.random.split(k)
             hit = (
                 jax.random.uniform(k_u, (B,), dtype=jnp.float32)
-                < jnp.float32(self.noise.p_gate2)
+                < jnp.float32(rate2)
             ).astype(jnp.uint32)
             pat = jax.random.randint(k_p, (B,), 1, 16, dtype=jnp.int32).astype(jnp.uint32)
             wa, ba = a // WORD, (a % WORD).astype(jnp.uint32)
@@ -245,6 +265,19 @@ class PackedEngine:
         return tab
 
     def measure_block(self, tab, b, key):
+        # QCSS_FUSED_MEASURE=1 routes block measurement through the fused
+        # Pallas kernel (sim/pallas_measure.py): the tableau tile stays
+        # VMEM-resident across all n measured qubits and results are
+        # bit-identical to the scan (tests/test_pallas_measure.py).
+        # Measured on v5e at n=121: scan 3.2M meas*samples/s vs fused
+        # 2.5M at batch 4096 — XLA's elementwise fusion beats the
+        # hand-rolled kernel here, so the scan stays the default.
+        if jax.default_backend() == "tpu" and os.environ.get(
+            "QCSS_FUSED_MEASURE", "0"
+        ) == "1":
+            from qcss_tpu.sim.pallas_measure import measure_many_fused
+
+            return measure_many_fused(tab, self.block_qubits(b), key)
         return tp.measure_many(tab, self.block_qubits(b), key)
 
     # -- transversal word-ops: the packing payoff ---------------------------------
@@ -276,7 +309,7 @@ class PackedEngine:
         tab = tab.replace(x=x, z=z, r=r)
         if self.noise.p_gate2:
             tab = self._depolarize_pair_blocks(tab, b_ctrl, b_tgt,
-                                               self.noise.p_gate2, key)
+                                               self.noise.rate2, key)
         return tab
 
     def transversal_1q(self, tab, gate: str, b, key):
@@ -299,7 +332,7 @@ class PackedEngine:
         else:  # pragma: no cover
             raise ValueError(gate)
         if self.noise.p_gate1:
-            tab = self._depolarize_block(tab, b, self.noise.p_gate1, key)
+            tab = self._depolarize_block(tab, b, self.noise.rate1, key)
         return tab
 
     def transversal_cz(self, tab, b0, b1, key):
@@ -315,7 +348,7 @@ class PackedEngine:
         )
         tab = tab.replace(z=z, r=r)
         if self.noise.p_gate2:
-            tab = self._depolarize_pair_blocks(tab, b0, b1, self.noise.p_gate2, key)
+            tab = self._depolarize_pair_blocks(tab, b0, b1, self.noise.rate2, key)
         return tab
 
     def pauli_inject(self, tab, b, x_row, z_row, mask):

@@ -34,6 +34,7 @@ from qcss_tpu.circuits.ir import (
     IfThenInst,
     MeasureInst,
     Program,
+    RepeatUntilInst,
     ResetInst,
 )
 from qcss_tpu.errors import (
@@ -50,7 +51,7 @@ class EncodedProgram:
 
     def __init__(self, raw: Program, code, noise: noise_mod.NoiseModel | None = None,
                  max_prep_attempts: int = 8, engine: str = "scheduled",
-                 tableau: str = "unpacked"):
+                 tableau: str = "unpacked", ancillas: str = "shared"):
         if code.k != 1:
             raise UnsupportedQECCError("code must have k = 1")
         if engine not in ("scheduled", "unrolled"):
@@ -59,11 +60,16 @@ class EncodedProgram:
             raise ValueError("tableau must be 'unpacked' or 'packed'")
         if engine == "unrolled" and tableau == "packed":
             raise ValueError("the packed tableau requires the scheduled engine")
+        if ancillas not in ("shared", "dedicated"):
+            raise ValueError("ancillas must be 'shared' or 'dedicated'")
+        if engine == "unrolled" and ancillas == "dedicated":
+            raise ValueError("dedicated ancillas require the scheduled engine")
         self.raw = raw
         self.code = code
         self.noise = noise or noise_mod.NoiseModel()
         self.engine = engine
         self.tableau = tableau
+        self.ancillas = ancillas
         self.max_prep_attempts = max_prep_attempts
         self.qubit_map = {q: i for i, q in enumerate(raw.qubits())}
         self.n_logical = len(self.qubit_map)
@@ -78,18 +84,27 @@ class EncodedProgram:
 
     def _validate(self):
         code = self.code
+
+        def check_gate(name: str, kind: str):
+            if name not in ("I", "X", "Y", "Z") and not code.is_transversal(name):
+                raise UnsupportedGateError(
+                    f"{kind} logical gate {name} not implemented for this code"
+                )
+
         for inst in self.raw.instructions:
             if isinstance(inst, GateInst):
-                if inst.name not in ("I", "X", "Y", "Z") and not code.is_transversal(inst.name):
-                    raise UnsupportedGateError(
-                        f"logical gate {inst.name} not implemented for this code"
-                    )
+                check_gate(inst.name, "")
             elif isinstance(inst, IfThenInst):
                 for g in inst.body:
-                    if g.name not in ("I", "X", "Y", "Z") and not code.is_transversal(g.name):
-                        raise UnsupportedGateError(
-                            f"conditional logical gate {g.name} not implemented"
-                        )
+                    check_gate(g.name, "conditional")
+            elif isinstance(inst, RepeatUntilInst):
+                if self.engine != "scheduled":
+                    raise UnsupportedProgramError(
+                        "repeat_until requires the scheduled engine"
+                    )
+                for b in inst.body:
+                    if isinstance(b, GateInst):
+                        check_gate(b.name, "looped")
             elif isinstance(inst, (MeasureInst, ResetInst, DeclareInst)):
                 continue
             else:
@@ -156,7 +171,7 @@ class EncodedProgram:
         macro = schedule.lower(self.raw, self.code)
         executor = schedule.MacroExecutor(
             self.code, self.n_logical, self.noise, self.max_prep_attempts,
-            tableau_engine=self.tableau,
+            tableau_engine=self.tableau, ancillas=self.ancillas,
         )
         st = executor.execute(macro, key, batch)
         out = {
@@ -192,7 +207,8 @@ def rewrite_program(raw: Program, code, *,
                     noise: noise_mod.NoiseModel | None = None,
                     max_prep_attempts: int = 8,
                     engine: str = "scheduled",
-                    tableau: str = "unpacked") -> EncodedProgram:
+                    tableau: str = "unpacked",
+                    ancillas: str = "shared") -> EncodedProgram:
     """Validate and FT-encode a raw Clifford program — the framework's
     flagship entry point (reference analogue: ftqc.py:42).
 
@@ -201,8 +217,13 @@ def rewrite_program(raw: Program, code, *,
     debugging).
     tableau: 'unpacked' (byte-per-bit, best for small codes) or 'packed'
     (uint32 words, word-aligned blocks; best for surface-code-scale blocks).
+    ancillas: 'shared' (one EC/measure ancilla pair for all blocks — the
+    reference's QVM-ceiling compromise, reference: ftqc.py:153-160) or
+    'dedicated' (an ancilla pair per logical block; statistically identical
+    under this noise model, structurally ceiling-free).
     """
-    return EncodedProgram(raw, code, noise, max_prep_attempts, engine, tableau)
+    return EncodedProgram(raw, code, noise, max_prep_attempts, engine,
+                          tableau, ancillas)
 
 
 def run_program(raw: Program, code, batch: int = 1, *,

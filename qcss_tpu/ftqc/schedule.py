@@ -10,16 +10,23 @@ The scheduler instead lowers an encoded program to a small array of
 macro-instructions over a uniform machine state and executes it with ONE
 `lax.scan` whose body `lax.switch`es over five macro-op bodies:
 
-    PREP_ZERO b        FT |0̄⟩ preparation of block b
-    GATE g b0 b1 cond  logical gate (masked by a classical bit if cond >= 0)
-    EC_ALL             Steane error correction on every data block
-                       (fori_loop over a traced block index: EC traces once)
-    MEASURE_TRIAL b s  one noisy logical measurement into vote slot s
-    VOTE_STORE off     majority over the 2t+1 vote slots -> memory[off]
+    PREP_ZERO b cond        FT |0̄⟩ preparation of block b
+    GATE g b0 b1 cond       logical gate
+    EC_ALL cond             Steane error correction on every data block
+                            (fori_loop over a traced block index)
+    MEASURE_TRIAL b s cond  one noisy logical measurement into vote slot s
+    VOTE_STORE off cond     majority over the 2t+1 vote slots -> memory[off]
 
 Every body takes block indices as *traced* values (qubit sets are
 ``b * n + iota``), so each FT subroutine traces exactly once regardless of
 program length: compile time is O(1) in the number of logical gates.
+
+Every op carries a per-sample condition `cond` against classical memory:
+-1 = unconditional, k >= 0 = run iff memory[k] == 1, and -(k+2) = run iff
+memory[k] == 0 (the negated form `repeat_until` loops lower to). Masked-out
+samples pass through an op with their machine state selected back — the
+batched replacement for the reference's jump-skipped instruction spans
+(reference: ftqc.py:98-107).
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ from qcss_tpu.circuits.ir import (
     GateInst,
     IfThenInst,
     MeasureInst,
+    RepeatUntilInst,
     ResetInst,
 )
 from qcss_tpu.decode import lut as decode_lut
@@ -81,13 +89,11 @@ def lower(raw, code) -> MacroProgram:
     FT-prep all blocks, EC after every logical gate, EC between measurement
     trials, majority vote.
 
-    One deliberate divergence: the EC round after a *conditional* gate runs
-    unconditionally here (only the gate itself is masked per sample). In the
-    reference the emitted EC sits inside the jump-skipped span, so shots
-    whose condition is 0 skip that EC round too; under batching, skipping EC
-    per sample would force masking the entire EC machinery. EC on an
-    untouched block is a semantic no-op (it can only refine the frames), so
-    only the noise-location count differs for unfired branches."""
+    The EC round emitted after a conditional gate carries the gate's own
+    condition, matching the reference's jump-skip semantics (the emitted EC
+    sits inside the skipped span — reference: ftqc.py:98-107): samples whose
+    condition is 0 skip both the gate and its EC round, via the per-sample
+    state-select masking every macro-op supports."""
     qubit_map = {q: i for i, q in enumerate(raw.qubits())}
     n_logical = len(qubit_map)
     trials = 2 * code.t + 1
@@ -100,13 +106,24 @@ def lower(raw, code) -> MacroProgram:
 
     rows: list[tuple[int, int, int, int, int]] = []
     for b in range(n_logical):
-        rows.append((OP_PREP_ZERO, b, 0, 0, 0))
+        rows.append((OP_PREP_ZERO, b, -1, 0, 0))
+
+    def bit_offset(ref) -> int:
+        off, _ = layout[ref.name]
+        return off + ref.index
 
     def emit_gate(g: GateInst, cond: int):
         b0 = qubit_map[g.qubits[0]]
         b1 = qubit_map[g.qubits[1]] if len(g.qubits) > 1 else 0
         rows.append((OP_GATE, GATE_IDS[g.name], b0, b1, cond))
-        rows.append((OP_EC_ALL, 0, 0, 0, 0))
+        rows.append((OP_EC_ALL, cond, 0, 0, 0))
+
+    def emit_measure(inst: MeasureInst, cond: int):
+        b = qubit_map[inst.qubit]
+        for s in range(trials):
+            rows.append((OP_MEASURE_TRIAL, b, s, cond, 0))
+            rows.append((OP_EC_ALL, cond, 0, 0, 0))
+        rows.append((OP_VOTE_STORE, bit_offset(inst.target), cond, 0, 0))
 
     for inst in raw.instructions:
         if isinstance(inst, DeclareInst):
@@ -114,18 +131,28 @@ def lower(raw, code) -> MacroProgram:
         if isinstance(inst, GateInst):
             emit_gate(inst, -1)
         elif isinstance(inst, IfThenInst):
-            off, _ = layout[inst.condition.name]
             for g in inst.body:
-                emit_gate(g, off + inst.condition.index)
+                emit_gate(g, bit_offset(inst.condition))
         elif isinstance(inst, MeasureInst):
-            b = qubit_map[inst.qubit]
-            for s in range(trials):
-                rows.append((OP_MEASURE_TRIAL, b, s, 0, 0))
-                rows.append((OP_EC_ALL, 0, 0, 0, 0))
-            off, _ = layout[inst.target.name]
-            rows.append((OP_VOTE_STORE, off + inst.target.index, 0, 0, 0))
+            emit_measure(inst, -1)
         elif isinstance(inst, ResetInst):
-            rows.append((OP_PREP_ZERO, qubit_map[inst.qubit], 0, 0, 0))
+            rows.append((OP_PREP_ZERO, qubit_map[inst.qubit], -1, 0, 0))
+        elif isinstance(inst, RepeatUntilInst):
+            # Bounded unroll: every body op masked by "loop bit still 0"
+            # (negated encoding -(k+2)); samples that have already
+            # succeeded pass through untouched.
+            ncond = -bit_offset(inst.condition) - 2
+            for _ in range(inst.max_iters):
+                for body_inst in inst.body:
+                    if isinstance(body_inst, GateInst):
+                        emit_gate(body_inst, ncond)
+                    elif isinstance(body_inst, MeasureInst):
+                        emit_measure(body_inst, ncond)
+                    elif isinstance(body_inst, ResetInst):
+                        rows.append((OP_PREP_ZERO,
+                                     qubit_map[body_inst.qubit], ncond, 0, 0))
+                    else:  # pragma: no cover — IR validates body types
+                        raise ValueError(f"cannot lower {body_inst}")
         else:  # pragma: no cover — rewrite validates first
             raise ValueError(f"cannot lower {inst}")
 
@@ -146,13 +173,25 @@ class MacroExecutor:
     def __init__(self, code, n_logical: int,
                  noise: noise_mod.NoiseModel | None = None,
                  max_prep_attempts: int = 8,
-                 tableau_engine: str = "unpacked"):
+                 tableau_engine: str = "unpacked",
+                 ancillas: str = "shared"):
         from qcss_tpu.ftqc.engines import make_engine
 
+        if ancillas not in ("shared", "dedicated"):
+            raise ValueError("ancillas must be 'shared' or 'dedicated'")
         self.code = code
         self.n = code.n
         self.n_logical = n_logical
-        self.n_blocks = n_logical + 2  # + shared anc1, anc2
+        self.ancillas = ancillas
+        # 'shared': one ancilla pair serves every block (the reference's
+        # QVM-qubit-ceiling compromise — reference: ftqc.py:153-160).
+        # 'dedicated': each logical block owns its own EC/measure ancilla
+        # pair — no ceiling here, and the layout the parallel-EC path
+        # needs. Under this noise model (no idle locations) the failure
+        # statistics are identical; the ancilla is freshly verified per
+        # use either way.
+        n_anc = 2 if ancillas == "shared" else 2 * n_logical
+        self.n_blocks = n_logical + n_anc
         self.noise = noise or noise_mod.NoiseModel()
         self.max_prep_attempts = max_prep_attempts
         self.trials = 2 * code.t + 1
@@ -169,15 +208,46 @@ class MacroExecutor:
         # engine offsets them to the target block.
         self._prep_zero0 = code.noisy_encode_zero(range(self.n)).to_arrays()
         self._prep_plus0 = code.noisy_encode_plus(range(self.n)).to_arrays()
-        # Static ancilla block indices (reference: ftqc.py:60-61).
+        # Shared-mode static ancilla block indices (reference: ftqc.py:60-61).
         self.anc1 = n_logical
         self.anc2 = n_logical + 1
+
+    def _anc_pair(self, b):
+        """The EC/measure ancilla pair serving data block b (b may be
+        traced in dedicated mode)."""
+        if self.ancillas == "shared":
+            return self.anc1, self.anc2
+        b = jnp.asarray(b, jnp.int32)
+        return self.n_logical + 2 * b, self.n_logical + 2 * b + 1
 
     # -- helpers ------------------------------------------------------------------
 
     def _split(self, st: MachineState):
         key, sub = jax.random.split(st.key)
         return st._replace(key=key), sub
+
+    def _cond_mask(self, st: MachineState, cond) -> jax.Array:
+        """Per-sample execution mask for an op's condition word: -1 → all,
+        k >= 0 → memory[k], -(k+2) → NOT memory[k]."""
+        ones = jnp.ones((st.tab.batch,), jnp.uint8)
+        pos = st.memory[:, jnp.maximum(cond, 0)]
+        neg = 1 - st.memory[:, jnp.maximum(-(cond + 2), 0)]
+        return jnp.where(cond == -1, ones, jnp.where(cond >= 0, pos, neg))
+
+    def _select_state(self, mask, new: MachineState, old: MachineState) -> MachineState:
+        """Commit `new` only for mask=1 samples (kept: the advanced PRNG
+        key, which is batch-shared)."""
+        m1 = mask.astype(bool)[:, None]
+        m3 = mask.astype(bool)[:, None, None]
+        return MachineState(
+            self.engine.select(mask, new.tab, old.tab),
+            jnp.where(m3, new.x_frames, old.x_frames),
+            jnp.where(m3, new.z_frames, old.z_frames),
+            jnp.where(m1, new.votes, old.votes),
+            jnp.where(m1, new.memory, old.memory),
+            new.key,
+            jnp.where(m1[:, 0], new.prep_fail, old.prep_fail),
+        )
 
     def _run_prep(self, st: MachineState, b, plus: bool) -> MachineState:
         arrays = self._prep_plus0 if plus else self._prep_zero0
@@ -253,11 +323,31 @@ class MacroExecutor:
             st_in, flag, attempts = carry
             s = self._reset_block(st_in, b)
             s = self._run_prep(s, b, plus)
-            s, out_x = self._error_detect(s, b, anc, x_sector=True,
-                                          include_operators=not plus)
-            s, out_z = self._error_detect(s, b, anc, x_sector=False,
-                                          include_operators=plus)
-            new_flag = out_x | out_z
+            # Detection ORDER is load-bearing for fault tolerance: each
+            # round's transversal CNOT back-propagates the (unverified)
+            # detection ancilla's own prep errors onto the block — the
+            # X-sector round deposits Z-type errors (CNOT b->anc), the
+            # Z-sector round deposits X-type (CNOT anc->b). The LAST round
+            # must therefore be the one whose deposit is benign for the
+            # prepared eigenstate (Z onto |0̄⟩, X onto |+̄⟩); the earlier
+            # round's fatal-type deposit is still caught by the later
+            # check. The reference runs X-then-Z for BOTH eigenstates
+            # (reference: css_code.py:334-339,358-364), so a single
+            # ancilla prep-network fault can copy a correlated weight-2 X
+            # error onto a "verified" |0̄⟩ block — measured here as a
+            # first-order logical failure floor of ~2.2p (p_gate2-only
+            # channel probe at p=1e-3) before this reordering.
+            if plus:
+                s, out_a = self._error_detect(s, b, anc, x_sector=True,
+                                              include_operators=False)
+                s, out_b = self._error_detect(s, b, anc, x_sector=False,
+                                              include_operators=True)
+            else:
+                s, out_a = self._error_detect(s, b, anc, x_sector=False,
+                                              include_operators=False)
+                s, out_b = self._error_detect(s, b, anc, x_sector=True,
+                                              include_operators=True)
+            new_flag = out_a | out_b
             m3 = flag[:, None, None].astype(bool)
             committed = MachineState(
                 self.engine.select(flag, s.tab, st_in.tab),
@@ -280,20 +370,21 @@ class MacroExecutor:
         return st._replace(prep_fail=st.prep_fail | flag)
 
     def _ec_one(self, st: MachineState, b) -> MachineState:
-        """Steane EC on block b with the shared ancilla pair
+        """Steane EC on block b with its ancilla pair
         (reference: css_code.py:436-470)."""
-        st = self._encode_ft(st, self.anc1, self.anc2, plus=True)
-        st = self._transversal_cnot(st, b, self.anc1)
-        st, mem = self._measure_block(st, self.anc1)
+        anc1, anc2 = self._anc_pair(b)
+        st = self._encode_ft(st, anc1, anc2, plus=True)
+        st = self._transversal_cnot(st, b, anc1)
+        st, mem = self._measure_block(st, anc1)
         _, new_x = decode_lut.correct_errors(
             mem, st.x_frames[:, b, :], self.h2, self.lut2
         )
         st = st._replace(x_frames=st.x_frames.at[:, b, :].set(new_x))
 
-        st = self._encode_ft(st, self.anc1, self.anc2, plus=False)
-        st = self._transversal_cnot(st, self.anc1, b)
-        st = self._transversal_1q(st, "H", self.anc1)
-        st, mem = self._measure_block(st, self.anc1)
+        st = self._encode_ft(st, anc1, anc2, plus=False)
+        st = self._transversal_cnot(st, anc1, b)
+        st = self._transversal_1q(st, "H", anc1)
+        st, mem = self._measure_block(st, anc1)
         _, new_z = decode_lut.correct_errors(
             mem, st.z_frames[:, b, :], self.h1, self.lut1
         )
@@ -302,16 +393,14 @@ class MacroExecutor:
     # -- macro-op bodies --------------------------------------------------------------
 
     def _op_prep_zero(self, st: MachineState, a) -> MachineState:
-        return self._encode_ft(st, a[0], self.anc1, plus=False)
+        mask = self._cond_mask(st, a[1])
+        anc1, _ = self._anc_pair(a[0])
+        new = self._encode_ft(st, a[0], anc1, plus=False)
+        return self._select_state(mask, new, st)
 
     def _op_gate(self, st: MachineState, a) -> MachineState:
         gate_id, b0, b1, cond = a[0], a[1], a[2], a[3]
-        mask = jnp.where(
-            cond >= 0,
-            st.memory[:, jnp.maximum(cond, 0)],
-            jnp.ones((st.tab.batch,), jnp.uint8),
-        )
-        return self._apply_gate(st, gate_id, b0, b1, mask)
+        return self._apply_gate(st, gate_id, b0, b1, self._cond_mask(st, cond))
 
     def _apply_gate(self, st: MachineState, gate_id, b0, b1, mask) -> MachineState:
         """Logical gate dispatch (reference: css_code.py:368-434), masked per
@@ -329,7 +418,7 @@ class MacroExecutor:
                 s2, sub = self._split(s2)
                 s2 = s2._replace(
                     tab=self.engine.depolarize_block(
-                        s2.tab, b0, self.noise.p_gate1, sub
+                        s2.tab, b0, self.noise.rate1, sub
                     )
                 )
                 # Samples whose conditional gate did not fire get no noise
@@ -362,18 +451,21 @@ class MacroExecutor:
         return st._replace(tab=self.engine.transversal_cz(st.tab, b0, b1, sub))
 
     def _op_ec_all(self, st: MachineState, a) -> MachineState:
-        return jax.lax.fori_loop(
+        mask = self._cond_mask(st, a[0])
+        new = jax.lax.fori_loop(
             0, self.n_logical, lambda b, s: self._ec_one(s, b), st
         )
+        return self._select_state(mask, new, st)
 
     def _noisy_measure(self, st: MachineState, b):
         """Single (non-FT) logical Z measurement of block b via a fresh |0̄⟩
         ancilla (reference: css_code.py:599-646): transversal CNOT onto the
         ancilla, measure it, opportunistically correct the X frame, outcome
         = Z̄ · corrected bits. Returns (state, outcome[B])."""
-        st = self._encode_ft(st, self.anc1, self.anc2, plus=False)
-        st = self._transversal_cnot(st, b, self.anc1)
-        st, mem = self._measure_block(st, self.anc1)
+        anc1, anc2 = self._anc_pair(b)
+        st = self._encode_ft(st, anc1, anc2, plus=False)
+        st = self._transversal_cnot(st, b, anc1)
+        st, mem = self._measure_block(st, anc1)
         corrected, new_x = decode_lut.correct_errors(
             mem, st.x_frames[:, b, :], self.h2, self.lut2
         )
@@ -386,14 +478,18 @@ class MacroExecutor:
 
     def _op_measure_trial(self, st: MachineState, a) -> MachineState:
         b, slot = a[0], a[1]
-        st, outcome = self._noisy_measure(st, b)
-        return st._replace(votes=st.votes.at[:, slot].set(outcome))
+        mask = self._cond_mask(st, a[2])
+        new, outcome = self._noisy_measure(st, b)
+        new = new._replace(votes=new.votes.at[:, slot].set(outcome))
+        return self._select_state(mask, new, st)  # also reverts the vote slot
 
     def _op_vote_store(self, st: MachineState, a) -> MachineState:
         trials = self.trials
+        mask = self._cond_mask(st, a[1])
         counts = jnp.sum(st.votes[:, :trials].astype(jnp.int32), axis=-1)
         outcome = (counts >= (trials + 1) // 2).astype(jnp.uint8)
-        return st._replace(memory=st.memory.at[:, a[0]].set(outcome))
+        stored = jnp.where(mask.astype(bool), outcome, st.memory[:, a[0]])
+        return st._replace(memory=st.memory.at[:, a[0]].set(stored))
 
     # -- top level -----------------------------------------------------------------------
 

@@ -11,6 +11,7 @@ same compiled program structure.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -28,33 +29,108 @@ class NoiseModel:
     p_meas: classical bit-flip probability on each measurement outcome.
     p_reset: probability a reset leaves |1> instead of |0> (applied as an
     X flip after the reset).
+
+    pauli1 / pauli2: optional biased per-qubit Pauli rates (p_x, p_y, p_z)
+    that OVERRIDE the uniform split — pauli1 for 1q-gate locations, pauli2
+    applied independently to each qubit of a 2q-gate location. When set,
+    p_gate1/p_gate2 must hold the corresponding totals (they gate whether
+    a noise location is emitted at all); use `from_decoherence`, which
+    keeps them consistent.
     """
 
     p_gate1: float = 0.0
     p_gate2: float = 0.0
     p_meas: float = 0.0
     p_reset: float = 0.0
+    pauli1: tuple[float, float, float] | None = None
+    pauli2: tuple[float, float, float] | None = None
 
     @property
     def is_trivial(self) -> bool:
         return not (self.p_gate1 or self.p_gate2 or self.p_meas or self.p_reset)
 
+    @property
+    def rate1(self):
+        """1q-location channel: (p_x, p_y, p_z) if biased, else the scalar
+        uniform-depolarizing total."""
+        return self.pauli1 if self.pauli1 is not None else self.p_gate1
+
+    @property
+    def rate2(self):
+        """2q-location channel: (p_x, p_y, p_z) per touched qubit if
+        biased, else the scalar 15-way-depolarizing total."""
+        return self.pauli2 if self.pauli2 is not None else self.p_gate2
+
+    @classmethod
+    def from_decoherence(cls, t1: float, t2: float,
+                         gate_time_1q: float = 50e-9,
+                         gate_time_2q: float = 150e-9,
+                         ro_fidelity: float = 1.0) -> "NoiseModel":
+        """Pauli-twirled T1/T2 decoherence — the apples-to-apples analogue
+        of the reference's QVM noise model (reference:
+        test/test_fidelity.py:76-82, which uses pyquil's
+        _decoherence_noise_model with T1=T2=300e-6, ro_fidelity=0.99 and
+        the default 50ns/150ns gate times).
+
+        Twirling amplitude damping (rate 1/T1) plus dephasing (total
+        coherence decay 1/T2) over a gate of duration t gives
+        p_x = p_y = (1 - e^(-t/T1))/4 and
+        p_z = (1 - e^(-t/T2))/2 - (1 - e^(-t/T1))/4
+        (e.g. Ghosh et al., PRA 86, 062318). Requires t2 <= 2*t1 (p_z >= 0,
+        clamped against rounding). 2q gates decohere both qubits
+        independently for gate_time_2q.
+        """
+        if t2 > 2 * t1:
+            raise ValueError("unphysical decoherence: T2 must be <= 2*T1")
+
+        def twirl(t):
+            gamma = 1.0 - math.exp(-t / t1)
+            lam = 1.0 - math.exp(-t / t2)
+            px = py = gamma / 4.0
+            pz = max(lam / 2.0 - gamma / 4.0, 0.0)
+            return (px, py, pz)
+
+        r1 = twirl(gate_time_1q)
+        r2 = twirl(gate_time_2q)
+        return cls(
+            p_gate1=sum(r1), p_gate2=sum(r2),
+            p_meas=1.0 - ro_fidelity, p_reset=0.0,
+            pauli1=r1, pauli2=r2,
+        )
+
+
+def _thresholds_1q(p):
+    """Cumulative event thresholds (x_hi, z_lo, z_hi) over u ~ U[0,1).
+    Event layout: X on [0, p_x), Y on [p_x, p_x+p_y), Z on
+    [p_x+p_y, p_x+p_y+p_z); an X-component flip fires for u < x_hi =
+    p_x+p_y, a Z-component flip for z_lo = p_x <= u < z_hi = p_x+p_y+p_z.
+    Scalar p means the uniform p/3 split (bitwise identical to the
+    historical thresholds)."""
+    if isinstance(p, tuple):
+        px, py, pz = p
+        return px + py, px, px + py + pz
+    return 2.0 * p / 3.0, p / 3.0, p
+
 
 def depolarize1(t: tb.Tableau, q: int, p, key: jax.Array) -> tb.Tableau:
-    """Single-qubit depolarizing channel on qubit q: X, Y or Z each with
-    probability p/3, per sample."""
+    """Single-qubit Pauli channel on qubit q: uniform depolarizing for
+    scalar p (X/Y/Z each with probability p/3), biased for p=(px,py,pz)."""
     B, n = t.batch, t.n
     u = jax.random.uniform(key, (B,), dtype=jnp.float32)
-    p = jnp.float32(p)
-    x_flip = (u < 2.0 * p / 3.0).astype(jnp.uint8)
-    z_flip = ((u >= p / 3.0) & (u < p)).astype(jnp.uint8)
+    x_hi, z_lo, z_hi = (jnp.float32(v) for v in _thresholds_1q(p))
+    x_flip = (u < x_hi).astype(jnp.uint8)
+    z_flip = ((u >= z_lo) & (u < z_hi)).astype(jnp.uint8)
     qcol = (jnp.arange(n)[None, :] == q).astype(jnp.uint8)
     return tb.apply_pauli_frame(t, x_flip[:, None] * qcol, z_flip[:, None] * qcol)
 
 
 def depolarize2(t: tb.Tableau, q1: int, q2: int, p, key: jax.Array) -> tb.Tableau:
-    """Two-qubit depolarizing channel: one of the 15 non-identity two-qubit
-    Paulis with probability p/15 each, per sample."""
+    """Two-qubit noise location: for scalar p, one of the 15 non-identity
+    two-qubit Paulis with probability p/15 each; for p=(px,py,pz), the
+    biased 1q channel applied independently to each qubit (the twirled-
+    decoherence semantics)."""
+    if isinstance(p, tuple):
+        return depolarize1_many(t, jnp.asarray([q1, q2], jnp.int32), p, key)
     B, n = t.batch, t.n
     key_u, key_p = jax.random.split(key)
     hit = jax.random.uniform(key_u, (B,), dtype=jnp.float32) < jnp.float32(p)
@@ -73,15 +149,15 @@ def depolarize2(t: tb.Tableau, q1: int, q2: int, p, key: jax.Array) -> tb.Tablea
 
 
 def depolarize1_many(t: tb.Tableau, qubits, p, key: jax.Array) -> tb.Tableau:
-    """IID single-qubit depolarizing on a set of qubits, fused into one
-    Pauli-frame injection."""
+    """IID single-qubit Pauli channel on a set of qubits, fused into one
+    Pauli-frame injection. p: scalar (uniform) or (px, py, pz) (biased)."""
     B, n = t.batch, t.n
     q = jnp.asarray(qubits, dtype=jnp.int32)
     m = q.shape[0]
     u = jax.random.uniform(key, (B, m), dtype=jnp.float32)
-    p = jnp.float32(p)
-    x_hit = (u < 2.0 * p / 3.0).astype(jnp.uint8)
-    z_hit = ((u >= p / 3.0) & (u < p)).astype(jnp.uint8)
+    x_hi, z_lo, z_hi = (jnp.float32(v) for v in _thresholds_1q(p))
+    x_hit = (u < x_hi).astype(jnp.uint8)
+    z_hit = ((u >= z_lo) & (u < z_hi)).astype(jnp.uint8)
     zeros = jnp.zeros((B, n), dtype=jnp.uint8)
     return tb.apply_pauli_frame(
         t, zeros.at[:, q].set(x_hit), zeros.at[:, q].set(z_hit)
@@ -89,8 +165,15 @@ def depolarize1_many(t: tb.Tableau, qubits, p, key: jax.Array) -> tb.Tableau:
 
 
 def depolarize2_many(t: tb.Tableau, controls, targets, p, key: jax.Array) -> tb.Tableau:
-    """IID two-qubit depolarizing on m disjoint qubit pairs, fused into one
-    Pauli-frame injection."""
+    """IID two-qubit noise on m disjoint qubit pairs, fused into one
+    Pauli-frame injection. Scalar p: 15-way depolarizing per pair;
+    p=(px,py,pz): the biased 1q channel independently on every touched
+    qubit."""
+    if isinstance(p, tuple):
+        q_all = jnp.concatenate([
+            jnp.asarray(controls, jnp.int32), jnp.asarray(targets, jnp.int32)
+        ])
+        return depolarize1_many(t, q_all, p, key)
     B, n = t.batch, t.n
     c = jnp.asarray(controls, dtype=jnp.int32)
     q = jnp.asarray(targets, dtype=jnp.int32)
@@ -124,10 +207,10 @@ def noisy_gate(
     t = tb.apply_gate(t, name, *qubits)
     if len(qubits) == 1:
         if model.p_gate1:
-            t = depolarize1(t, qubits[0], model.p_gate1, key)
+            t = depolarize1(t, qubits[0], model.rate1, key)
     else:
         if model.p_gate2:
-            t = depolarize2(t, qubits[0], qubits[1], model.p_gate2, key)
+            t = depolarize2(t, qubits[0], qubits[1], model.rate2, key)
     return t
 
 
@@ -166,8 +249,8 @@ def run_arrays_noisy(
         if model.p_gate1 or model.p_gate2:
             carry = jax.lax.cond(
                 op >= two_q_start,
-                lambda s: depolarize2(s, a, b, model.p_gate2, k),
-                lambda s: depolarize1(s, a, model.p_gate1, k),
+                lambda s: depolarize2(s, a, b, model.rate2, k),
+                lambda s: depolarize1(s, a, model.rate1, k),
                 carry,
             )
         return carry, None

@@ -334,3 +334,78 @@ class TestPackedTableauEngine:
         prog.x(0).measure(0, ro[0])
         with pytest.raises(ValueError):
             rewrite_program(prog, steane, engine="unrolled", tableau="packed")
+
+
+class TestRepeatUntil:
+    def test_repeat_until_success_program(self, steane):
+        """Repeat-until-success: reset; H; measure — loop until the outcome
+        is 1 (P(fail all 4 tries) = 1/16), then measure again. The final
+        measurement must agree with the loop's outcome exactly (the state
+        collapsed), and the loop must usually succeed. This is the traced
+        replacement for the reference's Quil jump loops
+        (reference: ftqc.py:98-107)."""
+        from qcss_tpu.circuits import Block
+
+        prog = Program()
+        ro = prog.declare("ro", 2)
+        body = Block().reset(0).h(0).measure(0, ro[0])
+        prog.repeat_until(ro[0], body, max_iters=4)
+        prog.measure(0, ro[1])
+        enc = rewrite_program(prog, steane)
+        res = enc.run(32, key=jax.random.key(0))
+        ro0, ro1 = res["ro"][:, 0], res["ro"][:, 1]
+        assert (ro1 == ro0).all()
+        assert ro0.mean() > 0.6  # expected 15/16
+
+    def test_repeat_until_requires_scheduled_engine(self, steane):
+        from qcss_tpu.circuits import Block
+        from qcss_tpu.errors import UnsupportedProgramError
+
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.repeat_until(ro[0], Block().measure(0, ro[0]), max_iters=2)
+        with pytest.raises(UnsupportedProgramError, match="scheduled"):
+            rewrite_program(prog, steane, engine="unrolled")
+
+    def test_repeat_until_body_rejects_nested_control(self):
+        from qcss_tpu.circuits import Circuit
+        from qcss_tpu.circuits.ir import IfThenInst, RepeatUntilInst, BitRef
+
+        with pytest.raises(ValueError, match="cannot contain"):
+            RepeatUntilInst(
+                BitRef("ro", 0),
+                (IfThenInst(BitRef("ro", 0), Circuit().x(0)),),
+                max_iters=2,
+            )
+
+
+class TestDedicatedAncillas:
+    def test_dedicated_ancilla_x_program_exact(self, steane):
+        """`ancillas='dedicated'` (an EC/measure ancilla pair per block —
+        dropping the reference's shared-pair QVM compromise, reference:
+        ftqc.py:153-160) must produce the same exact logical outcomes."""
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        res = rewrite_program(prog, steane, ancillas="dedicated").run(4)
+        assert (res["ro"][:, 0] == 1).all()
+
+    def test_dedicated_ancilla_feedback_two_qubits(self, steane):
+        """Two logical qubits, feedback, dedicated ancillas: 6 blocks."""
+        prog = Program()
+        ro = prog.declare("ro", 2)
+        prog.x(0).cnot(0, 1)
+        prog.measure(1, ro[0])
+        prog.if_then(ro[0], Circuit().x(0))
+        prog.measure(0, ro[1])
+        res = rewrite_program(prog, steane, ancillas="dedicated").run(2)
+        assert (res["ro"][:, 0] == 1).all()  # CNOT copied the X
+        assert (res["ro"][:, 1] == 0).all()  # feedback undid it
+
+    def test_dedicated_requires_scheduled(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        with pytest.raises(ValueError, match="dedicated"):
+            rewrite_program(prog, steane, engine="unrolled",
+                            ancillas="dedicated")
