@@ -1,0 +1,90 @@
+"""Raw-vs-encoded break-even sweep (pseudo-threshold).
+
+For each physical rate p, runs the unencoded X-then-measure program and the
+Steane-FT-encoded one under the same uniform circuit-level noise
+(p_gate1 = p_gate2 = p_meas = p_reset = p) and reports both logical error
+rates. The pseudo-threshold p* is the largest swept p with encoded < raw.
+
+The reference never demonstrates break-even — its own harness measures the
+encoded pipeline WORSE than raw and attributes part of that to the shared
+-ancilla compromise (reference: ftqc.py:153-160, test/test_fidelity.py).
+Two framework changes make the crossing measurable here: the
+verification-ordering fix in ftqc/schedule.py::_encode_ft (the reference's
+detect-X-then-Z order leaks a first-order weight-2 error path), and enough
+throughput to resolve sub-1e-4 rates.
+
+Prints one JSON line per point; shots are chunked to bound device memory.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, ".")
+
+from benchmarks.fidelity import raw_x_program_error_rate  # noqa: E402
+from qcss_tpu.circuits import Program  # noqa: E402
+from qcss_tpu.codes import families  # noqa: E402
+from qcss_tpu.ftqc import rewrite_program  # noqa: E402
+from qcss_tpu.sim.noise import NoiseModel  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ps", type=float, nargs="+",
+                    default=[1e-3, 3e-4, 1e-4, 3e-5])
+    ap.add_argument("--min-shots", type=int, default=1 << 17)
+    ap.add_argument("--chunk", type=int, default=1 << 16)
+    ap.add_argument("--tableau", default="packed")
+    ap.add_argument("--ancillas", default="shared")
+    args = ap.parse_args()
+
+    code = families.steane()
+    results = []
+    for p in args.ps:
+        # enough shots to expect >= ~40 raw failures (raw rate ~ 1.7p)
+        shots = max(args.min_shots, int(40 / (1.7 * p)))
+        shots = ((shots + args.chunk - 1) // args.chunk) * args.chunk
+        model = NoiseModel(p_gate1=p, p_gate2=p, p_meas=p, p_reset=p)
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        enc = rewrite_program(prog, code, noise=model, tableau=args.tableau,
+                              ancillas=args.ancillas)
+        enc.run(256, key=jax.random.key(99))  # compile
+        enc.run(256, key=jax.random.key(98))  # tunnel stale-result guard
+        fails = prep_fails = 0
+        t0 = time.perf_counter()
+        for i in range(shots // args.chunk):
+            res = enc.run(args.chunk, key=jax.random.key(1000 + i))
+            fails += int((1 - res["ro"][:, 0]).sum())
+            prep_fails += int(res["__prep_fail__"].sum())
+        dt = time.perf_counter() - t0
+        raw = raw_x_program_error_rate(shots, model, jax.random.key(2))
+        row = {
+            "bench": "breakeven",
+            "p": p,
+            "shots": shots,
+            "raw_rate": raw,
+            "enc_fails": fails,
+            "enc_rate": fails / shots,
+            "prep_fail_frac": prep_fails / shots,
+            "enc_shots_per_sec": round(shots / dt),
+            "encoded_wins": fails / shots < raw,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    wins = [r["p"] for r in results if r["encoded_wins"]]
+    print(json.dumps({
+        "bench": "breakeven_summary",
+        "pseudo_threshold_lower_bound": max(wins) if wins else None,
+        "ancillas": args.ancillas,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,8 @@
 from qcss_tpu.circuits.ir import (
     Block,
     Circuit,
+    ClassicalInst,
+    CLASSICAL_OPS,
     Program,
     RepeatUntilInst,
     GateInst,
@@ -18,6 +20,8 @@ from qcss_tpu.circuits.ir import (
 __all__ = [
     "Block",
     "Circuit",
+    "ClassicalInst",
+    "CLASSICAL_OPS",
     "RepeatUntilInst",
     "Program",
     "GateInst",

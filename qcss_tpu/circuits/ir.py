@@ -77,6 +77,34 @@ class IfThenInst:
     body: "Circuit"
 
 
+CLASSICAL_OPS = ("MOVE", "NOT", "AND", "IOR", "XOR")
+
+
+@dataclass(frozen=True)
+class ClassicalInst:
+    """A classical bit operation inside a user program — the IR form of the
+    classical instructions the reference's transpiler passes through
+    (reference: ftqc.py:111-116, quil_classical.py:60-127).
+
+    dst <op>= src, where src is another BitRef or an immediate 0/1
+    (ignored for the unary NOT)."""
+
+    op: str
+    dst: BitRef
+    src: "BitRef | int | None" = None
+
+    def __post_init__(self):
+        if self.op not in CLASSICAL_OPS:
+            raise ValueError(f"unknown classical op {self.op!r}")
+        if self.op == "NOT":
+            if self.src is not None:
+                raise ValueError("NOT is unary")
+        elif self.src is None:
+            raise ValueError(f"{self.op} needs a source bit or immediate")
+        elif isinstance(self.src, int) and self.src not in (0, 1):
+            raise ValueError("immediate must be 0 or 1")
+
+
 @dataclass(frozen=True)
 class RepeatUntilInst:
     """Bounded repeat-until-success: execute `body` while the classical bit
@@ -98,14 +126,16 @@ class RepeatUntilInst:
         if self.max_iters < 1:
             raise ValueError("max_iters must be >= 1")
         for inst in self.body:
-            if not isinstance(inst, (GateInst, MeasureInst, ResetInst)):
+            if not isinstance(inst, (GateInst, MeasureInst, ResetInst,
+                                     ClassicalInst)):
                 raise ValueError(
                     f"repeat_until body cannot contain {type(inst).__name__}"
                 )
 
 
 Instruction = Union[
-    GateInst, MeasureInst, ResetInst, IfThenInst, RepeatUntilInst, DeclareInst
+    GateInst, MeasureInst, ResetInst, IfThenInst, RepeatUntilInst,
+    ClassicalInst, DeclareInst
 ]
 
 
@@ -151,6 +181,26 @@ class Block:
 
     def reset(self, qubit: int) -> "Block":
         self.instructions.append(ResetInst(int(qubit)))
+        return self
+
+    def move(self, dst: BitRef, src) -> "Block":
+        self.instructions.append(ClassicalInst("MOVE", dst, src))
+        return self
+
+    def not_(self, dst: BitRef) -> "Block":
+        self.instructions.append(ClassicalInst("NOT", dst))
+        return self
+
+    def and_(self, dst: BitRef, src) -> "Block":
+        self.instructions.append(ClassicalInst("AND", dst, src))
+        return self
+
+    def ior(self, dst: BitRef, src) -> "Block":
+        self.instructions.append(ClassicalInst("IOR", dst, src))
+        return self
+
+    def xor(self, dst: BitRef, src) -> "Block":
+        self.instructions.append(ClassicalInst("XOR", dst, src))
         return self
 
 
@@ -286,6 +336,38 @@ class Program:
     def if_then(self, condition: BitRef, body: Circuit) -> "Program":
         self.instructions.append(IfThenInst(condition, body))
         return self
+
+    def move(self, dst: BitRef, src) -> "Program":
+        """dst = src (BitRef or immediate 0/1) — reference: ftqc.py:111-116."""
+        self._check_declared(dst, src)
+        self.instructions.append(ClassicalInst("MOVE", dst, src))
+        return self
+
+    def not_(self, dst: BitRef) -> "Program":
+        self._check_declared(dst, None)
+        self.instructions.append(ClassicalInst("NOT", dst))
+        return self
+
+    def and_(self, dst: BitRef, src) -> "Program":
+        self._check_declared(dst, src)
+        self.instructions.append(ClassicalInst("AND", dst, src))
+        return self
+
+    def ior(self, dst: BitRef, src) -> "Program":
+        self._check_declared(dst, src)
+        self.instructions.append(ClassicalInst("IOR", dst, src))
+        return self
+
+    def xor(self, dst: BitRef, src) -> "Program":
+        self._check_declared(dst, src)
+        self.instructions.append(ClassicalInst("XOR", dst, src))
+        return self
+
+    def _check_declared(self, dst: BitRef, src):
+        if dst.name not in self.memory:
+            raise ValueError(f"register {dst.name!r} not declared")
+        if isinstance(src, BitRef) and src.name not in self.memory:
+            raise ValueError(f"register {src.name!r} not declared")
 
     def repeat_until(self, condition: BitRef, body: Block,
                      max_iters: int) -> "Program":

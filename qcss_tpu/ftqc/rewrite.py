@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from qcss_tpu.circuits.ir import (
+    BitRef,
+    ClassicalInst,
     DeclareInst,
     GateInst,
     IfThenInst,
@@ -105,7 +107,8 @@ class EncodedProgram:
                 for b in inst.body:
                     if isinstance(b, GateInst):
                         check_gate(b.name, "looped")
-            elif isinstance(inst, (MeasureInst, ResetInst, DeclareInst)):
+            elif isinstance(inst, (MeasureInst, ResetInst, DeclareInst,
+                                   ClassicalInst)):
                 continue
             else:
                 raise UnsupportedProgramError(f"unsupported instruction: {inst}")
@@ -155,6 +158,26 @@ class EncodedProgram:
                 st, outcome = p.measure(st, block, anc1, anc2, ec_between=ec_all)
                 reg = mem[inst.target.name]
                 mem[inst.target.name] = reg.at[:, inst.target.index].set(outcome)
+            elif isinstance(inst, ClassicalInst):
+                # Pass-through of user classical instructions
+                # (reference: ftqc.py:111-116); op is static here, so this
+                # is plain traced memory arithmetic.
+                reg = mem[inst.dst.name]
+                cur = reg[:, inst.dst.index]
+                if isinstance(inst.src, BitRef):
+                    src = mem[inst.src.name][:, inst.src.index]
+                elif inst.src is None:
+                    src = None
+                else:
+                    src = jnp.full_like(cur, int(inst.src))
+                new = {
+                    "MOVE": lambda: src,
+                    "NOT": lambda: jnp.uint8(1) ^ cur,
+                    "AND": lambda: cur & src,
+                    "IOR": lambda: cur | src,
+                    "XOR": lambda: cur ^ src,
+                }[inst.op]()
+                mem[inst.dst.name] = reg.at[:, inst.dst.index].set(new)
             elif isinstance(inst, ResetInst):
                 block = data[self.qubit_map[inst.qubit]]
                 st = p.encode_zero(st, block, anc1)

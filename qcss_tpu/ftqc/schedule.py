@@ -38,6 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from qcss_tpu.circuits.ir import (
+    CLASSICAL_OPS,
+    BitRef,
+    ClassicalInst,
     DeclareInst,
     GateInst,
     IfThenInst,
@@ -55,6 +58,10 @@ OP_GATE = 1
 OP_EC_ALL = 2
 OP_MEASURE_TRIAL = 3
 OP_VOTE_STORE = 4
+OP_CLASSICAL = 5  # (cop, dst, src_enc, cond): classical bit op on memory;
+# src_enc >= 0 is a register offset, -(v+1) an immediate v (0/1).
+# The pass-through of the reference's classical instructions
+# (reference: ftqc.py:111-116).
 
 # Logical gate ids for OP_GATE's arg0 ('PHASE' is the reference's old name
 # for S — reference: test/test_css_code.py:25).
@@ -125,6 +132,16 @@ def lower(raw, code) -> MacroProgram:
             rows.append((OP_EC_ALL, cond, 0, 0, 0))
         rows.append((OP_VOTE_STORE, bit_offset(inst.target), cond, 0, 0))
 
+    def emit_classical(inst: ClassicalInst, cond: int):
+        if isinstance(inst.src, BitRef):
+            src = bit_offset(inst.src)
+        elif inst.src is None:
+            src = -1
+        else:
+            src = -(int(inst.src) + 1)
+        rows.append((OP_CLASSICAL, CLASSICAL_OPS.index(inst.op),
+                     bit_offset(inst.dst), src, cond))
+
     for inst in raw.instructions:
         if isinstance(inst, DeclareInst):
             continue
@@ -135,6 +152,8 @@ def lower(raw, code) -> MacroProgram:
                 emit_gate(g, bit_offset(inst.condition))
         elif isinstance(inst, MeasureInst):
             emit_measure(inst, -1)
+        elif isinstance(inst, ClassicalInst):
+            emit_classical(inst, -1)
         elif isinstance(inst, ResetInst):
             rows.append((OP_PREP_ZERO, qubit_map[inst.qubit], -1, 0, 0))
         elif isinstance(inst, RepeatUntilInst):
@@ -148,6 +167,8 @@ def lower(raw, code) -> MacroProgram:
                         emit_gate(body_inst, ncond)
                     elif isinstance(body_inst, MeasureInst):
                         emit_measure(body_inst, ncond)
+                    elif isinstance(body_inst, ClassicalInst):
+                        emit_classical(body_inst, ncond)
                     elif isinstance(body_inst, ResetInst):
                         rows.append((OP_PREP_ZERO,
                                      qubit_map[body_inst.qubit], ncond, 0, 0))
@@ -491,6 +512,24 @@ class MacroExecutor:
         stored = jnp.where(mask.astype(bool), outcome, st.memory[:, a[0]])
         return st._replace(memory=st.memory.at[:, a[0]].set(stored))
 
+    def _op_classical(self, st: MachineState, a) -> MachineState:
+        """Classical bit op on memory (reference: quil_classical.py:60-127
+        semantics, batched). a = (cop, dst, src_enc, cond)."""
+        cop, dst, src, cond = a[0], a[1], a[2], a[3]
+        mask = self._cond_mask(st, cond)
+        cur = st.memory[:, jnp.maximum(dst, 0)]
+        imm = jnp.asarray(-src - 1, jnp.int32).astype(jnp.uint8)
+        srcval = jnp.where(src >= 0, st.memory[:, jnp.maximum(src, 0)], imm)
+        new = jax.lax.switch(cop, [
+            lambda c, s: s,                      # MOVE
+            lambda c, s: jnp.uint8(1) ^ c,       # NOT
+            lambda c, s: c & s,                  # AND
+            lambda c, s: c | s,                  # IOR
+            lambda c, s: c ^ s,                  # XOR
+        ], cur, srcval)
+        stored = jnp.where(mask.astype(bool), new, cur)
+        return st._replace(memory=st.memory.at[:, dst].set(stored))
+
     # -- top level -----------------------------------------------------------------------
 
     def execute(self, macro: MacroProgram, key: jax.Array, batch: int) -> MachineState:
@@ -510,6 +549,7 @@ class MacroExecutor:
             self._op_ec_all,
             self._op_measure_trial,
             self._op_vote_store,
+            self._op_classical,
         ]
 
         def step(carry, row):

@@ -409,3 +409,60 @@ class TestDedicatedAncillas:
         with pytest.raises(ValueError, match="dedicated"):
             rewrite_program(prog, steane, engine="unrolled",
                             ancillas="dedicated")
+
+
+class TestClassicalInstructions:
+    def test_classical_ops_in_program(self, steane):
+        """Classical MOVE/NOT/AND/IOR/XOR pass-through (the reference
+        forwards these into the output program — reference: ftqc.py:111-116).
+        x(0); measure -> ro[0]=1; then pure classical compute on bits."""
+        prog = Program()
+        ro = prog.declare("ro", 4)
+        prog.x(0).measure(0, ro[0])
+        prog.move(ro[1], 1)        # ro1 = 1
+        prog.xor(ro[1], ro[0])     # ro1 = 1 ^ 1 = 0
+        prog.ior(ro[2], ro[0])     # ro2 = 0 | 1 = 1
+        prog.and_(ro[2], ro[1])    # ro2 = 1 & 0 = 0
+        prog.not_(ro[3])           # ro3 = 1
+        res = rewrite_program(prog, steane).run(4)
+        assert (res["ro"][:, 0] == 1).all()
+        assert (res["ro"][:, 1] == 0).all()
+        assert (res["ro"][:, 2] == 0).all()
+        assert (res["ro"][:, 3] == 1).all()
+
+    @slow
+    def test_classical_ops_unrolled_engine(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 2)
+        prog.x(0).measure(0, ro[0])
+        prog.move(ro[1], ro[0])
+        prog.not_(ro[1])
+        res = rewrite_program(prog, steane, engine="unrolled").run(2)
+        assert (res["ro"][:, 0] == 1).all()
+        assert (res["ro"][:, 1] == 0).all()
+
+    def test_classical_feedback_composition(self, steane):
+        """A computed bit drives feedback: NOT of the measurement decides
+        the conditional X."""
+        prog = Program()
+        ro = prog.declare("ro", 3)
+        prog.h(0).measure(0, ro[0])
+        prog.move(ro[1], ro[0])
+        prog.not_(ro[1])           # ro1 = !ro0
+        prog.if_then(ro[0], Circuit().x(0))   # undo if measured 1
+        prog.if_then(ro[1], Circuit().i(0))   # no-op branch on computed bit
+        prog.measure(0, ro[2])
+        res = rewrite_program(prog, steane).run(8, key=jax.random.key(3))
+        assert (res["ro"][:, 2] == 0).all()
+        assert (res["ro"][:, 1] == 1 - res["ro"][:, 0]).all()
+
+    def test_validation(self, steane):
+        from qcss_tpu.circuits.ir import ClassicalInst, BitRef
+
+        with pytest.raises(ValueError, match="unary"):
+            ClassicalInst("NOT", BitRef("ro", 0), BitRef("ro", 1))
+        with pytest.raises(ValueError, match="immediate"):
+            ClassicalInst("MOVE", BitRef("ro", 0), 2)
+        prog = Program()
+        with pytest.raises(ValueError, match="not declared"):
+            prog.move(BitRef("nope", 0), 1)
