@@ -54,8 +54,11 @@ def main():
         prog.x(0).measure(0, ro[0])
         enc = rewrite_program(prog, code, noise=model, tableau=args.tableau,
                               ancillas=args.ancillas)
-        enc.run(256, key=jax.random.key(99))  # compile
-        enc.run(256, key=jax.random.key(98))  # tunnel stale-result guard
+        # warm at the CHUNK size (batch is a static arg: a different warmup
+        # size would leave the real compile inside the timed loop) and twice
+        # (the tunnel's first post-compile result can be stale)
+        enc.run(args.chunk, key=jax.random.key(99))
+        enc.run(args.chunk, key=jax.random.key(98))
         fails = prep_fails = 0
         t0 = time.perf_counter()
         for i in range(shots // args.chunk):

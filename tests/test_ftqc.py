@@ -390,6 +390,7 @@ class TestDedicatedAncillas:
         res = rewrite_program(prog, steane, ancillas="dedicated").run(4)
         assert (res["ro"][:, 0] == 1).all()
 
+    @slow
     def test_dedicated_ancilla_feedback_two_qubits(self, steane):
         """Two logical qubits, feedback, dedicated ancillas: 6 blocks."""
         prog = Program()
@@ -441,6 +442,7 @@ class TestClassicalInstructions:
         assert (res["ro"][:, 0] == 1).all()
         assert (res["ro"][:, 1] == 0).all()
 
+    @slow
     def test_classical_feedback_composition(self, steane):
         """A computed bit drives feedback: NOT of the measurement decides
         the conditional X."""
