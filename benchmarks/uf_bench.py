@@ -93,6 +93,36 @@ def main():
             "threads": min(os.cpu_count() or 1, 16),
         }))
 
+    # phenomenological multi-round threshold (p = q, rounds = d): the
+    # standard 'threshold with measurement errors' benchmark
+    from qcss_tpu.decode.uf import uf_phenomenological_error_rate
+
+    ph_curve: dict[int, dict[float, float]] = {}
+    ph_ps = [0.01, 0.015, 0.02, 0.025, 0.03, 0.04]
+    t0 = time.perf_counter()
+    for d in distances:
+        if d > 9:
+            continue
+        code = families.rotated_surface(d)
+        ph_curve[d] = {}
+        for p in ph_ps:
+            r = uf_phenomenological_error_rate(
+                code, p, rounds=d, samples=args.samples, batch=args.samples,
+                seed=d * 31 + 7,
+            )
+            ph_curve[d][p] = r["logical_fail"]
+    below = [p for p in ph_ps
+             if ph_curve[max(ph_curve)][p] < ph_curve[3][p]]
+    print(json.dumps({
+        "bench": "uf_phenomenological_threshold_curve",
+        "noise": "p data X per round, q=p measurement flips, rounds=d",
+        "samples_per_point": args.samples,
+        "curve": {str(d): {str(p): v for p, v in c.items()}
+                  for d, c in ph_curve.items()},
+        "crossing_below_p": max(below) if below else None,
+        "elapsed_s": round(time.perf_counter() - t0, 1),
+    }))
+
     # spacetime memory experiment, surface d=5
     from qcss_tpu.experiments.memory import z_memory_experiment
     from qcss_tpu.sim.noise import NoiseModel

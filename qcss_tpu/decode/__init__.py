@@ -23,6 +23,7 @@ from qcss_tpu.decode.uf import (
     graph_from_checks,
     spacetime_graph,
     uf_logical_error_rate,
+    uf_phenomenological_error_rate,
 )
 from qcss_tpu.decode.spacetime import (
     detector_history,
@@ -37,6 +38,7 @@ __all__ = [
     "graph_from_checks",
     "spacetime_graph",
     "uf_logical_error_rate",
+    "uf_phenomenological_error_rate",
     "detector_history",
     "spacetime_check_matrix",
     "spacetime_correction_lut",

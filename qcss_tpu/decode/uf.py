@@ -322,6 +322,80 @@ def _pack_parity(par: np.ndarray) -> np.ndarray:
     return (par.astype(np.uint32) @ weights).astype(np.uint32)
 
 
+@partial(jax.jit, static_argnames=("batch", "rounds"))
+def _sample_phenomenological(key, p, q, batch, rounds, h, lz):
+    """Device side of the multi-round pipeline: rounds+1 layers of IID X
+    errors (layer t arises before measurement round t; layer `rounds`
+    before the perfect final readout), measurement flips with probability
+    q on each of the `rounds` noisy syndrome extractions. Returns
+    (detector histories [B, (rounds+1)*r], logical parities [B, k])."""
+    n = h.shape[1]
+    r = h.shape[0]
+    ke, kf = jax.random.split(key)
+    errs = (
+        jax.random.uniform(ke, (rounds + 1, batch, n)) < p
+    ).astype(jnp.uint8)
+    flips = (
+        jax.random.uniform(kf, (rounds, batch, r)) < q
+    ).astype(jnp.uint8)
+    cum = jnp.cumsum(errs.astype(jnp.int32), axis=0).astype(jnp.uint8) & 1
+    syns = [gf2_jax.syndromes_dense(cum[t], h) ^ flips[t] for t in range(rounds)]
+    final = gf2_jax.syndromes_dense(cum[rounds], h)
+    dets = [syns[0]]
+    for t in range(1, rounds):
+        dets.append(syns[t] ^ syns[t - 1])
+    dets.append(final ^ syns[rounds - 1])
+    detectors = jnp.concatenate(dets, axis=-1)
+    par = gf2_jax.mod2_matmul(cum[rounds], lz.T)
+    return detectors, par
+
+
+def uf_phenomenological_error_rate(
+    code,
+    p,
+    q=None,
+    *,
+    rounds: int | None = None,
+    samples: int = 1 << 14,
+    batch: int = 1 << 14,
+    seed: int = 0,
+    n_threads: int | None = None,
+    use_native: bool | None = None,
+) -> dict[str, float]:
+    """Multi-round phenomenological X-memory logical error rate, decoded
+    with spacetime union-find — the standard 'threshold with measurement
+    errors' benchmark (crossing near p ≈ 2.5-3% for p=q on surface codes).
+    `rounds` defaults to the code distance (via t); `q` defaults to p."""
+    h = code.raw_parity_check_c2
+    lz = code.z_operator_matrix()
+    if rounds is None:
+        rounds = 2 * code.t + 1
+    q = p if q is None else q
+    graph = spacetime_graph(h, lz, rounds)
+    dec = UFDecoder(graph, use_native=use_native)
+    h_j = jnp.asarray(h, jnp.uint8)
+    lz_j = jnp.asarray(lz, jnp.uint8)
+
+    n_rounds = -(-samples // batch)
+    keys = jax.random.split(jax.random.key(seed), n_rounds)
+    fails = 0
+    for i in range(n_rounds):
+        dets, par = _sample_phenomenological(
+            keys[i], jnp.float32(p), jnp.float32(q), batch, rounds, h_j, lz_j
+        )
+        _, obs = dec.decode_batch(np.asarray(dets), want_corrections=False,
+                                  n_threads=n_threads)
+        fails += int(np.sum(obs != _pack_parity(np.asarray(par))))
+    n_samples = n_rounds * batch
+    return {
+        "logical_fail": fails / n_samples,
+        "samples": n_samples,
+        "rounds": rounds,
+        "p": p,
+        "q": q,
+    }
+
+
 def uf_logical_error_rate(
     code,
     p,
