@@ -31,7 +31,38 @@ def main():
     ap.add_argument("--codes", nargs="+", default=["steane", "surface5"])
     ap.add_argument("--p-gate", type=float, default=0.001)
     ap.add_argument("--p-meas", type=float, default=0.005)
+    ap.add_argument("--decoder", default="vote",
+                    choices=["vote", "difference", "stlut", "uf"])
+    ap.add_argument("--curve", action="store_true",
+                    help="circuit-level memory curve: p-sweep with "
+                    "rounds = d and p_meas = 5*p_gate2, spacetime-UF "
+                    "decoded (surface codes)")
+    ap.add_argument("--ps", type=float, nargs="+", default=[5e-4, 1e-3, 2e-3])
     args = ap.parse_args()
+
+    if args.curve:
+        for name in args.codes:
+            code = CODES[name]()
+            d = {"surface3": 3, "surface5": 5, "steane": 3}[name]
+            for p in args.ps:
+                noise = NoiseModel(p_gate2=p, p_meas=5 * p)
+                t0 = time.perf_counter()
+                out = z_memory_experiment(code, rounds=d, noise=noise,
+                                          batch=args.batch, seed=0,
+                                          decoder="uf")
+                dt = time.perf_counter() - t0
+                print(json.dumps({
+                    "metric": "z_memory_curve",
+                    "code": name,
+                    "rounds": d,
+                    "batch": args.batch,
+                    "p_gate2": p,
+                    "p_meas": 5 * p,
+                    "decoder": "uf",
+                    "logical_fail": out["logical_fail"],
+                    "elapsed_s": round(dt, 1),
+                }), flush=True)
+        return
 
     noise = NoiseModel(p_gate2=args.p_gate, p_meas=args.p_meas)
     for name in args.codes:
@@ -39,10 +70,12 @@ def main():
         for rounds in args.rounds:
             # Warm (compile) then time (host-fenced inside the experiment).
             z_memory_experiment(code, rounds=rounds, noise=noise,
-                                batch=args.batch, seed=100)
+                                batch=args.batch, seed=100,
+                                decoder=args.decoder)
             t0 = time.perf_counter()
             out = z_memory_experiment(code, rounds=rounds, noise=noise,
-                                      batch=args.batch, seed=0)
+                                      batch=args.batch, seed=0,
+                                      decoder=args.decoder)
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "metric": "z_memory_experiment",
