@@ -13,7 +13,16 @@
 // grown subgraph leaf-first, emitting an edge into the correction whenever
 // the leaf carries a defect.
 //
-// Graph encoding (shared with the Python fallback in qcss_tpu/decode/uf.py):
+// The growth stage is the paper's near-linear form: each active cluster
+// root owns a boundary-edge list (weighted-merged on union, stale entries
+// filtered lazily), so a round touches only frontier edges instead of
+// rescanning the whole edge set. Growth uses snapshot semantics — all
+// increments of a round are computed before any union — which makes the
+// support trajectory identical to a whole-edge-scan implementation (the
+// Python fallback in qcss_tpu/decode/uf.py keeps that form; the two are
+// differentially tested for bit-identity).
+//
+// Graph encoding (shared with the Python fallback):
 //   edges      [E,2] int32 detector indices, -1 encodes the boundary
 //   edge_qubit [E]   int32 data-qubit flipped by this edge (-1: none, e.g.
 //                    measurement-error edges in spacetime graphs)
@@ -35,7 +44,27 @@ struct Graph {
   int32_t num_nodes;  // real detectors; the virtual boundary is node num_nodes
   int32_t num_edges;
   int32_t n_qubits;
+  // CSR of vertex -> incident edges (built once per call, shared by threads)
+  std::vector<int32_t> csr_off;   // [num_nodes + 2]
+  std::vector<int32_t> csr_edge;  // [2E]
 };
+
+void build_csr(Graph& g) {
+  int32_t nv = g.num_nodes + 1;  // + boundary vertex
+  g.csr_off.assign(nv + 1, 0);
+  auto vert = [&](int32_t x) { return x < 0 ? g.num_nodes : x; };
+  for (int32_t e = 0; e < g.num_edges; ++e) {
+    g.csr_off[vert(g.edges[2 * e]) + 1]++;
+    g.csr_off[vert(g.edges[2 * e + 1]) + 1]++;
+  }
+  for (int32_t v = 0; v < nv; ++v) g.csr_off[v + 1] += g.csr_off[v];
+  g.csr_edge.resize(2 * (size_t)g.num_edges);
+  std::vector<int32_t> cur(g.csr_off.begin(), g.csr_off.end() - 1);
+  for (int32_t e = 0; e < g.num_edges; ++e) {
+    g.csr_edge[cur[vert(g.edges[2 * e])]++] = e;
+    g.csr_edge[cur[vert(g.edges[2 * e + 1])]++] = e;
+  }
+}
 
 struct Scratch {
   // union-find state over num_nodes + 1 vertices (last = boundary)
@@ -45,6 +74,15 @@ struct Scratch {
   std::vector<uint8_t> boundary;  // root touches the boundary
   std::vector<uint8_t> support;   // per-edge growth in {0,1,2}
   std::vector<uint8_t> defect;    // per-vertex defect for peeling
+  // frontier growth
+  std::vector<std::vector<int32_t>> bound;  // per-root boundary edge lists
+  std::vector<uint8_t> materialized;        // bound[v] holds v's CSR edges
+  std::vector<int32_t> dirty;               // bound[]/materialized[] to reset
+  std::vector<int32_t> active, next_active, merges;
+  std::vector<int32_t> stamp;               // dedupe epochs per vertex
+  int32_t epoch = 0;
+  std::vector<int32_t> touched_edges;       // support[] entries to reset
+  std::vector<int32_t> grown;               // saturated edges (the forest)
   // adjacency over grown edges, rebuilt per shot
   std::vector<int32_t> head;      // per-vertex list head (edge slot index)
   std::vector<int32_t> nxt;       // [2E] next slot
@@ -64,6 +102,9 @@ struct Scratch {
     boundary.resize(nv);
     support.resize(g.num_edges);
     defect.resize(nv);
+    bound.resize(nv);
+    materialized.assign(nv, 0);
+    stamp.assign(nv, -1);
     head.resize(nv);
     nxt.resize(2 * (size_t)g.num_edges);
     slot_to.resize(2 * (size_t)g.num_edges);
@@ -82,14 +123,28 @@ struct Scratch {
     return x;
   }
 
-  // Union two roots, merging defect parity and boundary contact.
-  int32_t unite(int32_t a, int32_t b) {
+  void materialize(const Graph& g, int32_t v) {
+    if (materialized[v]) return;
+    materialized[v] = 1;
+    bound[v].assign(g.csr_edge.begin() + g.csr_off[v],
+                    g.csr_edge.begin() + g.csr_off[v + 1]);
+    dirty.push_back(v);
+  }
+
+  // Union two roots, merging defect parity, boundary contact, and the
+  // frontier lists (smaller appended to larger). Returns the new root.
+  int32_t unite(const Graph& g, int32_t a, int32_t b) {
     if (a == b) return a;
+    materialize(g, a);
+    materialize(g, b);
     if (rnk[a] < rnk[b]) std::swap(a, b);
     parent[b] = a;
     parity[a] ^= parity[b];
     boundary[a] |= boundary[b];
     if (rnk[a] == rnk[b]) rnk[a]++;
+    if (bound[a].size() < bound[b].size()) bound[a].swap(bound[b]);
+    bound[a].insert(bound[a].end(), bound[b].begin(), bound[b].end());
+    bound[b].clear();  // capacity kept: reused across shots
     return a;
   }
 };
@@ -103,14 +158,28 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
   const int32_t N = g.num_nodes;
   const int32_t B = N;  // virtual boundary vertex
 
+  // reset only what the previous shot touched
+  for (int32_t v : s.dirty) {
+    s.bound[v].clear();
+    s.materialized[v] = 0;
+  }
+  s.dirty.clear();
+  for (int32_t e : s.touched_edges) s.support[e] = 0;
+  s.touched_edges.clear();
+  s.grown.clear();
+
   int32_t n_defects = 0;
+  s.active.clear();
   for (int32_t i = 0; i < N; ++i) {
     s.parent[i] = i;
     s.rnk[i] = 0;
     s.parity[i] = syn[i] & 1;
     s.boundary[i] = 0;
     s.defect[i] = syn[i] & 1;
-    n_defects += syn[i] & 1;
+    if (syn[i] & 1) {
+      n_defects++;
+      s.active.push_back(i);
+    }
   }
   s.parent[B] = B;
   s.rnk[B] = 0;
@@ -124,59 +193,88 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
     return;
   }
 
-  std::memset(s.support.data(), 0, g.num_edges);
+  for (int32_t v : s.active) s.materialize(g, v);
 
-  // -- growth --------------------------------------------------------------
-  // Canonical simultaneous growth: each round, every edge incident to an
-  // active (odd, boundary-free) cluster grows by one half per active
-  // endpoint, judged against the cluster state at the START of the round
-  // (no unions happen until the round's growth phase is done — sequential
-  // mid-scan merging loses the minimum-weight guarantee). Saturated edges
-  // then merge their endpoint clusters.
-  std::vector<int32_t>& merges = s.order;  // reuse as scratch (ints)
-  while (true) {
-    bool exists_active = false;
-    for (int32_t i = 0; i < N; ++i) {
-      int32_t r = s.find(i);
-      if (cluster_active(s, r)) {
-        exists_active = true;
-        break;
-      }
-    }
-    if (!exists_active) break;
+  // -- growth (frontier form, snapshot semantics) ----------------------------
+  // Round: every boundary edge of every active cluster gains one half per
+  // active endpoint (an edge shared by two active frontiers appears in
+  // both lists). No union happens until the round's growth is done, so
+  // increments match a whole-edge-scan snapshot implementation exactly.
+  while (!s.active.empty()) {
     bool grew = false;
-    merges.clear();
-    for (int32_t e = 0; e < g.num_edges; ++e) {
-      if (s.support[e] >= 2) continue;
+    s.merges.clear();
+    for (int32_t root : s.active) {
+      auto& blist = s.bound[root];
+      size_t w = 0;
+      for (size_t ri = 0; ri < blist.size(); ++ri) {
+        int32_t e = blist[ri];
+        if (s.support[e] >= 2) continue;  // stale: already saturated
+        int32_t u = g.edges[2 * e];
+        int32_t v = g.edges[2 * e + 1];
+        int32_t ru = s.find(u < 0 ? B : u);
+        int32_t rv = s.find(v < 0 ? B : v);
+        if (ru == rv) continue;  // stale: became internal
+        grew = true;
+        if (s.support[e] == 0) s.touched_edges.push_back(e);
+        if (++s.support[e] >= 2) {
+          s.merges.push_back(e);
+          s.grown.push_back(e);
+        }
+        blist[w++] = e;
+      }
+      blist.resize(w);
+    }
+    for (int32_t e : s.merges) {
       int32_t u = g.edges[2 * e];
       int32_t v = g.edges[2 * e + 1];
       int32_t ru = s.find(u < 0 ? B : u);
       int32_t rv = s.find(v < 0 ? B : v);
-      if (ru == rv) continue;
-      int inc = (int)cluster_active(s, ru) + (int)cluster_active(s, rv);
-      if (!inc) continue;
-      grew = true;
-      s.support[e] = (uint8_t)(s.support[e] + inc);
-      if (s.support[e] >= 2) {
-        s.support[e] = 2;
-        merges.push_back(e);
-      }
+      if (ru != rv) s.unite(g, ru, rv);
     }
-    for (int32_t e : merges) {
-      int32_t u = g.edges[2 * e];
-      int32_t v = g.edges[2 * e + 1];
-      s.unite(s.find(u < 0 ? B : u), s.find(v < 0 ? B : v));
+    // next round's active roots: survivors + merge winners, deduped
+    s.epoch++;
+    s.next_active.clear();
+    for (int32_t root : s.active) {
+      int32_t r = s.find(root);
+      if (s.stamp[r] == s.epoch) continue;
+      s.stamp[r] = s.epoch;
+      if (cluster_active(s, r)) s.next_active.push_back(r);
     }
-    if (!grew) break;  // defensive: disconnected defect with no boundary
+    s.active.swap(s.next_active);
+    if (!grew && !s.active.empty()) break;  // defensive: stuck defect
   }
 
   // -- peeling ---------------------------------------------------------------
   // Spanning forest of the grown subgraph, rooted at the boundary first so
   // boundary-touching clusters can discharge their last defect into it.
-  std::fill(s.head.begin(), s.head.end(), -1);
+  // Only vertices incident to grown edges (plus the boundary) take part,
+  // so resets touch that set, not the whole graph.
+  // The forest — and hence which of several equivalent corrections comes
+  // out — must match the whole-edge-scan reference implementation, which
+  // inserts adjacency slots in ascending edge-index order. Sort the
+  // (small) grown list rather than rescanning all E edges; also reset
+  // head/visited only for participating vertices. Defects are reset
+  // explicitly too so the defensive stuck-defect break can't leave stale
+  // bits (normally every defect is an endpoint of some grown edge).
+  std::sort(s.grown.begin(), s.grown.end());
+  s.head[B] = -1;
+  s.visited[B] = 0;
+  for (int32_t i = 0; i < N; ++i) {
+    if (s.defect[i]) {
+      s.head[i] = -1;
+      s.visited[i] = 0;
+    }
+  }
+  for (int32_t e : s.grown) {
+    int32_t u = g.edges[2 * e];
+    int32_t v = g.edges[2 * e + 1];
+    int32_t a = u < 0 ? B : u;
+    int32_t b = v < 0 ? B : v;
+    s.head[a] = s.head[b] = -1;
+    s.visited[a] = s.visited[b] = 0;
+  }
   int32_t n_slots = 0;
-  for (int32_t e = 0; e < g.num_edges; ++e) {
-    if (s.support[e] != 2) continue;
+  for (int32_t e : s.grown) {
     int32_t u = g.edges[2 * e];
     int32_t v = g.edges[2 * e + 1];
     int32_t a = u < 0 ? B : u;
@@ -190,8 +288,6 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
     s.nxt[n_slots] = s.head[b];
     s.head[b] = n_slots++;
   }
-
-  std::memset(s.visited.data(), 0, N + 1);
   s.order.clear();
 
   auto bfs_from = [&](int32_t root) {
@@ -234,17 +330,18 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
   *obs_out = obs;
 }
 
-void decode_range(const Graph& g, const uint8_t* syndromes, int64_t lo,
+void decode_range(const Graph* g, const uint8_t* syndromes, int64_t lo,
                   int64_t hi, uint8_t* corrections, uint32_t* obs_out) {
   Scratch s;
-  s.init(g);
+  s.init(*g);
   for (int64_t b = lo; b < hi; ++b) {
     uint8_t* corr = nullptr;
     if (corrections != nullptr) {
-      corr = corrections + b * (int64_t)g.n_qubits;
-      std::memset(corr, 0, g.n_qubits);
+      corr = corrections + b * (int64_t)g->n_qubits;
+      std::memset(corr, 0, g->n_qubits);
     }
-    decode_one(g, syndromes + b * (int64_t)g.num_nodes, corr, obs_out + b, s);
+    decode_one(*g, syndromes + b * (int64_t)g->num_nodes, corr, obs_out + b,
+               s);
   }
 }
 
@@ -256,9 +353,10 @@ extern "C" int32_t qcss_uf_decode_batch(
     const uint8_t* syndromes, int64_t batch, uint8_t* corrections,
     uint32_t* obs_out, int32_t n_threads) {
   if (num_nodes <= 0 || num_edges <= 0 || batch < 0) return 1;
-  Graph g{edges, edge_qubit, edge_obs, num_nodes, num_edges, n_qubits};
+  Graph g{edges, edge_qubit, edge_obs, num_nodes, num_edges, n_qubits, {}, {}};
+  build_csr(g);
   if (n_threads <= 1 || batch < 2 * n_threads) {
-    decode_range(g, syndromes, 0, batch, corrections, obs_out);
+    decode_range(&g, syndromes, 0, batch, corrections, obs_out);
     return 0;
   }
   std::vector<std::thread> threads;
@@ -267,7 +365,7 @@ extern "C" int32_t qcss_uf_decode_batch(
     int64_t lo = t * chunk;
     int64_t hi = std::min<int64_t>(batch, lo + chunk);
     if (lo >= hi) break;
-    threads.emplace_back(decode_range, g, syndromes, lo, hi, corrections,
+    threads.emplace_back(decode_range, &g, syndromes, lo, hi, corrections,
                          obs_out);
   }
   for (auto& th : threads) th.join();
