@@ -44,11 +44,35 @@ def main():
           float(res["ro"][:, 0].mean()),
           "| second (always 0):", int(res["ro"][:, 1].sum()))
 
-    # 4. Circuit-level quantum memory experiment.
+    # 4. Circuit-level quantum memory experiment, spacetime-decoded.
     mem = z_memory_experiment(
-        code, rounds=3, noise=NoiseModel(p_gate2=1e-3, p_meas=5e-3), batch=4096
+        code, rounds=3, noise=NoiseModel(p_gate2=1e-3, p_meas=5e-3),
+        batch=4096, decoder="stlut",
     )
-    print("3-round Z-memory logical failure rate:", mem["logical_fail"])
+    print("3-round Z-memory logical failure rate (spacetime LUT):",
+          mem["logical_fail"])
+
+    # 5. Union-find decoding past the LUT wall: surface code at d=9.
+    from qcss_tpu.decode import uf_logical_error_rate
+
+    surf = families.rotated_surface(9)
+    out = uf_logical_error_rate(surf, 0.05, samples=1 << 13, batch=1 << 13)
+    print("surface d=9, p=0.05, union-find word error rate:",
+          f"{out['word_fail']:.2e}")
+
+    # 6. Repeat-until-success with classical compute on bits.
+    from qcss_tpu.circuits import Block
+
+    rus = Program()
+    bits = rus.declare("bits", 2)
+    rus.repeat_until(bits[0], Block().reset(0).h(0).measure(0, bits[0]),
+                     max_iters=4)
+    rus.measure(0, bits[1])
+    out = rewrite_program(rus, code).run(batch=16, key=jax.random.key(1))
+    print("repeat-until-success: loop bit mean",
+          float(out["bits"][:, 0].mean()),
+          "| confirm == loop bit:",
+          bool((out["bits"][:, 1] == out["bits"][:, 0]).all()))
 
 
 if __name__ == "__main__":

@@ -5,6 +5,7 @@ from qcss_tpu.circuits.ir import (
     Circuit,
     ClassicalInst,
     CLASSICAL_OPS,
+    PragmaInst,
     Program,
     RepeatUntilInst,
     GateInst,
@@ -22,6 +23,7 @@ __all__ = [
     "Circuit",
     "ClassicalInst",
     "CLASSICAL_OPS",
+    "PragmaInst",
     "RepeatUntilInst",
     "Program",
     "GateInst",

@@ -77,6 +77,17 @@ class IfThenInst:
     body: "Circuit"
 
 
+@dataclass(frozen=True)
+class PragmaInst:
+    """An annotation with no execution semantics, carried through the
+    transpiler untouched — the analogue of the reference's Pragma
+    pass-through (reference: ftqc.py:113-114). Useful for tagging programs
+    for external tooling; both engines skip it."""
+
+    name: str
+    args: tuple = ()
+
+
 CLASSICAL_OPS = ("MOVE", "NOT", "AND", "IOR", "XOR")
 
 
@@ -135,7 +146,7 @@ class RepeatUntilInst:
 
 Instruction = Union[
     GateInst, MeasureInst, ResetInst, IfThenInst, RepeatUntilInst,
-    ClassicalInst, DeclareInst
+    ClassicalInst, PragmaInst, DeclareInst
 ]
 
 
@@ -361,6 +372,11 @@ class Program:
     def xor(self, dst: BitRef, src) -> "Program":
         self._check_declared(dst, src)
         self.instructions.append(ClassicalInst("XOR", dst, src))
+        return self
+
+    def pragma(self, name: str, *args) -> "Program":
+        """Attach a no-op annotation (reference: ftqc.py:113-114)."""
+        self.instructions.append(PragmaInst(str(name), tuple(args)))
         return self
 
     def _check_declared(self, dst: BitRef, src):

@@ -32,6 +32,7 @@ from qcss_tpu.circuits.ir import (
     BitRef,
     ClassicalInst,
     DeclareInst,
+    PragmaInst,
     GateInst,
     IfThenInst,
     MeasureInst,
@@ -108,7 +109,7 @@ class EncodedProgram:
                     if isinstance(b, GateInst):
                         check_gate(b.name, "looped")
             elif isinstance(inst, (MeasureInst, ResetInst, DeclareInst,
-                                   ClassicalInst)):
+                                   ClassicalInst, PragmaInst)):
                 continue
             else:
                 raise UnsupportedProgramError(f"unsupported instruction: {inst}")
@@ -141,7 +142,7 @@ class EncodedProgram:
             st = p.encode_zero(st, block, anc1)
 
         for inst in self.raw.instructions:
-            if isinstance(inst, DeclareInst):
+            if isinstance(inst, (DeclareInst, PragmaInst)):
                 continue
             if isinstance(inst, GateInst):
                 blocks = [data[self.qubit_map[q]] for q in inst.qubits]

@@ -42,6 +42,7 @@ from qcss_tpu.circuits.ir import (
     BitRef,
     ClassicalInst,
     DeclareInst,
+    PragmaInst,
     GateInst,
     IfThenInst,
     MeasureInst,
@@ -143,7 +144,7 @@ def lower(raw, code) -> MacroProgram:
                      bit_offset(inst.dst), src, cond))
 
     for inst in raw.instructions:
-        if isinstance(inst, DeclareInst):
+        if isinstance(inst, (DeclareInst, PragmaInst)):
             continue
         if isinstance(inst, GateInst):
             emit_gate(inst, -1)

@@ -468,3 +468,15 @@ class TestClassicalInstructions:
         prog = Program()
         with pytest.raises(ValueError, match="not declared"):
             prog.move(BitRef("nope", 0), 1)
+
+
+class TestPragma:
+    def test_pragma_pass_through(self, steane):
+        """Pragmas carry no execution semantics in either engine
+        (reference: ftqc.py:113-114)."""
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.pragma("INITIAL_REWIRING", "NAIVE")
+        prog.x(0).measure(0, ro[0])
+        res = rewrite_program(prog, steane).run(2)
+        assert (res["ro"][:, 0] == 1).all()
