@@ -24,6 +24,7 @@ from qcss_tpu.decode.uf import (
     spacetime_graph,
     uf_logical_error_rate,
     uf_phenomenological_error_rate,
+    weights_from_probs,
 )
 from qcss_tpu.decode.spacetime import (
     detector_history,
@@ -39,6 +40,7 @@ __all__ = [
     "spacetime_graph",
     "uf_logical_error_rate",
     "uf_phenomenological_error_rate",
+    "weights_from_probs",
     "detector_history",
     "spacetime_check_matrix",
     "spacetime_correction_lut",

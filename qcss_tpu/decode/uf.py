@@ -39,13 +39,16 @@ from qcss_tpu.ops import gf2_jax
 class MatchingGraph:
     """A decoding graph. ``edges`` is [E, 2] int32 (-1 = boundary),
     ``edge_qubit`` [E] int32 (-1 = no data qubit), ``edge_obs`` [E] uint32
-    observable bitmasks."""
+    observable bitmasks, ``edge_weight`` [E] uint8 growth halves to
+    saturation (2 everywhere = unweighted; ~ -log fault probability when
+    weighted, see `weights_from_probs`)."""
 
     num_nodes: int
     edges: np.ndarray
     edge_qubit: np.ndarray
     edge_obs: np.ndarray
     n_qubits: int
+    edge_weight: np.ndarray | None = None
 
     def __post_init__(self):
         object.__setattr__(self, "edges", np.ascontiguousarray(self.edges, np.int32))
@@ -55,10 +58,30 @@ class MatchingGraph:
         object.__setattr__(
             self, "edge_obs", np.ascontiguousarray(self.edge_obs, np.uint32)
         )
+        w = self.edge_weight
+        if w is None:
+            w = np.full(self.edges.shape[0], 2, dtype=np.uint8)
+        object.__setattr__(
+            self, "edge_weight", np.ascontiguousarray(w, np.uint8)
+        )
 
     @property
     def num_edges(self) -> int:
         return self.edges.shape[0]
+
+
+def weights_from_probs(probs) -> np.ndarray:
+    """Integer growth weights from per-edge fault probabilities:
+    w_e = max(2, round(2 * ln(p_e) / ln(p_max))) — the most likely edge
+    gets weight 2 (one half per endpoint per round, the unweighted pace),
+    less likely edges proportionally more; clamped to 250 (uint8
+    support counters)."""
+    probs = np.asarray(probs, dtype=np.float64)
+    if np.any(probs <= 0) or np.any(probs >= 1):
+        raise ValueError("edge probabilities must lie in (0, 1)")
+    base = np.log(probs.max())
+    w = np.rint(2.0 * np.log(probs) / base)
+    return np.clip(w, 2, 250).astype(np.uint8)
 
 
 def _column_obs_masks(logicals: np.ndarray) -> np.ndarray:
@@ -104,13 +127,20 @@ def graph_from_checks(h: np.ndarray, logicals: np.ndarray) -> MatchingGraph:
     )
 
 
-def spacetime_graph(h: np.ndarray, logicals: np.ndarray, rounds: int) -> MatchingGraph:
+def spacetime_graph(h: np.ndarray, logicals: np.ndarray, rounds: int,
+                    p_space: float | None = None,
+                    p_time: float | None = None) -> MatchingGraph:
     """Phenomenological spacetime graph for an R-round memory experiment
     with a final perfect readout: R+1 detector slices (slice t holds the
     detection events syn[t] ^ syn[t-1]; slice R comes from the perfect
     final-word syndrome), space edges per slice (data errors arising in
     that round), and time edges between consecutive slices t, t+1 for
-    t < R (measurement errors in round t)."""
+    t < R (measurement errors in round t).
+
+    With ``p_space``/``p_time`` (per-round data-error and measurement-flip
+    probabilities), edges carry -log-likelihood growth weights
+    (`weights_from_probs`), so e.g. accurate measurements make the decoder
+    reluctant to blame time edges. Both default to None = unweighted."""
     base = graph_from_checks(h, logicals)
     r = base.num_nodes
     slices = rounds + 1
@@ -121,17 +151,28 @@ def spacetime_graph(h: np.ndarray, logicals: np.ndarray, rounds: int) -> Matchin
             edges.append((off + a, -1 if b < 0 else off + b))
             equbit.append(int(q))
             eobs.append(int(o))
+    n_space = len(edges)
     for t in range(rounds):
         for c in range(r):
             edges.append((t * r + c, (t + 1) * r + c))
             equbit.append(-1)
             eobs.append(0)
+    weight = None
+    if p_space is not None or p_time is not None:
+        if p_space is None or p_time is None:
+            raise ValueError("pass both p_space and p_time, or neither")
+        probs = np.concatenate([
+            np.full(n_space, p_space),
+            np.full(len(edges) - n_space, p_time),
+        ])
+        weight = weights_from_probs(probs)
     return MatchingGraph(
         num_nodes=slices * r,
         edges=np.asarray(edges, dtype=np.int32).reshape(-1, 2),
         edge_qubit=np.asarray(equbit, dtype=np.int32),
         edge_obs=np.asarray(eobs, dtype=np.uint32),
         n_qubits=base.n_qubits,
+        edge_weight=weight,
     )
 
 
@@ -180,11 +221,12 @@ def _decode_one_py(g: MatchingGraph, syn: np.ndarray, want_corr: bool):
     # Canonical simultaneous growth (mirrors uf_decoder.cc): grow against
     # the start-of-round cluster state, then merge saturated edges.
     ed = g.edges
+    wt = g.edge_weight
     while any(active(find(i)) for i in range(N)):
         grew = False
         merges: list[int] = []
         for e in range(g.num_edges):
-            if support[e] >= 2:
+            if support[e] >= wt[e]:
                 continue
             u, v = int(ed[e, 0]), int(ed[e, 1])
             ru = find(B if u < 0 else u)
@@ -196,8 +238,8 @@ def _decode_one_py(g: MatchingGraph, syn: np.ndarray, want_corr: bool):
                 continue
             grew = True
             support[e] += inc
-            if support[e] >= 2:
-                support[e] = 2
+            if support[e] >= wt[e]:
+                support[e] = wt[e]
                 merges.append(e)
         for e in merges:
             u, v = int(ed[e, 0]), int(ed[e, 1])
@@ -208,7 +250,7 @@ def _decode_one_py(g: MatchingGraph, syn: np.ndarray, want_corr: bool):
     # peeling: adjacency in reverse edge order (head-insertion semantics)
     adj: list[list[tuple[int, int]]] = [[] for _ in range(N + 1)]
     for e in range(g.num_edges):
-        if support[e] != 2:
+        if support[e] < wt[e]:
             continue
         u, v = int(ed[e, 0]), int(ed[e, 1])
         a = B if u < 0 else u
@@ -289,7 +331,8 @@ class UFDecoder:
         g = self.graph
         if self.use_native:
             out = native.uf_decode_batch_native(
-                g.edges, g.edge_qubit, g.edge_obs, g.num_nodes, g.n_qubits,
+                g.edges, g.edge_qubit, g.edge_obs, g.edge_weight,
+                g.num_nodes, g.n_qubits,
                 syndromes, want_corrections, n_threads,
             )
             if out is not None:
@@ -361,17 +404,23 @@ def uf_phenomenological_error_rate(
     seed: int = 0,
     n_threads: int | None = None,
     use_native: bool | None = None,
+    weighted: bool = False,
 ) -> dict[str, float]:
     """Multi-round phenomenological X-memory logical error rate, decoded
     with spacetime union-find — the standard 'threshold with measurement
     errors' benchmark (crossing near p ≈ 2.5-3% for p=q on surface codes).
-    `rounds` defaults to the code distance (via t); `q` defaults to p."""
+    `rounds` defaults to the code distance (via t); `q` defaults to p.
+    ``weighted=True`` grows edges at -log-likelihood pace (helps when
+    p and q differ substantially)."""
     h = code.raw_parity_check_c2
     lz = code.z_operator_matrix()
     if rounds is None:
         rounds = 2 * code.t + 1
     q = p if q is None else q
-    graph = spacetime_graph(h, lz, rounds)
+    if weighted:
+        graph = spacetime_graph(h, lz, rounds, p_space=p, p_time=q)
+    else:
+        graph = spacetime_graph(h, lz, rounds)
     dec = UFDecoder(graph, use_native=use_native)
     h_j = jnp.asarray(h, jnp.uint8)
     lz_j = jnp.asarray(lz, jnp.uint8)

@@ -84,7 +84,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.qcss_uf_decode_batch.restype = ctypes.c_int32
     lib.qcss_uf_decode_batch.argtypes = [
-        i32p, i32p, u32p,
+        i32p, i32p, u32p, u8p,  # edges, qubit, obs, weight
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         u8p, ctypes.c_int64,
         ctypes.c_void_p,  # corrections (nullable)
@@ -139,6 +139,7 @@ def uf_decode_batch_native(
     edges: np.ndarray,
     edge_qubit: np.ndarray,
     edge_obs: np.ndarray,
+    edge_weight: np.ndarray,
     num_nodes: int,
     n_qubits: int,
     syndromes: np.ndarray,
@@ -154,6 +155,7 @@ def uf_decode_batch_native(
     edges = np.ascontiguousarray(edges, dtype=np.int32)
     edge_qubit = np.ascontiguousarray(edge_qubit, dtype=np.int32)
     edge_obs = np.ascontiguousarray(edge_obs, dtype=np.uint32)
+    edge_weight = np.ascontiguousarray(edge_weight, dtype=np.uint8)
     syndromes = np.ascontiguousarray(syndromes, dtype=np.uint8)
     batch = syndromes.shape[0]
     if syndromes.shape[1] != num_nodes:
@@ -163,7 +165,7 @@ def uf_decode_batch_native(
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
     rc = lib.qcss_uf_decode_batch(
-        edges.reshape(-1), edge_qubit, edge_obs,
+        edges.reshape(-1), edge_qubit, edge_obs, edge_weight,
         np.int32(num_nodes), np.int32(edges.shape[0]), np.int32(n_qubits),
         syndromes.reshape(-1), np.int64(batch),
         None if corr is None else corr.ctypes.data_as(ctypes.c_void_p),

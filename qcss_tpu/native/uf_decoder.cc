@@ -41,6 +41,7 @@ struct Graph {
   const int32_t* edges;
   const int32_t* edge_qubit;
   const uint32_t* edge_obs;
+  const uint8_t* edge_weight;  // growth halves to saturation (2 = unweighted)
   int32_t num_nodes;  // real detectors; the virtual boundary is node num_nodes
   int32_t num_edges;
   int32_t n_qubits;
@@ -208,7 +209,7 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
       size_t w = 0;
       for (size_t ri = 0; ri < blist.size(); ++ri) {
         int32_t e = blist[ri];
-        if (s.support[e] >= 2) continue;  // stale: already saturated
+        if (s.support[e] >= g.edge_weight[e]) continue;  // saturated
         int32_t u = g.edges[2 * e];
         int32_t v = g.edges[2 * e + 1];
         int32_t ru = s.find(u < 0 ? B : u);
@@ -216,7 +217,7 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
         if (ru == rv) continue;  // stale: became internal
         grew = true;
         if (s.support[e] == 0) s.touched_edges.push_back(e);
-        if (++s.support[e] >= 2) {
+        if (++s.support[e] >= g.edge_weight[e]) {
           s.merges.push_back(e);
           s.grown.push_back(e);
         }
@@ -349,11 +350,13 @@ void decode_range(const Graph* g, const uint8_t* syndromes, int64_t lo,
 
 extern "C" int32_t qcss_uf_decode_batch(
     const int32_t* edges, const int32_t* edge_qubit, const uint32_t* edge_obs,
+    const uint8_t* edge_weight,
     int32_t num_nodes, int32_t num_edges, int32_t n_qubits,
     const uint8_t* syndromes, int64_t batch, uint8_t* corrections,
     uint32_t* obs_out, int32_t n_threads) {
   if (num_nodes <= 0 || num_edges <= 0 || batch < 0) return 1;
-  Graph g{edges, edge_qubit, edge_obs, num_nodes, num_edges, n_qubits, {}, {}};
+  Graph g{edges, edge_qubit, edge_obs, edge_weight,
+          num_nodes, num_edges, n_qubits, {}, {}};
   build_csr(g);
   if (n_threads <= 1 || batch < 2 * n_threads) {
     decode_range(&g, syndromes, 0, batch, corrections, obs_out);

@@ -118,8 +118,8 @@ class TestNativeDifferential:
         syn = ((errs.astype(np.int64) @ h.T.astype(np.int64)) & 1).astype(np.uint8)
         corr_py, obs_py = _decode_batch_py(g, syn, True)
         corr_nat, obs_nat = native.uf_decode_batch_native(
-            g.edges, g.edge_qubit, g.edge_obs, g.num_nodes, g.n_qubits,
-            syn, True, 4,
+            g.edges, g.edge_qubit, g.edge_obs, g.edge_weight,
+            g.num_nodes, g.n_qubits, syn, True, 4,
         )
         assert (corr_py == corr_nat).all()
         assert (obs_py == obs_nat).all()
@@ -132,8 +132,8 @@ class TestNativeDifferential:
         syn = (rng.random((256, g.num_nodes)) < 0.05).astype(np.uint8)
         corr_py, obs_py = _decode_batch_py(g, syn, True)
         corr_nat, obs_nat = native.uf_decode_batch_native(
-            g.edges, g.edge_qubit, g.edge_obs, g.num_nodes, g.n_qubits,
-            syn, True, 4,
+            g.edges, g.edge_qubit, g.edge_obs, g.edge_weight,
+            g.num_nodes, g.n_qubits, syn, True, 4,
         )
         assert (corr_py == corr_nat).all()
         assert (obs_py == obs_nat).all()
@@ -300,3 +300,59 @@ class TestPhenomenological:
             families.rotated_surface(7), 0.01, rounds=7,
             samples=1 << 12, batch=1 << 12, seed=2)
         assert r7["logical_fail"] < r3["logical_fail"] * 0.7
+
+
+class TestWeightedDecoding:
+    def test_weights_from_probs(self):
+        from qcss_tpu.decode.uf import weights_from_probs
+
+        w = weights_from_probs([0.03, 0.03, 0.006])
+        assert w[0] == w[1] == 2       # most likely edge: unweighted pace
+        assert w[2] == 3               # ~ 2*ln(.006)/ln(.03) = 2.9 -> 3
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            weights_from_probs([0.0, 0.5])
+
+    def test_uniform_weights_identical_to_unweighted(self):
+        """edge_weight=2 everywhere must reproduce the unweighted decoder
+        exactly (native and Python)."""
+        import numpy as np
+
+        from qcss_tpu.decode.uf import MatchingGraph, UFDecoder, graph_from_checks
+
+        code = families.rotated_surface(5)
+        g = graph_from_checks(code.raw_parity_check_c2, code.z_operator_matrix())
+        g2 = MatchingGraph(g.num_nodes, g.edges, g.edge_qubit, g.edge_obs,
+                           g.n_qubits,
+                           np.full(g.num_edges, 2, np.uint8))
+        rng = np.random.default_rng(0)
+        syn = (rng.random((128, g.num_nodes)) < 0.1).astype(np.uint8)
+        c1, o1 = UFDecoder(g).decode_batch(syn)
+        c2, o2 = UFDecoder(g2).decode_batch(syn)
+        assert (c1 == c2).all() and (o1 == o2).all()
+
+    def test_weighted_native_matches_python(self):
+        import numpy as np
+
+        from qcss_tpu.decode.uf import UFDecoder, _decode_batch_py, spacetime_graph
+
+        code = families.rotated_surface(3)
+        g = spacetime_graph(code.raw_parity_check_c2,
+                            code.z_operator_matrix(), 3,
+                            p_space=0.03, p_time=0.006)
+        rng = np.random.default_rng(2)
+        syn = (rng.random((128, g.num_nodes)) < 0.05).astype(np.uint8)
+        cp, op = _decode_batch_py(g, syn, True)
+        cn, on = UFDecoder(g, use_native=True).decode_batch(syn)
+        assert (cp == cn).all() and (op == on).all()
+
+    def test_weighted_beats_unweighted_at_asymmetric_noise(self):
+        """q = p/5 (accurate measurements): -log-likelihood weights must
+        lower the logical failure rate (measured 0.080 -> 0.063 at d=5)."""
+        from qcss_tpu.decode.uf import uf_phenomenological_error_rate
+
+        code = families.rotated_surface(5)
+        kw = dict(rounds=5, samples=1 << 13, batch=1 << 13, seed=5)
+        un = uf_phenomenological_error_rate(code, 0.03, 0.006, **kw)
+        wt = uf_phenomenological_error_rate(code, 0.03, 0.006, weighted=True, **kw)
+        assert wt["logical_fail"] < un["logical_fail"]
