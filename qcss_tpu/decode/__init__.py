@@ -26,6 +26,10 @@ from qcss_tpu.decode.uf import (
     uf_phenomenological_error_rate,
     weights_from_probs,
 )
+from qcss_tpu.decode.dem import (
+    circuit_level_graph,
+    extraction_gate_list,
+)
 from qcss_tpu.decode.spacetime import (
     detector_history,
     spacetime_check_matrix,
@@ -41,6 +45,8 @@ __all__ = [
     "uf_logical_error_rate",
     "uf_phenomenological_error_rate",
     "weights_from_probs",
+    "circuit_level_graph",
+    "extraction_gate_list",
     "detector_history",
     "spacetime_check_matrix",
     "spacetime_correction_lut",

@@ -1,0 +1,165 @@
+"""Circuit-level detector error model (DEM) for memory experiments.
+
+The phenomenological spacetime graph (`decode.uf.spacetime_graph`) knows
+two fault species: whole-round data errors and measurement flips. The real
+extraction circuit is richer — a 2-qubit depolarizing fault striking
+mid-round, after some of a data qubit's CNOT fan-outs but before the rest,
+fires part of its detector signature in slice t and the rest in slice t+1
+(a DIAGONAL edge the phenomenological graph cannot represent).
+
+This module builds the exact single-fault error model by propagating every
+X-component fault of the round's circuit through the remaining gates
+(Pauli-frame algebra; no simulation needed for Clifford propagation):
+
+* for each CNOT (data j → anc c) at position k, the three X-patterns
+  X⊗I / I⊗X / X⊗X each occur with probability 4·p_gate2/15;
+  - the data-side X fires (t, c') for every check c' ∋ j whose fan-out
+    CNOT comes AFTER k, and (t+1, c') for those already copied;
+  - the ancilla-side X flips this round's measured bit c: (t, c), (t+1, c);
+  - X⊗X decomposes into both component edges (standard DEM decomposition;
+    the correlation is ignored, as in matching decoders generally);
+* each measurement flip (p_meas) gives (t, c), (t+1, c);
+* each reset flip (p_reset) flips the NEXT round's bit: (t+1, c), (t+2, c).
+
+Faults with identical detector signatures merge (probabilities summed; in
+a distance-≥3 code equal signatures imply logically equivalent
+corrections). The per-round model is replicated across the R noisy rounds
+(signatures clipped at the perfect final slice R), producing a weighted
+`MatchingGraph` over the (R+1)·r detectors for the union-find decoder.
+
+The reference has no circuit-level decoding machinery of any kind (its EC
+decodes single noisy extractions with a LUT — reference:
+css_code.py:436-470); this module is how the memory experiment gets the
+decoder its noise actually calls for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qcss_tpu.decode.uf import MatchingGraph, _column_obs_masks, weights_from_probs
+
+
+def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset):
+    """Single-fault species of ONE extraction round.
+
+    h: [r, n] raw Z-check matrix; extraction_gates: ordered list of
+    (data_j, check_c) CNOT fan-outs. Returns a list of
+    (signature, qubit, prob, needs_round_delta) with signature a tuple of
+    (slice_delta, check) pairs; needs_round_delta is the latest NOISY
+    measurement round (relative to t) the fault needs to exist — 1 for
+    reset flips (they corrupt the NEXT round's measurement, so a flip
+    after the final round's measurement is a physical no-op).
+    """
+    h = np.asarray(h, dtype=np.uint8) & 1
+    r, n = h.shape
+    checks_of = [np.nonzero(h[:, j])[0] for j in range(n)]
+    # position of each (j -> c) fan-out in the gate order
+    pos = {}
+    for k, (j, c) in enumerate(extraction_gates):
+        pos[(j, c)] = k
+
+    faults: list[tuple[tuple, int, float, int]] = []
+
+    def data_sig(j, after_k):
+        """Detector signature of an X on data qubit j arising right after
+        gate position after_k (-1 = before the round's first gate)."""
+        sig = []
+        for c in checks_of[j]:
+            delta = 0 if pos[(j, int(c))] > after_k else 1
+            sig.append((delta, int(c)))
+        return tuple(sorted(sig))
+
+    p_comp = 4.0 * p_gate2 / 15.0  # each X-pattern of 2q depolarizing
+    for k, (j, c) in enumerate(extraction_gates):
+        if p_gate2:
+            # X on the data side, arising after this gate
+            faults.append((data_sig(j, k), j, p_comp, 0))
+            # X on the ancilla side: flips this round's measured bit c
+            anc_sig = ((0, c), (1, c))
+            faults.append((anc_sig, -1, p_comp, 0))
+            # X⊗X decomposes into both components
+            faults.append((data_sig(j, k), j, p_comp, 0))
+            faults.append((anc_sig, -1, p_comp, 0))
+    if p_meas:
+        for c in range(r):
+            faults.append((((0, c), (1, c)), -1, float(p_meas), 0))
+    if p_reset:
+        for c in range(r):
+            faults.append((((1, c), (2, c)), -1, float(p_reset), 1))
+    return faults
+
+
+def circuit_level_graph(h, extraction_gates, rounds: int,
+                        p_gate2: float = 0.0, p_meas: float = 0.0,
+                        p_reset: float = 0.0,
+                        logicals=None) -> MatchingGraph:
+    """Weighted matching graph over the (rounds+1)·r detectors from the
+    exact single-fault model of the given extraction circuit."""
+    h = np.asarray(h, dtype=np.uint8) & 1
+    r, n = h.shape
+    obs = _column_obs_masks(np.asarray(logicals, dtype=np.uint8) & 1)
+
+    per_round = _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset)
+
+    # replicate across rounds, clip at the perfect final slice
+    merged: dict[tuple, list] = {}  # detector-tuple -> [qubit, prob]
+    for t in range(rounds):
+        for sig, qubit, prob, needs in per_round:
+            if t + needs > rounds - 1:
+                continue  # e.g. a reset flip after the final measurement
+            dets = tuple(sorted(
+                (t + delta) * r + c for delta, c in sig if t + delta <= rounds
+            ))
+            if not dets:
+                continue
+            obs_val = int(obs[qubit]) if qubit >= 0 else 0
+            cur = merged.get(dets)
+            if cur is None:
+                merged[dets] = [qubit, prob, obs_val]
+            else:
+                # same signature => logically equivalent correction for a
+                # distance >= 3 code; keep the first representative qubit,
+                # but the observable effect must agree
+                if cur[2] != obs_val:
+                    raise ValueError(
+                        f"signature {dets} maps to conflicting logical "
+                        "effects; code distance < 3?"
+                    )
+                cur[1] += prob
+    if not merged:
+        raise ValueError("no faults: all rates are zero")
+
+    edges, equbit, eobs, probs = [], [], [], []
+    for dets, (qubit, prob, obs_val) in merged.items():
+        if len(dets) > 2:
+            raise ValueError(
+                f"non-matchable fault signature {dets}; the extraction "
+                "circuit produced a >2-detector fault"
+            )
+        a = dets[0]
+        b = dets[1] if len(dets) == 2 else -1
+        edges.append((a, b))
+        equbit.append(int(qubit))
+        eobs.append(obs_val)
+        probs.append(min(prob, 0.499))
+    return MatchingGraph(
+        num_nodes=(rounds + 1) * r,
+        edges=np.asarray(edges, dtype=np.int32).reshape(-1, 2),
+        edge_qubit=np.asarray(equbit, dtype=np.int32),
+        edge_obs=np.asarray(eobs, dtype=np.uint32),
+        n_qubits=n,
+        edge_weight=weights_from_probs(probs),
+    )
+
+
+def extraction_gate_list(code, checks=None):
+    """The ordered (data_j, check_c) fan-outs of
+    `experiments.memory.z_extraction_circuit` for the given checks
+    (defaults to the raw Z checks, the matching-decoder convention)."""
+    checks = code.raw_parity_check_c2 if checks is None else np.asarray(checks)
+    gates = []
+    for i in range(checks.shape[0]):
+        for j in np.nonzero(checks[i])[0]:
+            gates.append((int(j), int(i)))
+    return gates

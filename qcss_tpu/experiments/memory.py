@@ -6,7 +6,7 @@ circuit (one ancilla per Z-type check, transversal CNOTs data→ancilla,
 ancilla measurement + reset) under circuit-level Pauli noise, then read the
 data out and decode.
 
-Four decoders, weakest to strongest:
+Five decoders, weakest to strongest:
 
 * ``'vote'`` — temporal majority per syndrome bit, one LUT decode. Sound
   only while at most one data error occurs across the whole experiment.
@@ -17,9 +17,14 @@ Four decoders, weakest to strongest:
   (`decode.spacetime`), evaluated on device as one gather. The proper
   detector-history decoder for small codes (incl. non-matchable ones like
   Steane) while (R+1)·r detector bits stay LUT-sized.
-* ``'uf'`` — union-find on the 3D spacetime matching graph
+* ``'uf'`` — union-find on the 3D phenomenological spacetime graph
   (`decode.uf.spacetime_graph`), host-native; matchable codes (surface,
   toric, repetition) at any distance and round count.
+* ``'dem'`` — union-find on the CIRCUIT-LEVEL detector error model
+  (`decode.dem`): exact single-fault enumeration of the extraction
+  circuit, with diagonal (hook) edges and -log-likelihood weights.
+  Dominates 'uf' on the real circuit (13x at d=3, p_gate2=2e-3,
+  p_meas=1e-2).
 
 Only X-type data errors matter for a Z-basis memory (Z errors commute with
 the readout), so only the Z-check sector is extracted.
@@ -127,7 +132,7 @@ def _decode_difference(syns, word, dev):
 
 
 _DEVICE_DECODERS = ("vote", "difference", "stlut")
-_DECODERS = _DEVICE_DECODERS + ("uf",)
+_DECODERS = _DEVICE_DECODERS + ("uf", "dem")
 
 
 def _count_failures(word, corr, code):
@@ -190,7 +195,7 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         raise ValueError("code has no C2 LUT; pass max_table_weight")
     prep_arrays = tuple(map(jnp.asarray, code.noisy_encode_zero().to_arrays()))
 
-    if decoder == "uf":
+    if decoder in ("uf", "dem"):
         from qcss_tpu.decode.uf import UFDecoder, spacetime_graph
 
         h2_raw = code.raw_parity_check_c2
@@ -206,7 +211,21 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         syns, word = np.asarray(syns), np.asarray(word)
         final_syn = (word.astype(np.int64) @ h2_raw.T.astype(np.int64)) & 1
         dets = detector_history(syns, final_syn.astype(np.uint8))
-        graph = spacetime_graph(h2_raw, code.z_operator_matrix(), rounds)
+        if decoder == "dem":
+            # circuit-level fault enumeration: diagonal/hook edges with
+            # -log-likelihood weights from the actual extraction circuit
+            from qcss_tpu.decode.dem import (
+                circuit_level_graph,
+                extraction_gate_list,
+            )
+
+            graph = circuit_level_graph(
+                h2_raw, extraction_gate_list(code, h2_raw), rounds,
+                p_gate2=noise.p_gate2, p_meas=noise.p_meas,
+                p_reset=noise.p_reset, logicals=code.z_operator_matrix(),
+            )
+        else:
+            graph = spacetime_graph(h2_raw, code.z_operator_matrix(), rounds)
         corr, _ = UFDecoder(graph).decode_batch(dets, n_threads=n_threads)
         counts = _count_failures(word, corr, code)
     else:
