@@ -32,11 +32,12 @@ def main():
     ap.add_argument("--p-gate", type=float, default=0.001)
     ap.add_argument("--p-meas", type=float, default=0.005)
     ap.add_argument("--decoder", default="vote",
-                    choices=["vote", "difference", "stlut", "uf"])
+                    choices=["vote", "difference", "stlut", "uf", "dem"])
     ap.add_argument("--curve", action="store_true",
                     help="circuit-level memory curve: p-sweep with "
-                    "rounds = d and p_meas = 5*p_gate2, spacetime-UF "
-                    "decoded (surface codes)")
+                    "rounds = d and p_meas = 5*p_gate2 (surface codes); "
+                    "decoded with --decoder (default dem = circuit-level "
+                    "detector error model)")
     ap.add_argument("--ps", type=float, nargs="+", default=[5e-4, 1e-3, 2e-3])
     args = ap.parse_args()
 
@@ -47,9 +48,10 @@ def main():
             for p in args.ps:
                 noise = NoiseModel(p_gate2=p, p_meas=5 * p)
                 t0 = time.perf_counter()
+                dec = args.decoder if args.decoder in ("uf", "dem") else "dem"
                 out = z_memory_experiment(code, rounds=d, noise=noise,
                                           batch=args.batch, seed=0,
-                                          decoder="uf")
+                                          decoder=dec)
                 dt = time.perf_counter() - t0
                 print(json.dumps({
                     "metric": "z_memory_curve",
@@ -58,7 +60,7 @@ def main():
                     "batch": args.batch,
                     "p_gate2": p,
                     "p_meas": 5 * p,
-                    "decoder": "uf",
+                    "decoder": dec,
                     "logical_fail": out["logical_fail"],
                     "elapsed_s": round(dt, 1),
                 }), flush=True)
