@@ -40,11 +40,14 @@ def raw_x_program_error_rate(shots: int, model: noise_mod.NoiseModel, key) -> fl
     return float(1.0 - np.asarray(outcome).mean())
 
 
-def encoded_x_program_error_rate(shots: int, model: noise_mod.NoiseModel, key) -> tuple[float, float]:
+def encoded_x_program_error_rate(shots: int, model: noise_mod.NoiseModel, key,
+                                 ec_extractions: int = 1,
+                                 tableau: str = "unpacked") -> tuple[float, float]:
     prog = Program()
     ro = prog.declare("ro", 1)
     prog.x(0).measure(0, ro[0])
-    enc = rewrite_program(prog, families.steane(), noise=model)
+    enc = rewrite_program(prog, families.steane(), noise=model,
+                          ec_extractions=ec_extractions, tableau=tableau)
     enc.run(shots, key=jax.random.key(123))  # compile warm-up
     t0 = time.perf_counter()
     res = enc.run(shots, key=key)
@@ -63,6 +66,9 @@ def main():
                     "reference QVM harness: T1=T2=300e-6, ro=0.99)")
     ap.add_argument("--t2", type=float, default=None)
     ap.add_argument("--ro", type=float, default=0.99, help="readout fidelity")
+    ap.add_argument("--ec-extractions", type=int, default=1,
+                    help="2 = Shor-style repeated syndrome extraction")
+    ap.add_argument("--tableau", default="unpacked")
     args = ap.parse_args()
 
     if args.t1 is not None:
@@ -78,7 +84,8 @@ def main():
     k_raw, k_enc = jax.random.split(key)
 
     raw_rate = raw_x_program_error_rate(args.shots, model, k_raw)
-    enc_rate, enc_time = encoded_x_program_error_rate(args.shots, model, k_enc)
+    enc_rate, enc_time = encoded_x_program_error_rate(
+        args.shots, model, k_enc, args.ec_extractions, args.tableau)
 
     print(json.dumps({
         "p_physical": args.p if args.t1 is None else None,
@@ -87,6 +94,7 @@ def main():
             "pauli1": model.pauli1, "pauli2": model.pauli2,
         },
         "shots": args.shots,
+        "ec_extractions": args.ec_extractions,
         "raw_logical_error_rate": raw_rate,
         "encoded_logical_error_rate": enc_rate,
         "encoded_shots_per_sec": round(args.shots / enc_time, 1),

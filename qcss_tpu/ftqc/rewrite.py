@@ -54,7 +54,8 @@ class EncodedProgram:
 
     def __init__(self, raw: Program, code, noise: noise_mod.NoiseModel | None = None,
                  max_prep_attempts: int = 8, engine: str = "scheduled",
-                 tableau: str = "unpacked", ancillas: str = "shared"):
+                 tableau: str = "unpacked", ancillas: str = "shared",
+                 ec_extractions: int = 1):
         if code.k != 1:
             raise UnsupportedQECCError("code must have k = 1")
         if engine not in ("scheduled", "unrolled"):
@@ -67,12 +68,15 @@ class EncodedProgram:
             raise ValueError("ancillas must be 'shared' or 'dedicated'")
         if engine == "unrolled" and ancillas == "dedicated":
             raise ValueError("dedicated ancillas require the scheduled engine")
+        if engine == "unrolled" and ec_extractions != 1:
+            raise ValueError("repeated extraction requires the scheduled engine")
         self.raw = raw
         self.code = code
         self.noise = noise or noise_mod.NoiseModel()
         self.engine = engine
         self.tableau = tableau
         self.ancillas = ancillas
+        self.ec_extractions = ec_extractions
         self.max_prep_attempts = max_prep_attempts
         self.qubit_map = {q: i for i, q in enumerate(raw.qubits())}
         self.n_logical = len(self.qubit_map)
@@ -196,6 +200,7 @@ class EncodedProgram:
         executor = schedule.MacroExecutor(
             self.code, self.n_logical, self.noise, self.max_prep_attempts,
             tableau_engine=self.tableau, ancillas=self.ancillas,
+            ec_extractions=self.ec_extractions,
         )
         st = executor.execute(macro, key, batch)
         out = {
@@ -232,7 +237,8 @@ def rewrite_program(raw: Program, code, *,
                     max_prep_attempts: int = 8,
                     engine: str = "scheduled",
                     tableau: str = "unpacked",
-                    ancillas: str = "shared") -> EncodedProgram:
+                    ancillas: str = "shared",
+                    ec_extractions: int = 1) -> EncodedProgram:
     """Validate and FT-encode a raw Clifford program — the framework's
     flagship entry point (reference analogue: ftqc.py:42).
 
@@ -245,9 +251,13 @@ def rewrite_program(raw: Program, code, *,
     reference's QVM-ceiling compromise, reference: ftqc.py:153-160) or
     'dedicated' (an ancilla pair per logical block; statistically identical
     under this noise model, structurally ceiling-free).
+    ec_extractions: 1 (single noisy extraction per EC sector, the
+    reference's scheme) or 2 (Shor-style repeated extraction: a correction
+    commits only when both syndromes agree — wins the readout-dominated
+    regime, see BASELINE.md).
     """
     return EncodedProgram(raw, code, noise, max_prep_attempts, engine,
-                          tableau, ancillas)
+                          tableau, ancillas, ec_extractions)
 
 
 def run_program(raw: Program, code, batch: int = 1, *,

@@ -196,11 +196,23 @@ class MacroExecutor:
                  noise: noise_mod.NoiseModel | None = None,
                  max_prep_attempts: int = 8,
                  tableau_engine: str = "unpacked",
-                 ancillas: str = "shared"):
+                 ancillas: str = "shared",
+                 ec_extractions: int = 1):
         from qcss_tpu.ftqc.engines import make_engine
 
         if ancillas not in ("shared", "dedicated"):
             raise ValueError("ancillas must be 'shared' or 'dedicated'")
+        if ec_extractions not in (1, 2):
+            raise ValueError("ec_extractions must be 1 or 2")
+        # ec_extractions=2: Shor-style repeated syndrome extraction in EC —
+        # each sector extracts TWICE (fresh verified ancilla each time) and
+        # commits the frame correction only for samples where both
+        # syndromes agree. Measurement-flip-induced spurious corrections
+        # become second order per EC round (the reference trusts a single
+        # noisy extraction — css_code.py:436-470), which is what wins the
+        # readout-dominated regime (ro_fidelity ~ 0.99) where a single
+        # extraction loses to the raw program.
+        self.ec_extractions = ec_extractions
         self.code = code
         self.n = code.n
         self.n_logical = n_logical
@@ -391,26 +403,56 @@ class MacroExecutor:
         # a traced program needs a bound). Record rather than silently commit.
         return st._replace(prep_fail=st.prep_fail | flag)
 
-    def _ec_one(self, st: MachineState, b) -> MachineState:
-        """Steane EC on block b with its ancilla pair
-        (reference: css_code.py:436-470)."""
-        anc1, anc2 = self._anc_pair(b)
+    def _extract_x_syndrome(self, st: MachineState, b, anc1, anc2):
+        """One X-sector extraction: verified |+̄⟩ ancilla, CNOT(b→anc),
+        measure; returns (state, syndrome of mem relative to b's frame)."""
+        from qcss_tpu.ops import gf2_jax
+
         st = self._encode_ft(st, anc1, anc2, plus=True)
         st = self._transversal_cnot(st, b, anc1)
         st, mem = self._measure_block(st, anc1)
-        _, new_x = decode_lut.correct_errors(
-            mem, st.x_frames[:, b, :], self.h2, self.lut2
-        )
-        st = st._replace(x_frames=st.x_frames.at[:, b, :].set(new_x))
+        return st, gf2_jax.syndromes_dense(mem ^ st.x_frames[:, b, :], self.h2)
+
+    def _extract_z_syndrome(self, st: MachineState, b, anc1, anc2):
+        from qcss_tpu.ops import gf2_jax
 
         st = self._encode_ft(st, anc1, anc2, plus=False)
         st = self._transversal_cnot(st, anc1, b)
         st = self._transversal_1q(st, "H", anc1)
         st, mem = self._measure_block(st, anc1)
-        _, new_z = decode_lut.correct_errors(
-            mem, st.z_frames[:, b, :], self.h1, self.lut1
+        return st, gf2_jax.syndromes_dense(mem ^ st.z_frames[:, b, :], self.h1)
+
+    def _ec_one(self, st: MachineState, b) -> MachineState:
+        """Steane EC on block b with its ancilla pair
+        (reference: css_code.py:436-470). With ec_extractions=2, each
+        sector's correction commits only where two consecutive extractions
+        agree (Shor-style; spurious measurement-driven frame entries drop
+        to second order)."""
+        anc1, anc2 = self._anc_pair(b)
+
+        st, syn_x = self._extract_x_syndrome(st, b, anc1, anc2)
+        commit = None
+        if self.ec_extractions > 1:
+            st, syn_x2 = self._extract_x_syndrome(st, b, anc1, anc2)
+            commit = jnp.all(syn_x == syn_x2, axis=-1)
+        corr = decode_lut.decode_corrections(syn_x, self.lut2)
+        if commit is not None:
+            corr = jnp.where(commit[:, None], corr, jnp.zeros_like(corr))
+        st = st._replace(
+            x_frames=st.x_frames.at[:, b, :].set(st.x_frames[:, b, :] ^ corr)
         )
-        return st._replace(z_frames=st.z_frames.at[:, b, :].set(new_z))
+
+        st, syn_z = self._extract_z_syndrome(st, b, anc1, anc2)
+        commit = None
+        if self.ec_extractions > 1:
+            st, syn_z2 = self._extract_z_syndrome(st, b, anc1, anc2)
+            commit = jnp.all(syn_z == syn_z2, axis=-1)
+        corr = decode_lut.decode_corrections(syn_z, self.lut1)
+        if commit is not None:
+            corr = jnp.where(commit[:, None], corr, jnp.zeros_like(corr))
+        return st._replace(
+            z_frames=st.z_frames.at[:, b, :].set(st.z_frames[:, b, :] ^ corr)
+        )
 
     # -- macro-op bodies --------------------------------------------------------------
 

@@ -480,3 +480,32 @@ class TestPragma:
         prog.x(0).measure(0, ro[0])
         res = rewrite_program(prog, steane).run(2)
         assert (res["ro"][:, 0] == 1).all()
+
+
+class TestRepeatedExtraction:
+    def test_ec2_noiseless_exact(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        res = rewrite_program(prog, steane, ec_extractions=2).run(4)
+        assert (res["ro"][:, 0] == 1).all()
+
+    def test_ec2_suppresses_measurement_noise(self, steane):
+        """Shor-style repeated extraction: corrections commit only when two
+        consecutive syndromes agree, so measurement-flip-induced spurious
+        frame entries become second order (measured 4/2048 -> 0/2048 at
+        p_meas=5e-3)."""
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        noise = NoiseModel(p_meas=5e-3)
+        r2 = rewrite_program(prog, steane, noise=noise,
+                             ec_extractions=2).run(1024, key=jax.random.key(0))
+        assert (1 - r2["ro"][:, 0]).sum() <= 1
+
+    def test_ec2_requires_scheduled(self, steane):
+        prog = Program()
+        ro = prog.declare("ro", 1)
+        prog.x(0).measure(0, ro[0])
+        with pytest.raises(ValueError, match="repeated extraction"):
+            rewrite_program(prog, steane, engine="unrolled", ec_extractions=2)
