@@ -356,3 +356,28 @@ class TestWeightedDecoding:
         un = uf_phenomenological_error_rate(code, 0.03, 0.006, **kw)
         wt = uf_phenomenological_error_rate(code, 0.03, 0.006, weighted=True, **kw)
         assert wt["logical_fail"] < un["logical_fail"]
+
+
+class TestMultiObservable:
+    def test_toric_k2_decoding(self):
+        """k=2 codes decode through UF: both observables tracked as
+        bitmask parities (the dropped dependent check row of the toric
+        construction acts as a pseudo-boundary)."""
+        import numpy as np
+
+        from qcss_tpu.decode.uf import UFDecoder, _pack_parity, graph_from_checks
+
+        code = families.toric(4)
+        h = code.raw_parity_check_c2
+        lz = code.z_operator_matrix()
+        assert lz.shape[0] == 2
+        g = graph_from_checks(h, lz)
+        dec = UFDecoder(g)
+        rng = np.random.default_rng(0)
+        errs = (rng.random((2048, code.n)) < 0.02).astype(np.uint8)
+        syn = ((errs @ h.T) & 1).astype(np.uint8)
+        corr, obs = dec.decode_batch(syn)
+        assert (((corr @ h.T) & 1) == syn).all()
+        par = _pack_parity((errs @ lz.T) % 2)
+        # low error rate: decoder usually right on BOTH observables
+        assert np.mean(obs != par) < 0.05
