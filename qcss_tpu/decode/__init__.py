@@ -26,7 +26,7 @@ from qcss_tpu.decode.uf import (
     uf_phenomenological_error_rate,
     weights_from_probs,
 )
-from qcss_tpu.decode.mwpm import MWPMOracle
+from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
     extraction_gate_list,
@@ -47,6 +47,7 @@ __all__ = [
     "uf_phenomenological_error_rate",
     "weights_from_probs",
     "circuit_level_graph",
+    "MWPMDecoder",
     "MWPMOracle",
     "extraction_gate_list",
     "detector_history",

@@ -25,6 +25,9 @@ Five decoders, weakest to strongest:
   circuit, with diagonal (hook) edges and -log-likelihood weights.
   Dominates 'uf' on the real circuit (13x at d=3, p_gate2=2e-3,
   p_meas=1e-2).
+* ``'mwpm'`` / ``'dem-mwpm'`` — exact minimum-weight perfect matching
+  (`decode.mwpm`, blossom) on the phenomenological / DEM graph: the
+  accuracy ceiling of matching-based decoding, at host-Python speed.
 
 Only X-type data errors matter for a Z-basis memory (Z errors commute with
 the readout), so only the Z-check sector is extracted.
@@ -132,7 +135,7 @@ def _decode_difference(syns, word, dev):
 
 
 _DEVICE_DECODERS = ("vote", "difference", "stlut")
-_DECODERS = _DEVICE_DECODERS + ("uf", "dem")
+_DECODERS = _DEVICE_DECODERS + ("uf", "dem", "mwpm", "dem-mwpm")
 
 
 def _count_failures(word, corr, code):
@@ -195,7 +198,8 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         raise ValueError("code has no C2 LUT; pass max_table_weight")
     prep_arrays = tuple(map(jnp.asarray, code.noisy_encode_zero().to_arrays()))
 
-    if decoder in ("uf", "dem"):
+    if decoder in ("uf", "dem", "mwpm", "dem-mwpm"):
+        from qcss_tpu.decode.mwpm import MWPMDecoder
         from qcss_tpu.decode.uf import UFDecoder, spacetime_graph
 
         h2_raw = code.raw_parity_check_c2
@@ -211,7 +215,7 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         syns, word = np.asarray(syns), np.asarray(word)
         final_syn = (word.astype(np.int64) @ h2_raw.T.astype(np.int64)) & 1
         dets = detector_history(syns, final_syn.astype(np.uint8))
-        if decoder == "dem":
+        if decoder.startswith("dem"):
             # circuit-level fault enumeration: diagonal/hook edges with
             # -log-likelihood weights from the actual extraction circuit
             from qcss_tpu.decode.dem import (
@@ -226,7 +230,10 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
             )
         else:
             graph = spacetime_graph(h2_raw, code.z_operator_matrix(), rounds)
-        corr, _ = UFDecoder(graph).decode_batch(dets, n_threads=n_threads)
+        if decoder.endswith("mwpm"):
+            corr, _ = MWPMDecoder(graph).decode_batch(dets)
+        else:
+            corr, _ = UFDecoder(graph).decode_batch(dets, n_threads=n_threads)
         counts = _count_failures(word, corr, code)
     else:
         stlut = None
