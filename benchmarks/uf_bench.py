@@ -93,6 +93,38 @@ def main():
             "threads": min(os.cpu_count() or 1, 16),
         }))
 
+    # exact MWPM (blossom + APSP, native/mwpm_decoder.cc) vs union-find:
+    # accuracy and throughput on the same shots
+    from qcss_tpu.decode.mwpm import MWPMDecoder
+
+    for d in (7,):
+        if d > args.dmax:
+            continue
+        code = families.rotated_surface(d)
+        h = code.raw_parity_check_c2
+        lz = code.z_operator_matrix()
+        g = graph_from_checks(h, lz)
+        uf = UFDecoder(g)
+        mw = MWPMDecoder(g)
+        rng = np.random.default_rng(0)
+        B = 1 << 16
+        p = 0.06
+        errs = (rng.random((B, code.n)) < p).astype(np.uint8)
+        syn = ((errs.astype(np.int64) @ h.T.astype(np.int64)) & 1).astype(np.uint8)
+        par = (errs @ lz[0]) % 2
+        mw.decode_batch(syn[:2048], want_corrections=False)  # warm/build
+        t0 = time.perf_counter()
+        _, om = mw.decode_batch(syn, want_corrections=False)
+        dt_mw = time.perf_counter() - t0
+        _, ou = uf.decode_batch(syn, want_corrections=False)
+        print(json.dumps({
+            "bench": "mwpm_vs_uf", "d": d, "p": p,
+            "mwpm_shots_per_sec": round(B / dt_mw),
+            "mwpm_native": mw._native is not None,
+            "mwpm_logical_fail": float(np.mean((om & 1) != par)),
+            "uf_logical_fail": float(np.mean((ou & 1) != par)),
+        }))
+
     # phenomenological multi-round threshold (p = q, rounds = d): the
     # standard 'threshold with measurement errors' benchmark
     from qcss_tpu.decode.uf import uf_phenomenological_error_rate

@@ -29,6 +29,7 @@ import heapq
 
 import numpy as np
 
+from qcss_tpu import native
 from qcss_tpu.decode.blossom import min_weight_perfect_matching
 from qcss_tpu.decode.uf import MatchingGraph
 
@@ -45,11 +46,22 @@ class MWPMDecoder:
     #: defect counts up to this solve by bitmask DP under method='auto'
     DP_CUTOVER = 13
 
-    def __init__(self, graph: MatchingGraph, method: str = "auto"):
+    def __init__(self, graph: MatchingGraph, method: str = "auto",
+                 use_native: bool | None = None):
         if method not in ("auto", "dp", "blossom"):
             raise ValueError(f"unknown method {method!r}")
         self.graph = graph
         self.method = method
+        # The native kernel (mwpm_decoder.cc) implements the 'auto' solver
+        # split; forcing a specific solver runs pure Python.
+        if use_native is None:
+            use_native = method == "auto" and native.available()
+        self._native = None
+        if use_native:
+            self._native = native.mwpm_create_native(
+                graph.edges, graph.edge_qubit, graph.edge_obs,
+                graph.edge_weight, graph.num_nodes, graph.n_qubits,
+            )
         self._adj = self._build_adjacency()
         # lazily cached single-source results: node -> (dist[], obs-par[])
         self._sssp_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -247,11 +259,15 @@ class MWPMDecoder:
                 self._path_qubits(src, dst, corr)
         return par
 
-    def decode_batch(self, syndromes: np.ndarray, want_corrections: bool = True):
+    def decode_batch(self, syndromes: np.ndarray, want_corrections: bool = True,
+                     n_threads: int | None = None):
         """UFDecoder-compatible batch decode: `[B, num_nodes]` 0/1
         detection events -> (corrections `[B, n_qubits]` uint8 | None,
         obs-flip bitmasks `[B]` uint32)."""
         syndromes = np.asarray(syndromes)
+        if self._native is not None:
+            return self._native.decode_batch(
+                syndromes, want_corrections, n_threads)
         batch = syndromes.shape[0]
         obs = np.zeros(batch, dtype=np.uint32)
         corr = (

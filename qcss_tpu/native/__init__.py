@@ -21,6 +21,7 @@ import numpy as np
 _SRCS = [
     os.path.join(os.path.dirname(__file__), "syndrome_table.cc"),
     os.path.join(os.path.dirname(__file__), "uf_decoder.cc"),
+    os.path.join(os.path.dirname(__file__), "mwpm_decoder.cc"),
 ]
 _LIB_NAME = "libqcss.so"
 _lib = None
@@ -87,6 +88,20 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i32p, i32p, u32p, u8p,  # edges, qubit, obs, weight
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         u8p, ctypes.c_int64,
+        ctypes.c_void_p,  # corrections (nullable)
+        u32p, ctypes.c_int32,
+    ]
+    lib.qcss_mwpm_create.restype = ctypes.c_void_p
+    lib.qcss_mwpm_create.argtypes = [
+        i32p, i32p, u32p, u8p,  # edges, qubit, obs, weight
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.qcss_mwpm_destroy.restype = None
+    lib.qcss_mwpm_destroy.argtypes = [ctypes.c_void_p]
+    lib.qcss_mwpm_decode_batch.restype = ctypes.c_int32
+    lib.qcss_mwpm_decode_batch.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_int64,
         ctypes.c_void_p,  # corrections (nullable)
         u32p, ctypes.c_int32,
     ]
@@ -174,6 +189,84 @@ def uf_decode_batch_native(
     if rc != 0:
         return None
     return corr, obs
+
+
+class MwpmNativeHandle:
+    """Owns a native MWPM decoder handle (graph + threaded APSP tables).
+    Create via `mwpm_create_native`; freed on GC or explicit `close()`."""
+
+    def __init__(self, lib, ptr, num_nodes: int, n_qubits: int):
+        self._lib = lib
+        self._ptr = ptr
+        self.num_nodes = num_nodes
+        self.n_qubits = n_qubits
+
+    def close(self):
+        if self._ptr:
+            self._lib.qcss_mwpm_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
+
+    def decode_batch(self, syndromes: np.ndarray, want_corrections: bool = True,
+                     n_threads: int | None = None):
+        """(corrections [B, n_qubits] uint8 or None, obs [B] uint32).
+        Raises ValueError on an unmatchable syndrome."""
+        if self._ptr is None:
+            raise RuntimeError("handle closed")
+        syndromes = np.ascontiguousarray(syndromes, dtype=np.uint8)
+        batch = syndromes.shape[0]
+        if syndromes.shape[1] != self.num_nodes:
+            raise ValueError("syndromes second axis must equal num_nodes")
+        corr = (
+            np.zeros((batch, self.n_qubits), dtype=np.uint8)
+            if want_corrections else None
+        )
+        obs = np.zeros(batch, dtype=np.uint32)
+        if n_threads is None:
+            n_threads = min(os.cpu_count() or 1, 16)
+        rc = self._lib.qcss_mwpm_decode_batch(
+            self._ptr, syndromes.reshape(-1), np.int64(batch),
+            None if corr is None else corr.ctypes.data_as(ctypes.c_void_p),
+            obs, np.int32(n_threads),
+        )
+        if rc != 0:
+            raise ValueError(
+                "unmatchable syndrome (odd defect count in a boundaryless "
+                "component)"
+            )
+        return corr, obs
+
+
+def mwpm_create_native(
+    edges: np.ndarray,
+    edge_qubit: np.ndarray,
+    edge_obs: np.ndarray,
+    edge_weight: np.ndarray,
+    num_nodes: int,
+    n_qubits: int,
+    n_threads: int | None = None,
+) -> MwpmNativeHandle | None:
+    """Build a native exact-MWPM decoder over a matching graph (see
+    `mwpm_decoder.cc`); returns None if the library is unavailable."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    edges = np.ascontiguousarray(edges, dtype=np.int32)
+    edge_qubit = np.ascontiguousarray(edge_qubit, dtype=np.int32)
+    edge_obs = np.ascontiguousarray(edge_obs, dtype=np.uint32)
+    edge_weight = np.ascontiguousarray(edge_weight, dtype=np.uint8)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    ptr = lib.qcss_mwpm_create(
+        edges.reshape(-1), edge_qubit, edge_obs, edge_weight,
+        np.int32(num_nodes), np.int32(edges.shape[0]), np.int32(n_qubits),
+        np.int32(n_threads),
+    )
+    if not ptr:
+        return None
+    return MwpmNativeHandle(lib, ptr, num_nodes, n_qubits)
 
 
 def rref_native(mat: np.ndarray):

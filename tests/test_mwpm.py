@@ -188,6 +188,35 @@ class TestMWPMDecoder:
             assert not (((errs ^ corr) @ h.T) & 1).any()
             assert ((corr @ lz[0]) % 2 == (obs & 1)).all()
 
+    def test_native_matches_python(self):
+        """The C++ kernel (mwpm_decoder.cc) is a translation of the Python
+        solvers; on tie-free graphs obs AND corrections must be identical
+        across both DP and blossom defect-count regimes."""
+        import pytest
+
+        from qcss_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        code = families.rotated_surface(5)
+        g = spacetime_graph(
+            code.raw_parity_check_c2, code.z_operator_matrix(), 5,
+            p_space=2e-3, p_time=1e-2,
+        )
+        dnat = MWPMDecoder(g)
+        dpy = MWPMDecoder(g, use_native=False)
+        assert dnat._native is not None and dpy._native is None
+        rng = np.random.default_rng(0)
+        B = 120
+        syn = np.zeros((B, g.num_nodes), np.uint8)
+        for b in range(B):
+            k = int(rng.integers(0, 24))  # spans DP and blossom regimes
+            syn[b, rng.choice(g.num_nodes, size=k, replace=False)] = 1
+        c1, o1 = dnat.decode_batch(syn)
+        c2, o2 = dpy.decode_batch(syn)
+        assert (o1 == o2).all()
+        assert (c1 == c2).all()
+
     def test_memory_experiment_integration(self):
         """decoder='mwpm' / 'dem-mwpm' run end-to-end and do not lose to
         union-find on the same shots."""
