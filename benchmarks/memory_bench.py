@@ -39,6 +39,10 @@ def main():
                     "decoded with --decoder (default dem = circuit-level "
                     "detector error model)")
     ap.add_argument("--ps", type=float, nargs="+", default=[5e-4, 1e-3, 2e-3])
+    ap.add_argument("--engine", default="tableau",
+                    choices=["tableau", "frames"],
+                    help="'frames' = Pauli-frame sampler (sim/frame.py): "
+                    "same statistics, >100x sampling throughput")
     args = ap.parse_args()
 
     if args.curve:
@@ -51,7 +55,7 @@ def main():
                 dec = args.decoder if args.decoder in ("uf", "dem") else "dem"
                 out = z_memory_experiment(code, rounds=d, noise=noise,
                                           batch=args.batch, seed=0,
-                                          decoder=dec)
+                                          decoder=dec, engine=args.engine)
                 dt = time.perf_counter() - t0
                 print(json.dumps({
                     "metric": "z_memory_curve",
@@ -61,6 +65,7 @@ def main():
                     "p_gate2": p,
                     "p_meas": 5 * p,
                     "decoder": dec,
+                    "engine": args.engine,
                     "logical_fail": out["logical_fail"],
                     "elapsed_s": round(dt, 1),
                 }), flush=True)
@@ -73,11 +78,11 @@ def main():
             # Warm (compile) then time (host-fenced inside the experiment).
             z_memory_experiment(code, rounds=rounds, noise=noise,
                                 batch=args.batch, seed=100,
-                                decoder=args.decoder)
+                                decoder=args.decoder, engine=args.engine)
             t0 = time.perf_counter()
             out = z_memory_experiment(code, rounds=rounds, noise=noise,
                                       batch=args.batch, seed=0,
-                                      decoder=args.decoder)
+                                      decoder=args.decoder, engine=args.engine)
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "metric": "z_memory_experiment",
@@ -86,6 +91,7 @@ def main():
                 "batch": args.batch,
                 "p_gate2": args.p_gate,
                 "p_meas": args.p_meas,
+                "engine": args.engine,
                 "logical_fail": out["logical_fail"],
                 "value": round(args.batch / dt, 1),
                 "unit": "shots/sec/chip",

@@ -69,6 +69,36 @@ def z_extraction_circuit(code, data_offset: int = 0, anc_offset: int | None = No
     return circ
 
 
+def _memory_circuit_frames(key, batch, rounds, code, noise, extract_arrays,
+                           n_anc):
+    """Pauli-frame fast path (`sim.frame`): the noiseless reference of this
+    circuit is deterministic (every ancilla measures a stabilizer of the
+    prepared eigenstate → outcome 0; the final data word is pinned to the
+    zero codeword, indistinguishable by any syndrome/logical statistic),
+    so only per-sample fault frames propagate — >100x the tableau engine.
+    Same per-round key split as `_memory_circuit`; the collapse subkey is
+    unused (deterministic reference has no measurement randomness)."""
+    from qcss_tpu.sim import frame as fr
+
+    n = code.n
+    anc = jnp.arange(n, n + n_anc, dtype=jnp.int32)
+    data = jnp.arange(n, dtype=jnp.int32)
+    f = fr.zero_frames(batch, n + n_anc)
+
+    def round_body(carry, k):
+        f = carry
+        k1, _k2, k3, k4 = jax.random.split(k, 4)
+        f = fr.run_arrays_noisy(f, *extract_arrays, noise, k1)
+        f, syn = fr.measure_deviations(f, anc, k3, noise.p_meas)
+        f = fr.reset_qubits(f, anc, k4)
+        return f, syn
+
+    keys = jax.random.split(key, rounds + 1)
+    f, syns = jax.lax.scan(round_body, f, keys[:rounds])  # [R, B, n_anc]
+    _, word = fr.measure_deviations(f, data)
+    return syns, word
+
+
 def _memory_circuit(key, batch, rounds, code, noise, prep_arrays,
                     extract_arrays, n_anc):
     """The physics: noiseless |0̄⟩ prep, R noisy extraction rounds, perfect
@@ -158,12 +188,17 @@ def _count_failures(word, corr, code):
 
 
 def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
-                 decoder="vote", stlut=None):
+                 decoder="vote", stlut=None, engine="tableau"):
     dev = code.device
-    syns, word = _memory_circuit(
-        key, batch, rounds, code, noise, prep_arrays, extract_arrays,
-        n_anc=code.parity_check_c2.shape[0],
-    )
+    n_anc = code.parity_check_c2.shape[0]
+    if engine == "frames":
+        syns, word = _memory_circuit_frames(
+            key, batch, rounds, code, noise, extract_arrays, n_anc=n_anc)
+    else:
+        syns, word = _memory_circuit(
+            key, batch, rounds, code, noise, prep_arrays, extract_arrays,
+            n_anc=n_anc,
+        )
     if decoder == "stlut":
         final_syn = gf2_jax.syndromes_dense(word, dev.h2)
         dets = detector_history(syns, final_syn)
@@ -179,16 +214,25 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
                         batch: int = 1 << 12, seed: int = 0,
                         decoder: str = "vote",
                         stlut_max_weight: int = 4,
-                        n_threads: int | None = None) -> dict[str, float]:
+                        n_threads: int | None = None,
+                        engine: str = "tableau") -> dict[str, float]:
     """Run the logical-Z memory experiment; returns failure rates.
 
     Measured (Steane, p_gate2=1e-3, p_meas=1e-2, 3 rounds, 2^14 shots):
     vote 0.59%, difference 0.94%, stlut dominates both (see
     tests/test_memory_experiment.py and benchmarks/memory_bench.py).
     For surface codes at scale use decoder='uf' (any distance/rounds).
+
+    ``engine='frames'`` samples via Pauli-frame propagation (`sim.frame`)
+    instead of the batched tableau — statistically identical (the circuit
+    has a deterministic noiseless reference; single-fault equivalence is
+    tested against the DEM enumeration) and >100x faster, enabling
+    10^6+-shot points.
     """
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
+    if engine not in ("tableau", "frames"):
+        raise ValueError(f"unknown engine {engine!r}")
     if decoder == "vote" and rounds % 2 == 0:
         raise ValueError("rounds must be odd for the temporal vote")
     # Materialize the cached device arrays OUTSIDE any jit trace — building
@@ -196,7 +240,10 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
     dev = code.device
     if decoder in ("vote", "difference") and dev.lut_c2 is None:
         raise ValueError("code has no C2 LUT; pass max_table_weight")
-    prep_arrays = tuple(map(jnp.asarray, code.noisy_encode_zero().to_arrays()))
+    prep_arrays = (
+        None if engine == "frames"
+        else tuple(map(jnp.asarray, code.noisy_encode_zero().to_arrays()))
+    )
 
     if decoder in ("uf", "dem", "mwpm", "dem-mwpm"):
         from qcss_tpu.decode.mwpm import MWPMDecoder
@@ -205,12 +252,19 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         h2_raw = code.raw_parity_check_c2
         extract_arrays = tuple(map(jnp.asarray, z_extraction_circuit(
             code, checks=h2_raw).to_arrays()))
-        circuit_fn = jax.jit(
-            partial(_memory_circuit, code=code, noise=noise,
-                    prep_arrays=prep_arrays, extract_arrays=extract_arrays,
-                    n_anc=h2_raw.shape[0]),
-            static_argnames=("batch", "rounds"),
-        )
+        if engine == "frames":
+            circuit_fn = jax.jit(
+                partial(_memory_circuit_frames, code=code, noise=noise,
+                        extract_arrays=extract_arrays, n_anc=h2_raw.shape[0]),
+                static_argnames=("batch", "rounds"),
+            )
+        else:
+            circuit_fn = jax.jit(
+                partial(_memory_circuit, code=code, noise=noise,
+                        prep_arrays=prep_arrays, extract_arrays=extract_arrays,
+                        n_anc=h2_raw.shape[0]),
+                static_argnames=("batch", "rounds"),
+            )
         syns, word = circuit_fn(jax.random.key(seed), batch, rounds)
         syns, word = np.asarray(syns), np.asarray(word)
         final_syn = (word.astype(np.int64) @ h2_raw.T.astype(np.int64)) & 1
@@ -244,7 +298,7 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         fn = jax.jit(
             partial(_memory_body, code=code, noise=noise,
                     prep_arrays=prep_arrays, extract_arrays=extract_arrays,
-                    decoder=decoder, stlut=stlut),
+                    decoder=decoder, stlut=stlut, engine=engine),
             static_argnames=("batch", "rounds"),
         )
         counts = fn(jax.random.key(seed), batch, rounds)
