@@ -62,11 +62,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--codes", nargs="+", default=["steane", "surface5"])
+    ap.add_argument("--tableaus", nargs="+",
+                    default=["unpacked", "packed", "frames"],
+                    choices=["unpacked", "packed", "frames"])
     args = ap.parse_args()
 
     for name in args.codes:
         code = CODES[name]()
-        for tableau in ("unpacked", "packed"):
+        for tableau in args.tableaus:
             stats = bench(code, tableau, args.batch)
             print(json.dumps({
                 "metric": "ftqc_encoded_program_throughput",

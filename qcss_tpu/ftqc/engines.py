@@ -360,9 +360,132 @@ class PackedEngine:
         return self._depolarize_block(tab, b, p, key)
 
 
-def make_engine(kind: str, n: int, n_blocks: int, noise) -> UnpackedEngine | PackedEngine:
+class FrameEngine:
+    """Pauli-frame state (`sim.frame.Frames`) behind the same block-level
+    interface as the tableau engines — the Monte-Carlo fast path for the
+    FTQC executor (Stim's frame-sampler architecture, arXiv:2103.02202
+    §4.2, applied to the whole FT protocol stack).
+
+    The state holds only each sample's Pauli DEVIATION from the noiseless
+    reference run, so gates cost O(1) bits/sample instead of O(rows·words)
+    tableau updates. Two semantic differences from the tableau engines,
+    both handled by the executor (`schedule.MacroExecutor`):
+
+    * `pauli_inject` XORs the logical operator into the frame (intentional
+      Paulis RIDE the deviation; the reference is permanently the
+      Pauli-free program), which is what makes per-sample conditional
+      Paulis exact;
+    * `measure_block` returns outcome DEVIATIONS; the executor XORs in the
+      reference outcomes it records once from a 32-sample noiseless
+      tableau run (`schedule.reference_outcomes`), which also verifies
+      every reference measurement is deterministic — the frame engine's
+      soundness condition.
+    """
+
+    def __init__(self, n: int, n_blocks: int, noise: noise_mod.NoiseModel):
+        from qcss_tpu.sim import frame as fr
+
+        self._fr = fr
+        self.n = n
+        self.n_blocks = n_blocks
+        self.noise = noise
+        self.stride = n
+
+    def block_qubits(self, b) -> jax.Array:
+        return jnp.asarray(b, jnp.int32) * self.stride + jnp.arange(
+            self.n, dtype=jnp.int32
+        )
+
+    def zero_state(self, batch: int):
+        return self._fr.zero_frames(batch, self.n_blocks * self.stride)
+
+    def select(self, mask, new, old):
+        m = mask.astype(bool)[:, None]
+        return self._fr.Frames(
+            jnp.where(m, new.x, old.x), jnp.where(m, new.z, old.z)
+        )
+
+    def reset_block(self, tab, b, key):
+        # Reset discards the block's deviation (the executor injects
+        # p_reset flips itself, as for the tableau engines).
+        return self._fr.reset_qubits(tab, self.block_qubits(b))
+
+    def run_block_circuit(self, tab, arrays, b, key):
+        ops, q0, q1 = arrays
+        off = jnp.asarray(b, jnp.int32) * self.stride
+        return self._fr.run_arrays_noisy(
+            tab, jnp.asarray(ops), jnp.asarray(q0) + off,
+            jnp.asarray(q1) + off, self.noise, key,
+        )
+
+    def measure_block(self, tab, b, key):
+        # Outcome deviations (reference ⊕ deviation = actual); measured
+        # blocks are always reset before reuse in the FT protocols, so the
+        # post-measurement phase scramble needs no modeling.
+        return tab, tab.x[:, self.block_qubits(b)]
+
+    def transversal_cnot(self, tab, b_ctrl, b_tgt, key):
+        qc = self.block_qubits(b_ctrl)
+        qt = self.block_qubits(b_tgt)
+        tab = self._fr.Frames(
+            tab.x.at[:, qt].set(tab.x[:, qt] ^ tab.x[:, qc]),
+            tab.z.at[:, qc].set(tab.z[:, qc] ^ tab.z[:, qt]),
+        )
+        if self.noise.p_gate2:
+            tab = self._fr.inject2_many(tab, qc, qt, self.noise.rate2, key)
+        return tab
+
+    def transversal_1q(self, tab, gate: str, b, key):
+        q = self.block_qubits(b)
+        if gate == "H":
+            xq, zq = tab.x[:, q], tab.z[:, q]
+            tab = self._fr.Frames(tab.x.at[:, q].set(zq), tab.z.at[:, q].set(xq))
+        elif gate == "S":
+            tab = self._fr.Frames(
+                tab.x, tab.z.at[:, q].set(tab.z[:, q] ^ tab.x[:, q])
+            )
+        elif gate in ("X", "Z"):
+            pass  # phase-only on deviations
+        else:  # pragma: no cover
+            raise ValueError(gate)
+        if self.noise.p_gate1:
+            tab = self._fr.inject1_many(tab, q, self.noise.rate1, key)
+        return tab
+
+    def transversal_cz(self, tab, b0, b1, key):
+        qa = self.block_qubits(b0)
+        qb = self.block_qubits(b1)
+        z = tab.z.at[:, qa].set(tab.z[:, qa] ^ tab.x[:, qb])
+        z = z.at[:, qb].set(z[:, qb] ^ tab.x[:, qa])
+        tab = self._fr.Frames(tab.x, z)
+        if self.noise.p_gate2:
+            tab = self._fr.inject2_many(tab, qa, qb, self.noise.rate2, key)
+        return tab
+
+    def pauli_inject(self, tab, b, x_row, z_row, mask):
+        # Intentional logical Paulis ride the deviation (the reference run
+        # excludes them — see class docstring).
+        q = self.block_qubits(b)
+        m = mask.astype(jnp.uint8)[:, None]
+        return self._fr.Frames(
+            tab.x.at[:, q].set(tab.x[:, q] ^ m * x_row[None, :]),
+            tab.z.at[:, q].set(tab.z[:, q] ^ m * z_row[None, :]),
+        )
+
+    def depolarize_block(self, tab, b, p, key):
+        return self._fr.inject1_many(tab, self.block_qubits(b), p, key)
+
+    def inject_block_flips(self, tab, b, x_flips, z_flips):
+        return self._fr.inject_flips(tab, self.block_qubits(b), x_flips, z_flips)
+
+
+def make_engine(
+    kind: str, n: int, n_blocks: int, noise
+) -> UnpackedEngine | PackedEngine | FrameEngine:
     if kind == "unpacked":
         return UnpackedEngine(n, n_blocks, noise)
     if kind == "packed":
         return PackedEngine(n, n_blocks, noise)
+    if kind == "frames":
+        return FrameEngine(n, n_blocks, noise)
     raise ValueError(f"unknown tableau engine {kind!r}")

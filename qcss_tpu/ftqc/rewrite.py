@@ -60,10 +60,10 @@ class EncodedProgram:
             raise UnsupportedQECCError("code must have k = 1")
         if engine not in ("scheduled", "unrolled"):
             raise ValueError("engine must be 'scheduled' or 'unrolled'")
-        if tableau not in ("unpacked", "packed"):
-            raise ValueError("tableau must be 'unpacked' or 'packed'")
-        if engine == "unrolled" and tableau == "packed":
-            raise ValueError("the packed tableau requires the scheduled engine")
+        if tableau not in ("unpacked", "packed", "frames"):
+            raise ValueError("tableau must be 'unpacked', 'packed' or 'frames'")
+        if engine == "unrolled" and tableau != "unpacked":
+            raise ValueError(f"the {tableau} engine requires the scheduled engine")
         if ancillas not in ("shared", "dedicated"):
             raise ValueError("ancillas must be 'shared' or 'dedicated'")
         if engine == "unrolled" and ancillas == "dedicated":
@@ -87,6 +87,7 @@ class EncodedProgram:
         self.memory = dict(raw.memory)
         self._compiled = None  # jit wrapper, built once (a fresh jax.jit
         # per run() would retrace and recompile on every call)
+        self._scheduled = None  # (macro, executor, ref_outs), built once
         self._validate()
 
     def _validate(self):
@@ -98,12 +99,25 @@ class EncodedProgram:
                     f"{kind} logical gate {name} not implemented for this code"
                 )
 
+        def check_frame_body(g: GateInst, kind: str):
+            # Frame-engine soundness: per-sample conditional NON-Pauli
+            # gates would make the reference trajectory sample-dependent,
+            # invalidating the recorded reference outcomes. Conditional
+            # Paulis ride the frame exactly, so they are fine.
+            if self.tableau == "frames" and g.name not in ("I", "X", "Y", "Z"):
+                raise UnsupportedProgramError(
+                    f"{kind} non-Pauli gate {g.name} is not supported by "
+                    "the 'frames' engine (sample-dependent reference); use "
+                    "a tableau engine"
+                )
+
         for inst in self.raw.instructions:
             if isinstance(inst, GateInst):
                 check_gate(inst.name, "")
             elif isinstance(inst, IfThenInst):
                 for g in inst.body:
                     check_gate(g.name, "conditional")
+                    check_frame_body(g, "conditional")
             elif isinstance(inst, RepeatUntilInst):
                 if self.engine != "scheduled":
                     raise UnsupportedProgramError(
@@ -112,6 +126,7 @@ class EncodedProgram:
                 for b in inst.body:
                     if isinstance(b, GateInst):
                         check_gate(b.name, "looped")
+                        check_frame_body(b, "looped")
             elif isinstance(inst, (MeasureInst, ResetInst, DeclareInst,
                                    ClassicalInst, PragmaInst)):
                 continue
@@ -194,21 +209,34 @@ class EncodedProgram:
     def _execute_scheduled(self, key: jax.Array, batch: int) -> dict[str, jax.Array]:
         """Macro-op engine: O(1) compile cost in program length — see
         `qcss_tpu.ftqc.schedule`."""
-        from qcss_tpu.ftqc import schedule
-
-        macro = schedule.lower(self.raw, self.code)
-        executor = schedule.MacroExecutor(
-            self.code, self.n_logical, self.noise, self.max_prep_attempts,
-            tableau_engine=self.tableau, ancillas=self.ancillas,
-            ec_extractions=self.ec_extractions,
-        )
-        st = executor.execute(macro, key, batch)
+        macro, executor, ref_outs = self._prepare_scheduled()
+        st = executor.execute(macro, key, batch, ref_outs=ref_outs)
         out = {
             name: st.memory[:, off : off + size]
             for name, (off, size) in macro.memory_layout.items()
         }
         out["__prep_fail__"] = st.prep_fail[:, None]
         return out
+
+    def _prepare_scheduled(self):
+        """Lower once and (for the 'frames' engine) record the reference
+        measurement outcomes — host-side work that must happen OUTSIDE the
+        jitted execution body."""
+        if self._scheduled is None:
+            from qcss_tpu.ftqc import schedule
+
+            macro = schedule.lower(self.raw, self.code)
+            executor = schedule.MacroExecutor(
+                self.code, self.n_logical, self.noise, self.max_prep_attempts,
+                tableau_engine=self.tableau, ancillas=self.ancillas,
+                ec_extractions=self.ec_extractions,
+            )
+            ref_outs = (
+                schedule.reference_outcomes(macro, self.code)
+                if self.tableau == "frames" else None
+            )
+            self._scheduled = (macro, executor, ref_outs)
+        return self._scheduled
 
     def run(self, batch: int, key: jax.Array | None = None) -> dict[str, np.ndarray]:
         """Execute `batch` shots; returns classical registers as numpy
@@ -223,10 +251,11 @@ class EncodedProgram:
         bound the unverified fraction."""
         key = jax.random.key(0) if key is None else key
         if self._compiled is None:
-            body = (
-                self._execute_scheduled if self.engine == "scheduled"
-                else self._execute
-            )
+            if self.engine == "scheduled":
+                self._prepare_scheduled()  # host-side, before the trace
+                body = self._execute_scheduled
+            else:
+                body = self._execute
             self._compiled = jax.jit(body, static_argnames=("batch",))
         out = self._compiled(key, batch)
         return {name: np.asarray(v) for name, v in out.items()}

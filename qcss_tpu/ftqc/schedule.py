@@ -197,13 +197,21 @@ class MacroExecutor:
                  max_prep_attempts: int = 8,
                  tableau_engine: str = "unpacked",
                  ancillas: str = "shared",
-                 ec_extractions: int = 1):
+                 ec_extractions: int = 1,
+                 reference_mode: bool = False):
         from qcss_tpu.ftqc.engines import make_engine
 
         if ancillas not in ("shared", "dedicated"):
             raise ValueError("ancillas must be 'shared' or 'dedicated'")
         if ec_extractions not in (1, 2):
             raise ValueError("ec_extractions must be 1 or 2")
+        # reference_mode: the noiseless run that records per-measure-site
+        # reference outcomes for the 'frames' engine. Pauli gates are
+        # skipped (they ride the frame in the frame run) and measure
+        # trials ignore their condition mask — sound because a
+        # deterministic Z̄ measurement is non-demolition, so forcing it
+        # cannot disturb the reference quantum trajectory.
+        self.reference_mode = reference_mode
         # ec_extractions=2: Shor-style repeated syndrome extraction in EC —
         # each sector extracts TWICE (fresh verified ancilla each time) and
         # commits the frame correction only for samples where both
@@ -492,6 +500,10 @@ class MacroExecutor:
 
         xop, zop = self.logical_x[0], self.logical_z[0]
         zeros_row = jnp.zeros_like(xop)
+        if self.reference_mode:
+            # The reference run excludes Paulis (they ride the frame).
+            def pauli_branch(s, x_row, z_row):  # noqa: F811
+                return s
 
         def masked(s, apply_fn):
             s2 = apply_fn(s)
@@ -542,8 +554,16 @@ class MacroExecutor:
 
     def _op_measure_trial(self, st: MachineState, a) -> MachineState:
         b, slot = a[0], a[1]
-        mask = self._cond_mask(st, a[2])
+        if self.reference_mode:
+            # Force the trial (deterministic measurement is non-demolition)
+            # so its reference outcome gets recorded even inside loops.
+            mask = jnp.ones((st.tab.batch,), jnp.uint8)
+        else:
+            mask = self._cond_mask(st, a[2])
         new, outcome = self._noisy_measure(st, b)
+        # a[4]: the reference outcome of this measure site (zero except in
+        # frame-engine runs, where `outcome` is a deviation).
+        outcome = outcome ^ a[4].astype(jnp.uint8)
         new = new._replace(votes=new.votes.at[:, slot].set(outcome))
         return self._select_state(mask, new, st)  # also reverts the vote slot
 
@@ -575,7 +595,14 @@ class MacroExecutor:
 
     # -- top level -----------------------------------------------------------------------
 
-    def execute(self, macro: MacroProgram, key: jax.Array, batch: int) -> MachineState:
+    def execute(self, macro: MacroProgram, key: jax.Array, batch: int,
+                ref_outs: np.ndarray | None = None,
+                capture_votes: bool = False):
+        """Run the macro program. ``ref_outs`` ([T] reference measurement
+        outcomes) is required by the 'frames' engine (see
+        `reference_outcomes`) and zero-filled otherwise.
+        ``capture_votes=True`` additionally returns the votes array after
+        every op ([T, B, trials]) — the reference-recording hook."""
         zeros_f = jnp.zeros((batch, self.n_blocks, self.n), dtype=jnp.uint8)
         st = MachineState(
             tab=self.engine.zero_state(batch),
@@ -594,9 +621,51 @@ class MacroExecutor:
             self._op_vote_store,
             self._op_classical,
         ]
+        ops = np.asarray(macro.ops)
+        ref_col = (
+            np.zeros((ops.shape[0], 1), np.int32) if ref_outs is None
+            else np.asarray(ref_outs, np.int32).reshape(-1, 1)
+        )
+        rows = jnp.asarray(np.concatenate([ops, ref_col], axis=1))
 
         def step(carry, row):
-            return jax.lax.switch(row[0], bodies, carry, row[1:]), None
+            new = jax.lax.switch(row[0], bodies, carry, row[1:])
+            return new, (new.votes if capture_votes else None)
 
-        st, _ = jax.lax.scan(step, st, jnp.asarray(macro.ops))
-        return st
+        st, ys = jax.lax.scan(step, st, rows)
+        return (st, ys) if capture_votes else st
+
+
+def reference_outcomes(macro: MacroProgram, code, *, batch: int = 32,
+                       seed: int = 0) -> np.ndarray:
+    """Record the reference outcome of every measure site by running the
+    macro program ONCE, noiselessly, on the unpacked tableau engine with
+    Paulis skipped (`reference_mode`) — the frame engine XORs these into
+    its outcome deviations. `batch` independent reference samples double
+    as the determinism check (a random outcome disagrees across 32 samples
+    with probability 1 - 2^-31): raises `UnsupportedProgramError` if any
+    measure site is non-deterministic, the frame engine's soundness
+    condition (e.g. a program measuring a block left in |+̄⟩)."""
+    from qcss_tpu.errors import UnsupportedProgramError
+
+    ex = MacroExecutor(code, macro.n_logical, noise=None,
+                       tableau_engine="unpacked", reference_mode=True)
+    run = jax.jit(
+        lambda k: ex.execute(macro, k, batch, capture_votes=True)
+    )
+    _, votes_t = run(jax.random.key(seed))
+    votes_t = np.asarray(votes_t)  # [T, B, trials]
+    ops = macro.ops
+    refs = np.zeros(ops.shape[0], np.int32)
+    for t in range(ops.shape[0]):
+        if ops[t, 0] == OP_MEASURE_TRIAL:
+            vals = votes_t[t][:, ops[t, 2]]
+            if not (vals == vals[0]).all():
+                raise UnsupportedProgramError(
+                    "non-deterministic reference measurement at macro op "
+                    f"{t}; the 'frames' engine requires every measured "
+                    "block to be in a definite Z̄ eigenstate — use the "
+                    "'unpacked' or 'packed' tableau engine for this program"
+                )
+            refs[t] = int(vals[0])
+    return refs

@@ -158,6 +158,44 @@ def _inject2(f: Frames, a, b, p, key) -> Frames:
     return Frames(x, z)
 
 
+def inject1_many(f: Frames, qubits, p, key) -> Frames:
+    """IID single-qubit Pauli channel on a set of qubits — the frame
+    counterpart of `noise.depolarize1_many` (same thresholds)."""
+    q = jnp.asarray(qubits, jnp.int32)
+    u = jax.random.uniform(key, (f.batch, q.shape[0]), dtype=jnp.float32)
+    x_hi, z_lo, z_hi = (jnp.float32(v) for v in noise_mod._thresholds_1q(p))
+    x_hit = (u < x_hi).astype(jnp.uint8)
+    z_hit = ((u >= z_lo) & (u < z_hi)).astype(jnp.uint8)
+    return Frames(
+        f.x.at[:, q].set(f.x[:, q] ^ x_hit),
+        f.z.at[:, q].set(f.z[:, q] ^ z_hit),
+    )
+
+
+def inject2_many(f: Frames, controls, targets, p, key) -> Frames:
+    """IID two-qubit noise on m disjoint pairs — the frame counterpart of
+    `noise.depolarize2_many` (same 15-way patterns / biased split)."""
+    if isinstance(p, tuple):
+        q_all = jnp.concatenate([
+            jnp.asarray(controls, jnp.int32), jnp.asarray(targets, jnp.int32)
+        ])
+        return inject1_many(f, q_all, p, key)
+    c = jnp.asarray(controls, jnp.int32)
+    q = jnp.asarray(targets, jnp.int32)
+    m = c.shape[0]
+    key_u, key_p = jax.random.split(key)
+    hit = (
+        jax.random.uniform(key_u, (f.batch, m), dtype=jnp.float32)
+        < jnp.float32(p)
+    ).astype(jnp.uint8)
+    pat = jax.random.randint(key_p, (f.batch, m), 1, 16, dtype=jnp.int32)
+    x = f.x.at[:, c].set(f.x[:, c] ^ (pat & 1).astype(jnp.uint8) * hit)
+    x = x.at[:, q].set(x[:, q] ^ ((pat >> 2) & 1).astype(jnp.uint8) * hit)
+    z = f.z.at[:, c].set(f.z[:, c] ^ ((pat >> 1) & 1).astype(jnp.uint8) * hit)
+    z = z.at[:, q].set(z[:, q] ^ ((pat >> 3) & 1).astype(jnp.uint8) * hit)
+    return Frames(x, z)
+
+
 def run_arrays_noisy(f: Frames, ops, q0, q1,
                      model: noise_mod.NoiseModel, key) -> Frames:
     """Frame propagation with a depolarizing location after every gate —

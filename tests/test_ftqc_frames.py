@@ -1,0 +1,133 @@
+"""Frame-engine FTQC tests (tableau='frames', `ftqc.engines.FrameEngine`).
+
+The frame engine runs the full FT protocol stack (RUS preparation,
+per-gate Steane EC, 2t+1 majority measurement) on per-sample Pauli
+deviations plus reference outcomes recorded from one noiseless tableau
+run (`schedule.reference_outcomes`). Because the executor splits PRNG
+keys identically for every engine, noisy runs are BIT-identical to the
+unpacked tableau engine — asserted below, not just statistically matched.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from qcss_tpu.circuits import Block, Circuit, Program
+from qcss_tpu.codes import families
+from qcss_tpu.errors import UnsupportedProgramError
+from qcss_tpu.ftqc import rewrite_program
+from qcss_tpu.sim.noise import NoiseModel
+
+
+@pytest.fixture(scope="module")
+def steane():
+    return families.steane()
+
+
+def run(prog, code, tableau="frames", noise=None, batch=32, seed=0, **kw):
+    enc = rewrite_program(prog, code, noise=noise, tableau=tableau, **kw)
+    return enc.run(batch, key=jax.random.key(seed))
+
+
+def x_program():
+    p = Program()
+    ro = p.declare("ro", 1)
+    p.x(0).measure(0, ro[0])
+    return p
+
+
+class TestDeterministicOutcomes:
+    @pytest.mark.parametrize("gates,want", [
+        (["x"], 1),
+        (["y"], 1),
+        (["z"], 0),
+        (["x", "x", "x"], 1),
+        (["y", "z"], 1),
+        (["h", "z", "h"], 1),  # HZH = X: the reference run is H,H = I
+        (["s", "s", "x"], 1),  # SS = Z
+    ])
+    def test_single_qubit_sequences(self, steane, gates, want):
+        p = Program()
+        ro = p.declare("ro", 1)
+        for g in gates:
+            getattr(p, g)(0)
+        p.measure(0, ro[0])
+        out = run(p, steane)
+        assert (np.asarray(out["ro"])[:, 0] == want).all()
+
+    def test_two_qubit_cnot(self, steane):
+        # X(0); CNOT(0,1): both blocks end in |1̄⟩ — and the reference run
+        # (Paulis stripped) keeps CNOT, exercising reference recording on
+        # an entangling-but-still-deterministic circuit.
+        p = Program()
+        ro = p.declare("ro", 2)
+        p.x(0).cnot(0, 1)
+        p.measure(0, ro[0]).measure(1, ro[1])
+        out = run(p, steane)
+        assert (np.asarray(out["ro"]) == 1).all()
+
+    def test_pauli_feedback(self, steane):
+        p = Program()
+        ro = p.declare("ro", 2)
+        p.x(0).measure(0, ro[0])
+        p.if_then(ro[0], Circuit().x(0))
+        p.measure(0, ro[1])
+        out = run(p, steane)
+        assert (np.asarray(out["ro"])[:, 0] == 1).all()
+        assert (np.asarray(out["ro"])[:, 1] == 0).all()
+
+    def test_repeat_until_with_pauli_body(self, steane):
+        p = Program()
+        ro = p.declare("ro", 2)
+        body = Block().reset(0).x(0).measure(0, ro[0])
+        p.repeat_until(ro[0], body, max_iters=3)
+        p.measure(0, ro[1])
+        out = run(p, steane)
+        assert (np.asarray(out["ro"]) == 1).all()
+
+
+class TestSoundnessGuards:
+    def test_nondeterministic_reference_rejected(self, steane):
+        p = Program()
+        ro = p.declare("ro", 1)
+        p.h(0)
+        p.measure(0, ro[0])  # measuring |+̄⟩: random reference outcome
+        enc = rewrite_program(p, steane, tableau="frames")
+        with pytest.raises(UnsupportedProgramError, match="deterministic"):
+            enc.run(8)
+
+    def test_conditional_clifford_rejected(self, steane):
+        p = Program()
+        ro = p.declare("ro", 1)
+        p.x(0).measure(0, ro[0])
+        p.if_then(ro[0], Circuit().h(0))
+        with pytest.raises(UnsupportedProgramError, match="frames"):
+            rewrite_program(p, steane, tableau="frames")
+
+    def test_frames_requires_scheduled(self, steane):
+        with pytest.raises(ValueError, match="scheduled"):
+            rewrite_program(x_program(), steane, engine="unrolled",
+                            tableau="frames")
+
+
+class TestNoisyEquivalence:
+    def test_bit_identical_to_unpacked_under_noise(self, steane):
+        """Same seed → same key splits → same fault pattern → identical
+        outputs (incl. __prep_fail__) across the two engines."""
+        noise = NoiseModel(p_gate1=2e-4, p_gate2=2e-3, p_meas=2e-3,
+                           p_reset=2e-3)
+        out_f = run(x_program(), steane, "frames", noise=noise,
+                    batch=512, seed=11)
+        out_u = run(x_program(), steane, "unpacked", noise=noise,
+                    batch=512, seed=11)
+        for k in out_u:
+            assert (np.asarray(out_f[k]) == np.asarray(out_u[k])).all(), k
+
+    def test_bit_identical_with_repeated_extraction_dedicated(self, steane):
+        noise = NoiseModel(p_gate2=3e-3, p_meas=5e-3)
+        kw = dict(noise=noise, batch=256, seed=5, ancillas="dedicated",
+                  ec_extractions=2)
+        out_f = run(x_program(), steane, "frames", **kw)
+        out_u = run(x_program(), steane, "unpacked", **kw)
+        for k in out_u:
+            assert (np.asarray(out_f[k]) == np.asarray(out_u[k])).all(), k
