@@ -125,6 +125,24 @@ def main():
             "uf_logical_fail": float(np.mean((ou & 1) != par)),
         }))
 
+    # correlated two-pass decoding: Z-sector conditioned on X corrections
+    from qcss_tpu.decode.correlated import correlated_logical_error_rate
+
+    for d in (7,):
+        if d > args.dmax:
+            continue
+        code = families.rotated_surface(d)
+        r = correlated_logical_error_rate(
+            code, 0.08, samples=args.samples, batch=args.samples, seed=7)
+        print(json.dumps({
+            "bench": "correlated_vs_independent", "d": d, "p": 0.08,
+            "z_fail_independent": r["z_fail"],
+            "z_fail_correlated": r["z_fail_corr"],
+            "word_fail_independent": r["word_fail"],
+            "word_fail_correlated": r["word_fail_corr"],
+            "samples": r["samples"],
+        }))
+
     # phenomenological multi-round threshold (p = q, rounds = d): the
     # standard 'threshold with measurement errors' benchmark
     from qcss_tpu.decode.uf import uf_phenomenological_error_rate

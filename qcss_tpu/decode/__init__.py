@@ -26,6 +26,10 @@ from qcss_tpu.decode.uf import (
     uf_phenomenological_error_rate,
     weights_from_probs,
 )
+from qcss_tpu.decode.correlated import (
+    conditional_weights,
+    correlated_logical_error_rate,
+)
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
@@ -49,6 +53,8 @@ __all__ = [
     "circuit_level_graph",
     "MWPMDecoder",
     "MWPMOracle",
+    "conditional_weights",
+    "correlated_logical_error_rate",
     "extraction_gate_list",
     "detector_history",
     "spacetime_check_matrix",

@@ -179,9 +179,11 @@ def spacetime_graph(h: np.ndarray, logicals: np.ndarray, rounds: int,
 # -- pure-Python decoder (fallback + differential oracle) ----------------------
 
 
-def _decode_one_py(g: MatchingGraph, syn: np.ndarray, want_corr: bool):
+def _decode_one_py(g: MatchingGraph, syn: np.ndarray, want_corr: bool,
+                   wt: np.ndarray | None = None):
     """Single-shot union-find decode; mirrors `uf_decoder.cc` step for step
-    (same growth order, same head-insertion adjacency → identical output)."""
+    (same growth order, same head-insertion adjacency → identical output).
+    ``wt`` overrides the graph's edge weights for this shot."""
     N = g.num_nodes
     B = N
     parent = list(range(N + 1))
@@ -221,7 +223,7 @@ def _decode_one_py(g: MatchingGraph, syn: np.ndarray, want_corr: bool):
     # Canonical simultaneous growth (mirrors uf_decoder.cc): grow against
     # the start-of-round cluster state, then merge saturated edges.
     ed = g.edges
-    wt = g.edge_weight
+    wt = g.edge_weight if wt is None else wt
     while any(active(find(i)) for i in range(N)):
         grew = False
         merges: list[int] = []
@@ -296,12 +298,14 @@ def _decode_one_py(g: MatchingGraph, syn: np.ndarray, want_corr: bool):
     return corr, obs
 
 
-def _decode_batch_py(g: MatchingGraph, syndromes: np.ndarray, want_corr: bool):
+def _decode_batch_py(g: MatchingGraph, syndromes: np.ndarray, want_corr: bool,
+                     shot_weights: np.ndarray | None = None):
     batch = syndromes.shape[0]
     corr = np.zeros((batch, g.n_qubits), dtype=np.uint8) if want_corr else None
     obs = np.zeros(batch, dtype=np.uint32)
     for b in range(batch):
-        c, o = _decode_one_py(g, syndromes[b], want_corr)
+        wt = None if shot_weights is None else shot_weights[b]
+        c, o = _decode_one_py(g, syndromes[b], want_corr, wt)
         if corr is not None:
             corr[b] = c
         obs[b] = o
@@ -321,7 +325,11 @@ class UFDecoder:
         self.use_native = native.available() if use_native is None else use_native
 
     def decode_batch(self, syndromes, want_corrections: bool = True,
-                     n_threads: int | None = None):
+                     n_threads: int | None = None,
+                     shot_weights: np.ndarray | None = None):
+        """``shot_weights`` ([B, num_edges] uint8, values >= 1) overrides
+        the graph's growth weights per shot — the hook correlated two-pass
+        decoding uses (`decode.correlated`)."""
         syndromes = np.ascontiguousarray(np.asarray(syndromes), dtype=np.uint8)
         if syndromes.ndim != 2 or syndromes.shape[1] != self.graph.num_nodes:
             raise ValueError(
@@ -329,15 +337,19 @@ class UFDecoder:
                 f"got {syndromes.shape}"
             )
         g = self.graph
+        if shot_weights is not None:
+            shot_weights = np.ascontiguousarray(shot_weights, dtype=np.uint8)
+            if shot_weights.shape != (syndromes.shape[0], g.num_edges):
+                raise ValueError("shot_weights must be [B, num_edges]")
         if self.use_native:
             out = native.uf_decode_batch_native(
                 g.edges, g.edge_qubit, g.edge_obs, g.edge_weight,
                 g.num_nodes, g.n_qubits,
-                syndromes, want_corrections, n_threads,
+                syndromes, want_corrections, n_threads, shot_weights,
             )
             if out is not None:
                 return out
-        return _decode_batch_py(g, syndromes, want_corrections)
+        return _decode_batch_py(g, syndromes, want_corrections, shot_weights)
 
 
 # -- Monte-Carlo harness -------------------------------------------------------

@@ -89,7 +89,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         u8p, ctypes.c_int64,
         ctypes.c_void_p,  # corrections (nullable)
-        u32p, ctypes.c_int32,
+        u32p,
+        ctypes.c_void_p,  # per-shot weights (nullable)
+        ctypes.c_int32,
     ]
     lib.qcss_mwpm_create.restype = ctypes.c_void_p
     lib.qcss_mwpm_create.argtypes = [
@@ -160,10 +162,12 @@ def uf_decode_batch_native(
     syndromes: np.ndarray,
     want_corrections: bool = True,
     n_threads: int | None = None,
+    shot_weights: np.ndarray | None = None,
 ):
     """Batched union-find decode (see `uf_decoder.cc`). Returns
     (corrections [B, n_qubits] uint8 or None, obs_flips [B] uint32), or
-    None if the native library is unavailable."""
+    None if the native library is unavailable. ``shot_weights``
+    ([B, E] uint8) overrides the per-graph edge weights per shot."""
     lib = _try_load()
     if lib is None:
         return None
@@ -175,6 +179,10 @@ def uf_decode_batch_native(
     batch = syndromes.shape[0]
     if syndromes.shape[1] != num_nodes:
         raise ValueError("syndromes second axis must equal num_nodes")
+    if shot_weights is not None:
+        shot_weights = np.ascontiguousarray(shot_weights, dtype=np.uint8)
+        if shot_weights.shape != (batch, edges.shape[0]):
+            raise ValueError("shot_weights must be [batch, num_edges]")
     corr = np.zeros((batch, n_qubits), dtype=np.uint8) if want_corrections else None
     obs = np.zeros(batch, dtype=np.uint32)
     if n_threads is None:
@@ -184,7 +192,10 @@ def uf_decode_batch_native(
         np.int32(num_nodes), np.int32(edges.shape[0]), np.int32(n_qubits),
         syndromes.reshape(-1), np.int64(batch),
         None if corr is None else corr.ctypes.data_as(ctypes.c_void_p),
-        obs, np.int32(n_threads),
+        obs,
+        None if shot_weights is None
+        else shot_weights.ctypes.data_as(ctypes.c_void_p),
+        np.int32(n_threads),
     )
     if rc != 0:
         return None

@@ -154,8 +154,8 @@ inline bool cluster_active(Scratch& s, int32_t root) {
   return s.parity[root] && !s.boundary[root];
 }
 
-void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
-                uint32_t* obs_out, Scratch& s) {
+void decode_one(const Graph& g, const uint8_t* syn, const uint8_t* wt,
+                uint8_t* corr, uint32_t* obs_out, Scratch& s) {
   const int32_t N = g.num_nodes;
   const int32_t B = N;  // virtual boundary vertex
 
@@ -209,7 +209,7 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
       size_t w = 0;
       for (size_t ri = 0; ri < blist.size(); ++ri) {
         int32_t e = blist[ri];
-        if (s.support[e] >= g.edge_weight[e]) continue;  // saturated
+        if (s.support[e] >= wt[e]) continue;  // saturated
         int32_t u = g.edges[2 * e];
         int32_t v = g.edges[2 * e + 1];
         int32_t ru = s.find(u < 0 ? B : u);
@@ -217,7 +217,7 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
         if (ru == rv) continue;  // stale: became internal
         grew = true;
         if (s.support[e] == 0) s.touched_edges.push_back(e);
-        if (++s.support[e] >= g.edge_weight[e]) {
+        if (++s.support[e] >= wt[e]) {
           s.merges.push_back(e);
           s.grown.push_back(e);
         }
@@ -331,8 +331,9 @@ void decode_one(const Graph& g, const uint8_t* syn, uint8_t* corr,
   *obs_out = obs;
 }
 
-void decode_range(const Graph* g, const uint8_t* syndromes, int64_t lo,
-                  int64_t hi, uint8_t* corrections, uint32_t* obs_out) {
+void decode_range(const Graph* g, const uint8_t* syndromes,
+                  const uint8_t* shot_weights, int64_t lo, int64_t hi,
+                  uint8_t* corrections, uint32_t* obs_out) {
   Scratch s;
   s.init(*g);
   for (int64_t b = lo; b < hi; ++b) {
@@ -341,25 +342,31 @@ void decode_range(const Graph* g, const uint8_t* syndromes, int64_t lo,
       corr = corrections + b * (int64_t)g->n_qubits;
       std::memset(corr, 0, g->n_qubits);
     }
-    decode_one(*g, syndromes + b * (int64_t)g->num_nodes, corr, obs_out + b,
-               s);
+    const uint8_t* wt =
+        shot_weights != nullptr ? shot_weights + b * (int64_t)g->num_edges
+                                : g->edge_weight;
+    decode_one(*g, syndromes + b * (int64_t)g->num_nodes, wt, corr,
+               obs_out + b, s);
   }
 }
 
 }  // namespace
 
+// shot_weights: optional [batch, num_edges] per-shot growth weights
+// (nullptr = use edge_weight for every shot) — the hook two-pass
+// correlated decoding uses to make X-correction-conditioned Z edges cheap.
 extern "C" int32_t qcss_uf_decode_batch(
     const int32_t* edges, const int32_t* edge_qubit, const uint32_t* edge_obs,
     const uint8_t* edge_weight,
     int32_t num_nodes, int32_t num_edges, int32_t n_qubits,
     const uint8_t* syndromes, int64_t batch, uint8_t* corrections,
-    uint32_t* obs_out, int32_t n_threads) {
+    uint32_t* obs_out, const uint8_t* shot_weights, int32_t n_threads) {
   if (num_nodes <= 0 || num_edges <= 0 || batch < 0) return 1;
   Graph g{edges, edge_qubit, edge_obs, edge_weight,
           num_nodes, num_edges, n_qubits, {}, {}};
   build_csr(g);
   if (n_threads <= 1 || batch < 2 * n_threads) {
-    decode_range(&g, syndromes, 0, batch, corrections, obs_out);
+    decode_range(&g, syndromes, shot_weights, 0, batch, corrections, obs_out);
     return 0;
   }
   std::vector<std::thread> threads;
@@ -368,8 +375,8 @@ extern "C" int32_t qcss_uf_decode_batch(
     int64_t lo = t * chunk;
     int64_t hi = std::min<int64_t>(batch, lo + chunk);
     if (lo >= hi) break;
-    threads.emplace_back(decode_range, &g, syndromes, lo, hi, corrections,
-                         obs_out);
+    threads.emplace_back(decode_range, &g, syndromes, shot_weights, lo, hi,
+                         corrections, obs_out);
   }
   for (auto& th : threads) th.join();
   return 0;
