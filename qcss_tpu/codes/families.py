@@ -4,7 +4,8 @@ The reference constructs codes only by passing raw parity-check matrices in
 tests (reference: test/test_css_code.py:12-18); this module provides the
 named families used across the framework's tests and benchmarks:
 Steane [[7,1,3]], Shor [[9,1,3]], quantum Reed-Muller [[15,1,3]], rotated
-surface codes d=3..11, and toric codes (k=2, decode/extraction use only).
+surface codes d=3..11, triangular 6.6.6 color codes (self-dual, d=3,5,7...),
+and toric codes (k=2, decode/extraction use only).
 """
 
 from __future__ import annotations
@@ -142,6 +143,45 @@ def rotated_surface(d: int, **kwargs) -> CSSCode:
     kwargs.setdefault("t", (d - 1) // 2)
     kwargs.setdefault("max_table_weight", 0)
     return CSSCode(h_x, h_z, **kwargs)
+
+
+def triangular_color(d: int, **kwargs) -> CSSCode:
+    """6.6.6 (hexagonal) triangular color code of odd distance d:
+    n = (3d^2 + 1)/4 qubits, k = 1, self-dual (H_X = H_Z), so H and CZ are
+    transversal at every distance — the family that extends the Steane
+    code (its d=3 member) upward.
+
+    Construction: triangular-lattice sites (a, b) with a, b >= 0 and
+    a + b <= L, L = 3(d-1)/2. Sites with (a - b) ≡ 1 (mod 3) are face
+    centers; the rest are qubits. Each face acts on the center's in-range
+    lattice neighbours — weight 6 in the bulk, truncated to weight 4 on
+    the boundary. Distance is verified computationally in
+    tests/test_color.py (no reference counterpart: the reference ships no
+    code constructors at all, SURVEY.md §2.5).
+
+    Color codes are NOT matchable (bulk qubits sit in 3 same-sector
+    checks), so decoding uses the LUT path; tables stay tractable through
+    d=7 (2^18 syndromes).
+    """
+    if d % 2 == 0 or d < 3:
+        raise ValueError("distance must be odd and >= 3")
+    L = 3 * (d - 1) // 2
+    pts = [(a, b) for a in range(L + 1) for b in range(L + 1 - a)]
+    qubits = [p for p in pts if (p[0] - p[1]) % 3 != 1]
+    centers = [p for p in pts if (p[0] - p[1]) % 3 == 1]
+    idx = {p: i for i, p in enumerate(qubits)}
+    n = len(qubits)
+    rows = []
+    for (a, b) in centers:
+        nbrs = [(a + 1, b), (a - 1, b), (a, b + 1),
+                (a, b - 1), (a + 1, b - 1), (a - 1, b + 1)]
+        sup = [idx[p] for p in nbrs if p in idx]
+        row = np.zeros(n, dtype=np.uint8)
+        row[sup] = 1
+        rows.append(row)
+    h = np.array(rows, dtype=np.uint8)
+    kwargs.setdefault("t", (d - 1) // 2)
+    return CSSCode(h, h.copy(), **kwargs)
 
 
 def toric(d: int, **kwargs) -> CSSCode:
