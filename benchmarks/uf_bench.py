@@ -173,6 +173,36 @@ def main():
         "elapsed_s": round(time.perf_counter() - t0, 1),
     }))
 
+    # streaming (sliding-window) decode of a 1000-round memory: O(window)
+    # state regardless of horizon — the real-time decoding pattern
+    from qcss_tpu.decode.streaming import (
+        StreamingDecoder,
+        sample_phenomenological_stream,
+    )
+    from qcss_tpu.decode.uf import _pack_parity
+
+    for d in (3, 5, 7):
+        if d > args.dmax:
+            continue
+        code = families.rotated_surface(d)
+        h = code.raw_parity_check_c2
+        lz = code.z_operator_matrix()
+        R, B, p = 1000, 512, 0.005
+        dets, par = sample_phenomenological_stream(
+            jax.random.key(d), p, p, B, R, h, lz)
+        dets = np.asarray(dets)
+        par = _pack_parity(np.asarray(par))
+        sd = StreamingDecoder(h, lz, window=4 * d, commit=2 * d)
+        t0 = time.perf_counter()
+        obs = sd.decode_stream(dets)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "bench": "streaming_memory", "d": d, "rounds": R, "p": p,
+            "window": 4 * d, "commit": 2 * d,
+            "logical_fail": float(np.mean(obs != par)),
+            "round_shots_per_sec": round(B * R / dt),
+        }))
+
     # spacetime memory experiment, surface d=5
     from qcss_tpu.experiments.memory import z_memory_experiment
     from qcss_tpu.sim.noise import NoiseModel

@@ -35,6 +35,10 @@ from qcss_tpu.decode.dem import (
     circuit_level_graph,
     extraction_gate_list,
 )
+from qcss_tpu.decode.streaming import (
+    StreamingDecoder,
+    sample_phenomenological_stream,
+)
 from qcss_tpu.decode.spacetime import (
     detector_history,
     spacetime_check_matrix,
@@ -55,6 +59,8 @@ __all__ = [
     "MWPMOracle",
     "conditional_weights",
     "correlated_logical_error_rate",
+    "StreamingDecoder",
+    "sample_phenomenological_stream",
     "extraction_gate_list",
     "detector_history",
     "spacetime_check_matrix",
