@@ -9,6 +9,7 @@ and failure counts are combined with a single `psum`.
 """
 
 from qcss_tpu.parallel.mesh import (
+    ShardedFrameMemory,
     make_mesh,
     sharded_ftqc_run,
     sharded_logical_error_rate,
@@ -16,6 +17,7 @@ from qcss_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "ShardedFrameMemory",
     "make_mesh",
     "sharded_ftqc_run",
     "sharded_logical_error_rate",

@@ -131,6 +131,102 @@ def sharded_ftqc_run(encoded, mesh: Mesh, batch: int, key: jax.Array) -> dict:
     return fn(key)
 
 
+class ShardedFrameMemory:
+    """Mesh-parallel memory-experiment sampling on the Pauli-frame fast
+    path (`sim.frame` via `experiments.memory._memory_circuit_frames`).
+
+    Each device samples its local shard of shots (independent folded PRNG
+    stream) and keeps detector histories device-resident until the host
+    decode gathers them; no collectives are needed beyond the output
+    layout (the sample axis is embarrassingly parallel, exactly like
+    `sharded_mc_step`). Compiled steps are cached per (mesh, local batch,
+    rounds) on the instance.
+    """
+
+    def __init__(self, code, noise, mesh: Mesh):
+        from qcss_tpu.experiments.memory import z_extraction_circuit
+
+        self.code = code
+        self.noise = noise
+        self.mesh = mesh
+        self.h2_raw = np.asarray(code.raw_parity_check_c2)
+        self._extract = tuple(map(jnp.asarray, z_extraction_circuit(
+            code, checks=self.h2_raw).to_arrays()))
+        self._cache: dict = {}
+
+    def sample(self, key: jax.Array, batch: int, rounds: int):
+        """Global-batch sample: returns (syns [R, batch, r], word
+        [batch, n]) with the batch axis sharded over the mesh."""
+        from qcss_tpu.experiments.memory import _memory_circuit_frames
+
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        if batch % n_dev:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh size {n_dev}")
+        local = batch // n_dev
+        axis = mesh.axis_names[0]
+        fn = self._cache.get((local, rounds))
+        if fn is None:
+            code, noise = self.code, self.noise
+            n_anc = self.h2_raw.shape[0]
+            extract = self._extract
+
+            # check_vma=False for the same reason as sharded_ftqc_run: the
+            # replicated zero-frame carry turns device-varying after the
+            # first folded-key injection inside the scan.
+            @partial(shard_map, mesh=mesh, in_specs=(P(),),
+                     out_specs=(P(None, axis), P(axis)), check_vma=False)
+            def step(k):
+                my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+                return _memory_circuit_frames(
+                    my_key, local, rounds, code, noise, extract, n_anc)
+
+            fn = jax.jit(step)
+            self._cache[(local, rounds)] = fn
+        return fn(key)
+
+    def error_rate(self, *, rounds: int, batch: int, seed: int = 0,
+                   decoder: str = "uf",
+                   n_threads: int | None = None) -> dict[str, float]:
+        """Sample over the mesh, decode on the host (union-find on the
+        phenomenological spacetime graph, or the circuit-level DEM)."""
+        from qcss_tpu.decode.spacetime import detector_history
+        from qcss_tpu.decode.uf import UFDecoder, spacetime_graph
+        from qcss_tpu.experiments.memory import _count_failures
+
+        syns, word = self.sample(jax.random.key(seed), batch, rounds)
+        syns, word = np.asarray(syns), np.asarray(word)
+        final_syn = (
+            (word.astype(np.int64) @ self.h2_raw.T.astype(np.int64)) & 1
+        ).astype(np.uint8)
+        dets = detector_history(syns, final_syn)
+        if decoder == "dem":
+            from qcss_tpu.decode.dem import (
+                circuit_level_graph,
+                extraction_gate_list,
+            )
+
+            graph = circuit_level_graph(
+                self.h2_raw, extraction_gate_list(self.code, self.h2_raw),
+                rounds, p_gate2=self.noise.p_gate2,
+                p_meas=self.noise.p_meas, p_reset=self.noise.p_reset,
+                logicals=self.code.z_operator_matrix(),
+            )
+        else:
+            graph = spacetime_graph(
+                self.h2_raw, self.code.z_operator_matrix(), rounds)
+        corr, _ = UFDecoder(graph).decode_batch(dets, n_threads=n_threads)
+        counts = _count_failures(word, corr, self.code)
+        return {
+            "logical_fail": int(counts["logical_fail"]) / batch,
+            "residual_syndrome": int(counts["residual_syndrome"]) / batch,
+            "rounds": rounds,
+            "samples": batch,
+            "decoder": decoder,
+        }
+
+
 def sharded_logical_error_rate(
     code,
     p,

@@ -185,6 +185,25 @@ class TestParallel:
         # the X sector alone; allow wide MC tolerance.
         assert 10 < int(counts["word_fail"]) < 2000
 
+    def test_sharded_frame_memory(self):
+        """The frame-sampler memory pipeline sharded over the mesh: runs,
+        decodes, and lands within MC tolerance of the single-device frames
+        engine at the same operating point."""
+        from qcss_tpu.codes import families
+        from qcss_tpu.experiments.memory import z_memory_experiment
+        from qcss_tpu.parallel import ShardedFrameMemory, make_mesh
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.rotated_surface(3)
+        noise = NoiseModel(p_gate2=3e-3, p_meas=1e-2)
+        sfm = ShardedFrameMemory(code, noise, make_mesh())
+        out = sfm.error_rate(rounds=3, batch=8 * 512, seed=3, decoder="uf")
+        ref = z_memory_experiment(code, rounds=3, noise=noise,
+                                  batch=8 * 512, seed=4, decoder="uf",
+                                  engine="frames")
+        assert out["residual_syndrome"] == 0.0
+        assert abs(out["logical_fail"] - ref["logical_fail"]) < 0.02
+
     def test_sharded_rate_close_to_single_device(self, steane):
         from qcss_tpu.parallel import make_mesh, sharded_logical_error_rate
 
