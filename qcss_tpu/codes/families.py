@@ -145,6 +145,31 @@ def rotated_surface(d: int, **kwargs) -> CSSCode:
     return CSSCode(h_x, h_z, **kwargs)
 
 
+def golay(**kwargs) -> CSSCode:
+    """The quantum Golay code [[23,1,7]]: the self-dual CSS code built
+    from the binary [23,12,7] Golay code (C⊥ ⊂ C, C⊥ doubly even with
+    weights {0,8,12,16}), so the full transversal set {I, CNOT, H, CZ, S}
+    holds at distance 7 — the classic high-distance code for
+    transversal-Clifford fault tolerance (Steane 1999; no reference
+    analogue — the reference ships no code constructors, SURVEY.md §2.5).
+
+    Construction: the cyclic [23,12] Golay code is generated by
+    g(x) = x^11 + x^10 + x^6 + x^5 + x^4 + x^2 + 1; the CSS parity check
+    (both sectors) is a basis of its dual. Distance is certified in
+    tests/test_golay.py by exhaustive minimum-weight-logical search.
+    """
+    from qcss_tpu.ops import gf2
+
+    g = np.zeros(23, dtype=np.uint8)
+    g[[0, 2, 4, 5, 6, 10, 11]] = 1
+    gen = np.array([np.roll(g, i) for i in range(12)], dtype=np.uint8)
+    h = gf2.nullspace(gen)  # [11, 23] basis of the (doubly even) dual
+    assert h.shape == (11, 23)
+    assert not ((h.astype(np.int64) @ h.T.astype(np.int64)) & 1).any()
+    kwargs.setdefault("t", 3)
+    return CSSCode(h, h.copy(), **kwargs)
+
+
 def triangular_color(d: int, **kwargs) -> CSSCode:
     """6.6.6 (hexagonal) triangular color code of odd distance d:
     n = (3d^2 + 1)/4 qubits, k = 1, self-dual (H_X = H_Z), so H and CZ are
