@@ -40,9 +40,17 @@ def main():
     ap.add_argument("--chunk", type=int, default=1 << 16)
     ap.add_argument("--tableau", default="packed")
     ap.add_argument("--ancillas", default="shared")
+    ap.add_argument("--code", default="steane",
+                    choices=["steane", "golay", "color5"],
+                    help="encoded code: steane [[7,1,3]], golay [[23,1,7]] "
+                    "(transversal-S distance 7), color5 [[19,1,5]]")
     args = ap.parse_args()
 
-    code = families.steane()
+    code = {
+        "steane": families.steane,
+        "golay": families.golay,
+        "color5": lambda: families.triangular_color(5),
+    }[args.code]()
     results = []
     for p in args.ps:
         # enough shots to expect >= ~40 raw failures (raw rate ~ 1.7p)
@@ -69,6 +77,7 @@ def main():
         raw = raw_x_program_error_rate(shots, model, jax.random.key(2))
         row = {
             "bench": "breakeven",
+            "code": args.code,
             "p": p,
             "shots": shots,
             "raw_rate": raw,

@@ -74,6 +74,50 @@ def main():
           "| confirm == loop bit:",
           bool((out["bits"][:, 1] == out["bits"][:, 0]).all()))
 
+    # 7. The frame engine: the same memory experiment sampled ~100x
+    # faster on Pauli deviations, decoded with the circuit-level DEM.
+    surf3 = families.rotated_surface(3, max_table_weight=0, t=1)
+    mem = z_memory_experiment(
+        surf3, rounds=3, noise=NoiseModel(p_gate2=2e-3, p_meas=1e-2),
+        batch=1 << 14, decoder="dem", engine="frames",
+    )
+    print("surface-3 memory, frames + DEM decode:", mem["logical_fail"])
+
+    # 8. Exact minimum-weight matching (blossom) and correlated decoding.
+    import numpy as np
+
+    from qcss_tpu.decode import MWPMDecoder, graph_from_checks
+
+    g = graph_from_checks(surf.raw_parity_check_c2, surf.z_operator_matrix())
+    rng = np.random.default_rng(0)
+    errs = (rng.random((2048, surf.n)) < 0.05).astype(np.uint8)
+    syn = ((errs @ surf.raw_parity_check_c2.T) & 1).astype(np.uint8)
+    _, obs = MWPMDecoder(g).decode_batch(syn, want_corrections=False)
+    par = (errs @ surf.z_operator_matrix()[0]) % 2
+    print("surface d=9 exact-MWPM failure at p=0.05:",
+          float(np.mean((obs & 1) != par)))
+
+    # 9. Streaming: a 300-round memory decoded with O(window) state.
+    from qcss_tpu.decode import (
+        StreamingDecoder,
+        sample_phenomenological_stream,
+    )
+    from qcss_tpu.decode.uf import _pack_parity
+
+    h5 = families.rotated_surface(5)
+    dets, par = sample_phenomenological_stream(
+        jax.random.key(2), 0.005, 0.005, 256, 300,
+        h5.raw_parity_check_c2, h5.z_operator_matrix())
+    sd = StreamingDecoder(h5.raw_parity_check_c2, h5.z_operator_matrix(),
+                          window=10, commit=5)
+    obs = sd.decode_stream(np.asarray(dets))
+    print("300-round d=5 streaming-memory failure:",
+          float(np.mean(obs != _pack_parity(np.asarray(par)))))
+
+    # 10. The quantum Golay code: transversal S at distance 7.
+    gol = families.golay()
+    print("golay:", gol, "transversal:", sorted(gol.transversal_gates))
+
 
 if __name__ == "__main__":
     main()
