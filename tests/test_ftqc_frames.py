@@ -123,6 +123,10 @@ class TestNoisyEquivalence:
         for k in out_u:
             assert (np.asarray(out_f[k]) == np.asarray(out_u[k])).all(), k
 
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("QCSS_SLOW_TESTS"),
+        reason="second engine-equivalence compile; set QCSS_SLOW_TESTS=1",
+    )
     def test_bit_identical_with_repeated_extraction_dedicated(self, steane):
         noise = NoiseModel(p_gate2=3e-3, p_meas=5e-3)
         kw = dict(noise=noise, batch=256, seed=5, ancillas="dedicated",
