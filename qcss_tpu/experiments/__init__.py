@@ -1,8 +1,17 @@
 """End-to-end QEC experiments composed from the framework's layers."""
 
 from qcss_tpu.experiments.memory import (
+    memory_experiment,
+    x_extraction_circuit,
+    x_memory_experiment,
     z_extraction_circuit,
     z_memory_experiment,
 )
 
-__all__ = ["z_extraction_circuit", "z_memory_experiment"]
+__all__ = [
+    "memory_experiment",
+    "x_extraction_circuit",
+    "x_memory_experiment",
+    "z_extraction_circuit",
+    "z_memory_experiment",
+]

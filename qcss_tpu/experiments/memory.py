@@ -30,7 +30,10 @@ Five decoders, weakest to strongest:
   accuracy ceiling of matching-based decoding, at host-Python speed.
 
 Only X-type data errors matter for a Z-basis memory (Z errors commute with
-the readout), so only the Z-check sector is extracted.
+the readout), so only the Z-check sector is extracted. The X-basis mirror
+(hold |+̄⟩, extract X checks via H-sandwich ancillas, decode Z errors,
+read out X̄ after a noiseless transversal H) is `memory_experiment(
+basis='x')` — both engines, all seven decoders.
 """
 
 from __future__ import annotations
@@ -69,8 +72,31 @@ def z_extraction_circuit(code, data_offset: int = 0, anc_offset: int | None = No
     return circ
 
 
+def x_extraction_circuit(code, data_offset: int = 0, anc_offset: int | None = None,
+                         checks: np.ndarray | None = None) -> Circuit:
+    """One round of X-check syndrome extraction, the mirror of
+    `z_extraction_circuit`: H(anc_i); CNOT(anc_i -> data_j) fan-out;
+    H(anc_i) — ancilla i then Z-measures stabilizer X-row i. The CNOT
+    order matches `decode.dem.extraction_gate_list` (Z errors on data
+    propagate target→control into the ancilla with the same incidence and
+    timing structure as X errors do in the Z-sector circuit, so the DEM
+    enumeration applies unchanged)."""
+    checks = code.parity_check_c1 if checks is None else np.asarray(checks)
+    n = code.n
+    anc_offset = n if anc_offset is None else anc_offset
+    circ = Circuit()
+    for i in range(checks.shape[0]):
+        circ.h(anc_offset + i)
+    for i in range(checks.shape[0]):
+        for j in np.nonzero(checks[i])[0]:
+            circ.cnot(anc_offset + i, data_offset + int(j))
+    for i in range(checks.shape[0]):
+        circ.h(anc_offset + i)
+    return circ
+
+
 def _memory_circuit_frames(key, batch, rounds, code, noise, extract_arrays,
-                           n_anc):
+                           n_anc, final_arrays=None):
     """Pauli-frame fast path (`sim.frame`): the noiseless reference of this
     circuit is deterministic (every ancilla measures a stabilizer of the
     prepared eigenstate → outcome 0; the final data word is pinned to the
@@ -95,14 +121,19 @@ def _memory_circuit_frames(key, batch, rounds, code, noise, extract_arrays,
 
     keys = jax.random.split(key, rounds + 1)
     f, syns = jax.lax.scan(round_body, f, keys[:rounds])  # [R, B, n_anc]
+    if final_arrays is not None:
+        # noiseless basis rotation before the perfect readout
+        # (transversal H for an X-basis memory)
+        f = fr.propagate_arrays(f, *final_arrays)
     _, word = fr.measure_deviations(f, data)
     return syns, word
 
 
 def _memory_circuit(key, batch, rounds, code, noise, prep_arrays,
-                    extract_arrays, n_anc):
-    """The physics: noiseless |0̄⟩ prep, R noisy extraction rounds, perfect
-    final readout. Returns (syns [R, B, n_anc], word [B, n])."""
+                    extract_arrays, n_anc, final_arrays=None):
+    """The physics: noiseless eigenstate prep, R noisy extraction rounds,
+    perfect final readout (preceded by a noiseless basis rotation when
+    ``final_arrays`` is given). Returns (syns [R, B, n_anc], word [B, n])."""
     n = code.n
     n_qubits = n + n_anc
     anc = jnp.arange(n, n + n_anc, dtype=jnp.int32)
@@ -129,19 +160,21 @@ def _memory_circuit(key, batch, rounds, code, noise, prep_arrays,
     keys = jax.random.split(key, rounds + 1)
     t, syns = jax.lax.scan(round_body, t, keys[:rounds])  # [R, B, n_anc]
 
-    # Perfect readout round.
+    # Perfect readout round (with noiseless basis rotation if requested).
+    if final_arrays is not None:
+        t = tb.run_circuit_scanned(t, *final_arrays)
     t, word = tb.measure_many(t, data, keys[rounds])  # [B, n]
     return syns, word
 
 
-def _decode_vote(syns, word, dev):
+def _decode_vote(syns, word, lut, h_std):
     """Temporal-majority decoding: vote each syndrome bit across rounds,
     one LUT decode. Sound for at most one data error over the experiment."""
     voted = vote_syndromes(syns)
-    return decode_corrections(voted, dev.lut_c2)
+    return decode_corrections(voted, lut)
 
 
-def _decode_difference(syns, word, dev):
+def _decode_difference(syns, word, lut, h_std):
     """Difference-syndrome decoding: decode each round's NEW detection
     events (syn[r] ^ syn[r-1]) independently and XOR the corrections.
 
@@ -157,10 +190,10 @@ def _decode_difference(syns, word, dev):
     corr = jnp.zeros((word.shape[0], word.shape[1]), jnp.uint8)
     for r in range(rounds):  # static unroll; rounds is small
         diff = syns[r] ^ prev
-        corr = corr ^ decode_corrections(diff, dev.lut_c2)
+        corr = corr ^ decode_corrections(diff, lut)
         prev = syns[r]
-    final_syn = gf2_jax.syndromes_dense(word, dev.h2)
-    corr = corr ^ decode_corrections(final_syn ^ prev, dev.lut_c2)
+    final_syn = gf2_jax.syndromes_dense(word, h_std)
+    corr = corr ^ decode_corrections(final_syn ^ prev, lut)
     return corr
 
 
@@ -168,19 +201,26 @@ _DEVICE_DECODERS = ("vote", "difference", "stlut")
 _DECODERS = _DEVICE_DECODERS + ("uf", "dem", "mwpm", "dem-mwpm")
 
 
-def _count_failures(word, corr, code):
-    """Shared logical/residual accounting; works on jax or numpy arrays."""
+def _count_failures(word, corr, code, basis: str = "z"):
+    """Shared logical/residual accounting; works on jax or numpy arrays.
+    For basis='x' the readout word is the post-H (X-basis) data word, so
+    the observable is X̄ and the residual check matrix is the C1 sector."""
     dev = code.device
     corrected = word ^ corr
-    zbar = np.asarray(dev.logical_z[0]) if isinstance(word, np.ndarray) else dev.logical_z[0]
-    outcome = (corrected.astype("int32") * zbar.astype("int32")).sum(axis=-1) & 1
+    log_row = dev.logical_z[0] if basis == "z" else dev.logical_x[0]
+    raw = (code.raw_parity_check_c2 if basis == "z"
+           else code.raw_parity_check_c1)
+    h_std = dev.h2 if basis == "z" else dev.h1
     if isinstance(word, np.ndarray):
-        resid = (corrected.astype(np.int64) @ np.asarray(code.raw_parity_check_c2).T.astype(np.int64)) & 1
+        log_row = np.asarray(log_row)
+    outcome = (corrected.astype("int32") * log_row.astype("int32")).sum(axis=-1) & 1
+    if isinstance(word, np.ndarray):
+        resid = (corrected.astype(np.int64) @ np.asarray(raw).T.astype(np.int64)) & 1
         return {
             "logical_fail": int(outcome.sum()),
             "residual_syndrome": int((resid == 1).any(axis=-1).sum()),
         }
-    resid = gf2_jax.syndromes_dense(corrected, dev.h2)
+    resid = gf2_jax.syndromes_dense(corrected, h_std)
     return {
         "logical_fail": jnp.sum(outcome.astype(jnp.int32), dtype=jnp.int32),
         "residual_syndrome": jnp.sum(jnp.any(resid == 1, axis=-1), dtype=jnp.int32),
@@ -188,35 +228,47 @@ def _count_failures(word, corr, code):
 
 
 def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
-                 decoder="vote", stlut=None, engine="tableau"):
+                 decoder="vote", stlut=None, engine="tableau", basis="z",
+                 final_arrays=None):
     dev = code.device
-    n_anc = code.parity_check_c2.shape[0]
+    lut = dev.lut_c2 if basis == "z" else dev.lut_c1
+    h_std = dev.h2 if basis == "z" else dev.h1
+    n_anc = (code.parity_check_c2 if basis == "z"
+             else code.parity_check_c1).shape[0]
     if engine == "frames":
         syns, word = _memory_circuit_frames(
-            key, batch, rounds, code, noise, extract_arrays, n_anc=n_anc)
+            key, batch, rounds, code, noise, extract_arrays, n_anc=n_anc,
+            final_arrays=final_arrays)
     else:
         syns, word = _memory_circuit(
             key, batch, rounds, code, noise, prep_arrays, extract_arrays,
-            n_anc=n_anc,
+            n_anc=n_anc, final_arrays=final_arrays,
         )
     if decoder == "stlut":
-        final_syn = gf2_jax.syndromes_dense(word, dev.h2)
+        final_syn = gf2_jax.syndromes_dense(word, h_std)
         dets = detector_history(syns, final_syn)
         corr = jnp.take(stlut, gf2_jax.bits_to_index(dets), axis=0)
     else:
         corr = {"vote": _decode_vote, "difference": _decode_difference}[decoder](
-            syns, word, dev
+            syns, word, lut, h_std
         )
-    return _count_failures(word, corr, code)
+    return _count_failures(word, corr, code, basis)
 
 
-def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
-                        batch: int = 1 << 12, seed: int = 0,
-                        decoder: str = "vote",
-                        stlut_max_weight: int = 4,
-                        n_threads: int | None = None,
-                        engine: str = "tableau") -> dict[str, float]:
-    """Run the logical-Z memory experiment; returns failure rates.
+def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
+                      basis: str = "z",
+                      batch: int = 1 << 12, seed: int = 0,
+                      decoder: str = "vote",
+                      stlut_max_weight: int = 4,
+                      n_threads: int | None = None,
+                      engine: str = "tableau") -> dict[str, float]:
+    """Run the logical memory experiment in the given basis.
+
+    basis='z': hold |0̄⟩, extract Z checks, decode X data errors (the
+    default; `z_memory_experiment` is the compatibility alias).
+    basis='x': the mirror — hold |+̄⟩, extract X checks via
+    H-sandwich ancillas (`x_extraction_circuit`), decode Z data errors,
+    read out X̄ after a noiseless transversal H.
 
     Measured (Steane, p_gate2=1e-3, p_meas=1e-2, 3 rounds, 2^14 shots):
     vote 0.59%, difference 0.94%, stlut dominates both (see
@@ -233,41 +285,59 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         raise ValueError(f"unknown decoder {decoder!r}")
     if engine not in ("tableau", "frames"):
         raise ValueError(f"unknown engine {engine!r}")
+    if basis not in ("z", "x"):
+        raise ValueError(f"unknown basis {basis!r}")
     if decoder == "vote" and rounds % 2 == 0:
         raise ValueError("rounds must be odd for the temporal vote")
     # Materialize the cached device arrays OUTSIDE any jit trace — building
     # them inside a trace turns the cached constants into tracers.
     dev = code.device
-    if decoder in ("vote", "difference") and dev.lut_c2 is None:
-        raise ValueError("code has no C2 LUT; pass max_table_weight")
+    lut = dev.lut_c2 if basis == "z" else dev.lut_c1
+    raw = (code.raw_parity_check_c2 if basis == "z"
+           else code.raw_parity_check_c1)
+    std_checks = code.parity_check_c2 if basis == "z" else code.parity_check_c1
+    logicals = (code.z_operator_matrix() if basis == "z"
+                else code.x_operator_matrix())
+    prep_circ = (code.noisy_encode_zero if basis == "z"
+                 else code.noisy_encode_plus)
+    ext_fn = z_extraction_circuit if basis == "z" else x_extraction_circuit
+    if basis == "x":
+        fin = Circuit()
+        for q in range(code.n):
+            fin.h(q)
+        final_arrays = tuple(map(jnp.asarray, fin.to_arrays()))
+    else:
+        final_arrays = None
+    if decoder in ("vote", "difference") and lut is None:
+        raise ValueError("code has no LUT for this sector; pass max_table_weight")
     prep_arrays = (
         None if engine == "frames"
-        else tuple(map(jnp.asarray, code.noisy_encode_zero().to_arrays()))
+        else tuple(map(jnp.asarray, prep_circ().to_arrays()))
     )
 
     if decoder in ("uf", "dem", "mwpm", "dem-mwpm"):
         from qcss_tpu.decode.mwpm import MWPMDecoder
         from qcss_tpu.decode.uf import UFDecoder, spacetime_graph
 
-        h2_raw = code.raw_parity_check_c2
-        extract_arrays = tuple(map(jnp.asarray, z_extraction_circuit(
-            code, checks=h2_raw).to_arrays()))
+        extract_arrays = tuple(map(jnp.asarray, ext_fn(
+            code, checks=raw).to_arrays()))
         if engine == "frames":
             circuit_fn = jax.jit(
                 partial(_memory_circuit_frames, code=code, noise=noise,
-                        extract_arrays=extract_arrays, n_anc=h2_raw.shape[0]),
+                        extract_arrays=extract_arrays, n_anc=raw.shape[0],
+                        final_arrays=final_arrays),
                 static_argnames=("batch", "rounds"),
             )
         else:
             circuit_fn = jax.jit(
                 partial(_memory_circuit, code=code, noise=noise,
                         prep_arrays=prep_arrays, extract_arrays=extract_arrays,
-                        n_anc=h2_raw.shape[0]),
+                        n_anc=raw.shape[0], final_arrays=final_arrays),
                 static_argnames=("batch", "rounds"),
             )
         syns, word = circuit_fn(jax.random.key(seed), batch, rounds)
         syns, word = np.asarray(syns), np.asarray(word)
-        final_syn = (word.astype(np.int64) @ h2_raw.T.astype(np.int64)) & 1
+        final_syn = (word.astype(np.int64) @ raw.T.astype(np.int64)) & 1
         dets = detector_history(syns, final_syn.astype(np.uint8))
         if decoder.startswith("dem"):
             # circuit-level fault enumeration: diagonal/hook edges with
@@ -278,27 +348,28 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
             )
 
             graph = circuit_level_graph(
-                h2_raw, extraction_gate_list(code, h2_raw), rounds,
+                raw, extraction_gate_list(code, raw), rounds,
                 p_gate2=noise.p_gate2, p_meas=noise.p_meas,
-                p_reset=noise.p_reset, logicals=code.z_operator_matrix(),
+                p_reset=noise.p_reset, logicals=logicals,
             )
         else:
-            graph = spacetime_graph(h2_raw, code.z_operator_matrix(), rounds)
+            graph = spacetime_graph(raw, logicals, rounds)
         if decoder.endswith("mwpm"):
             corr, _ = MWPMDecoder(graph).decode_batch(dets)
         else:
             corr, _ = UFDecoder(graph).decode_batch(dets, n_threads=n_threads)
-        counts = _count_failures(word, corr, code)
+        counts = _count_failures(word, corr, code, basis)
     else:
         stlut = None
         if decoder == "stlut":
             stlut = jnp.asarray(spacetime_correction_lut(
-                code.parity_check_c2, rounds, stlut_max_weight))
-        extract_arrays = tuple(map(jnp.asarray, z_extraction_circuit(code).to_arrays()))
+                std_checks, rounds, stlut_max_weight))
+        extract_arrays = tuple(map(jnp.asarray, ext_fn(code).to_arrays()))
         fn = jax.jit(
             partial(_memory_body, code=code, noise=noise,
                     prep_arrays=prep_arrays, extract_arrays=extract_arrays,
-                    decoder=decoder, stlut=stlut, engine=engine),
+                    decoder=decoder, stlut=stlut, engine=engine, basis=basis,
+                    final_arrays=final_arrays),
             static_argnames=("batch", "rounds"),
         )
         counts = fn(jax.random.key(seed), batch, rounds)
@@ -308,4 +379,15 @@ def z_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         "rounds": rounds,
         "samples": batch,
         "decoder": decoder,
+        "basis": basis,
     }
+
+
+def z_memory_experiment(code, **kwargs) -> dict[str, float]:
+    """Back-compat alias: `memory_experiment(basis='z')`."""
+    return memory_experiment(code, basis="z", **kwargs)
+
+
+def x_memory_experiment(code, **kwargs) -> dict[str, float]:
+    """The |+̄⟩ (X-basis) memory: `memory_experiment(basis='x')`."""
+    return memory_experiment(code, basis="x", **kwargs)

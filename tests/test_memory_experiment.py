@@ -87,3 +87,47 @@ class TestDifferenceDecoder:
             z_memory_experiment(
                 steane, rounds=3, noise=NoiseModel(), batch=8, decoder="nope"
             )
+
+
+class TestXBasisMemory:
+    """The |+̄⟩ mirror experiment (memory_experiment basis='x')."""
+
+    def test_noiseless_silent_both_engines(self, steane):
+        from qcss_tpu.experiments import memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        for engine in ("tableau", "frames"):
+            out = memory_experiment(
+                steane, rounds=3, noise=NoiseModel(), basis="x",
+                batch=64, decoder="vote", engine=engine)
+            assert out["logical_fail"] == 0.0
+            assert out["residual_syndrome"] == 0.0
+
+    def test_engines_bit_identical_under_noise(self, steane):
+        from qcss_tpu.experiments import memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        noise = NoiseModel(p_gate2=2e-3, p_meas=1e-2)
+        kw = dict(rounds=3, noise=noise, basis="x", batch=1 << 10,
+                  seed=7, decoder="vote")
+        a = memory_experiment(steane, engine="tableau", **kw)
+        b = memory_experiment(steane, engine="frames", **kw)
+        assert a["logical_fail"] == b["logical_fail"]
+        assert a["residual_syndrome"] == b["residual_syndrome"]
+
+    def test_x_basis_uf_and_dem_on_surface(self):
+        from qcss_tpu.codes import families
+        from qcss_tpu.experiments import memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.rotated_surface(3)
+        noise = NoiseModel(p_gate2=3e-3, p_meas=1e-2)
+        uf = memory_experiment(code, rounds=3, noise=noise, basis="x",
+                               batch=1 << 11, seed=1, decoder="uf",
+                               engine="frames")
+        dem = memory_experiment(code, rounds=3, noise=noise, basis="x",
+                                batch=1 << 11, seed=1, decoder="dem",
+                                engine="frames")
+        assert 0 < uf["logical_fail"] < 0.2
+        # circuit-level DEM should not lose to the phenomenological graph
+        assert dem["logical_fail"] <= uf["logical_fail"] + 2 / 2048
