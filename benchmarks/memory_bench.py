@@ -21,6 +21,8 @@ CODES = {
     "steane": lambda: families.steane(),
     "surface3": lambda: families.rotated_surface(3, max_table_weight=2, t=None),
     "surface5": lambda: families.rotated_surface(5, max_table_weight=3, t=None),
+    # no LUTs at d>=7: uf/dem/mwpm decoders only
+    "surface7": lambda: families.rotated_surface(7),
 }
 
 
@@ -48,7 +50,7 @@ def main():
     if args.curve:
         for name in args.codes:
             code = CODES[name]()
-            d = {"surface3": 3, "surface5": 5, "steane": 3}[name]
+            d = {"surface3": 3, "surface5": 5, "surface7": 7, "steane": 3}[name]
             for p in args.ps:
                 noise = NoiseModel(p_gate2=p, p_meas=5 * p)
                 t0 = time.perf_counter()
