@@ -440,10 +440,17 @@ def uf_phenomenological_error_rate(
     n_rounds = -(-samples // batch)
     keys = jax.random.split(jax.random.key(seed), n_rounds)
     fails = 0
+    # Double-buffer: dispatch the next device batch (async under jit)
+    # before the host decodes the current one, so TPU sampling and the
+    # threaded host decoder overlap.
+    pending = _sample_phenomenological(
+        keys[0], jnp.float32(p), jnp.float32(q), batch, rounds, h_j, lz_j)
     for i in range(n_rounds):
-        dets, par = _sample_phenomenological(
-            keys[i], jnp.float32(p), jnp.float32(q), batch, rounds, h_j, lz_j
-        )
+        dets, par = pending
+        if i + 1 < n_rounds:
+            pending = _sample_phenomenological(
+                keys[i + 1], jnp.float32(p), jnp.float32(q), batch, rounds,
+                h_j, lz_j)
         _, obs = dec.decode_batch(np.asarray(dets), want_corrections=False,
                                   n_threads=n_threads)
         fails += int(np.sum(obs != _pack_parity(np.asarray(par))))
@@ -487,11 +494,16 @@ def uf_logical_error_rate(
     h1_j = jnp.asarray(h1_raw, jnp.uint8)
     lz_j = jnp.asarray(code.z_operator_matrix(), jnp.uint8)
     lx_j = jnp.asarray(code.x_operator_matrix(), jnp.uint8)
+    # Double-buffer: next device batch dispatches before the host decode
+    # of the current one (device sampling overlaps the threaded decoder).
+    pending = _sample_and_extract(
+        keys[0], jnp.float32(p), batch, h2_j, h1_j, lz_j, lx_j)
     for i in range(rounds):
-        syn_x, syn_z, par_x, par_z = _sample_and_extract(
-            keys[i], jnp.float32(p), batch, h2_j, h1_j, lz_j, lx_j,
-        )
-        syn_x, syn_z, par_x, par_z = map(np.asarray, (syn_x, syn_z, par_x, par_z))
+        cur = pending
+        if i + 1 < rounds:
+            pending = _sample_and_extract(
+                keys[i + 1], jnp.float32(p), batch, h2_j, h1_j, lz_j, lx_j)
+        syn_x, syn_z, par_x, par_z = map(np.asarray, cur)
         _, obs_x = dec_x.decode_batch(syn_x, want_corrections=False,
                                       n_threads=n_threads)
         _, obs_z = dec_z.decode_batch(syn_z, want_corrections=False,
