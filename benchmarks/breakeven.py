@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=1 << 16)
     ap.add_argument("--tableau", default="packed")
     ap.add_argument("--ancillas", default="shared")
+    ap.add_argument("--ec-extractions", type=int, default=1,
+                    help="2 = Shor-style repeated extraction per EC sector")
     ap.add_argument("--code", default="steane",
                     choices=["steane", "golay", "color5"],
                     help="encoded code: steane [[7,1,3]], golay [[23,1,7]] "
@@ -61,7 +63,8 @@ def main():
         ro = prog.declare("ro", 1)
         prog.x(0).measure(0, ro[0])
         enc = rewrite_program(prog, code, noise=model, tableau=args.tableau,
-                              ancillas=args.ancillas)
+                              ancillas=args.ancillas,
+                              ec_extractions=args.ec_extractions)
         # warm at the CHUNK size (batch is a static arg: a different warmup
         # size would leave the real compile inside the timed loop) and twice
         # (the tunnel's first post-compile result can be stale)
@@ -95,6 +98,7 @@ def main():
         "bench": "breakeven_summary",
         "pseudo_threshold_lower_bound": max(wins) if wins else None,
         "ancillas": args.ancillas,
+        "ec_extractions": args.ec_extractions,
     }), flush=True)
 
 
