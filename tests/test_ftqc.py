@@ -135,6 +135,25 @@ class TestTwoQubitPrograms:
         assert (res["ro"][:, 1] == bit1).all()
 
 
+class TestWideProgram:
+    @slow
+    def test_ghz4(self, steane):
+        """4 logical qubits (12 blocks with dedicated ancillas, 84
+        physical qubits): H(0) + CNOT chain prepares |GHZ_4>; all four
+        measurements must agree per shot, with both values occurring.
+        The reference's ceiling is 1 logical qubit (2 'too slow')."""
+        prog = Program()
+        ro = prog.declare("ro", 4)
+        prog.h(0).cnot(0, 1).cnot(1, 2).cnot(2, 3)
+        for q in range(4):
+            prog.measure(q, ro[q])
+        enc = rewrite_program(prog, steane, ancillas="dedicated")
+        res = enc.run(16, key=jax.random.key(3))
+        bits = np.asarray(res["ro"])
+        assert (bits == bits[:, :1]).all()  # perfectly correlated
+        assert 0 < bits[:, 0].mean() < 1    # both branches occur
+
+
 class TestErrorCorrection:
     def test_ec_corrects_injected_error(self, steane):
         """Inject a physical X error on a data qubit after encoding; the
