@@ -96,7 +96,7 @@ def x_extraction_circuit(code, data_offset: int = 0, anc_offset: int | None = No
 
 
 def _memory_circuit_frames(key, batch, rounds, code, noise, extract_arrays,
-                           n_anc, final_arrays=None):
+                           n_anc, final_arrays=None, extract_comp=None):
     """Pauli-frame fast path (`sim.frame`): the noiseless reference of this
     circuit is deterministic (every ancilla measures a stabilizer of the
     prepared eigenstate → outcome 0; the final data word is pinned to the
@@ -114,7 +114,11 @@ def _memory_circuit_frames(key, batch, rounds, code, noise, extract_arrays,
     def round_body(carry, k):
         f = carry
         k1, _k2, k3, k4 = jax.random.split(k, 4)
-        f = fr.run_arrays_noisy(f, *extract_arrays, noise, k1)
+        if extract_comp is not None:
+            # matrix form: bit-identical to the scan on the same key
+            f = fr.run_compiled_noisy(f, extract_comp, noise, k1)
+        else:
+            f = fr.run_arrays_noisy(f, *extract_arrays, noise, k1)
         f, syn = fr.measure_deviations(f, anc, k3, noise.p_meas)
         f = fr.reset_qubits(f, anc, k4)
         return f, syn
@@ -229,7 +233,7 @@ def _count_failures(word, corr, code, basis: str = "z"):
 
 def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
                  decoder="vote", stlut=None, engine="tableau", basis="z",
-                 final_arrays=None):
+                 final_arrays=None, extract_comp=None):
     dev = code.device
     lut = dev.lut_c2 if basis == "z" else dev.lut_c1
     h_std = dev.h2 if basis == "z" else dev.h1
@@ -238,7 +242,7 @@ def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
     if engine == "frames":
         syns, word = _memory_circuit_frames(
             key, batch, rounds, code, noise, extract_arrays, n_anc=n_anc,
-            final_arrays=final_arrays)
+            final_arrays=final_arrays, extract_comp=extract_comp)
     else:
         syns, word = _memory_circuit(
             key, batch, rounds, code, noise, prep_arrays, extract_arrays,
@@ -322,10 +326,19 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         extract_arrays = tuple(map(jnp.asarray, ext_fn(
             code, checks=raw).to_arrays()))
         if engine == "frames":
+            from qcss_tpu.sim import frame as fr
+
+            # Matrix form wins once the round circuit is large (2x at
+            # d=11); small circuits keep the per-gate scan (measured
+            # slightly faster at d<=5). Both are bit-identical.
+            extract_comp = (
+                fr.compile_circuit(*extract_arrays, code.n + raw.shape[0])
+                if len(extract_arrays[0]) >= 100 else None
+            )
             circuit_fn = jax.jit(
                 partial(_memory_circuit_frames, code=code, noise=noise,
                         extract_arrays=extract_arrays, n_anc=raw.shape[0],
-                        final_arrays=final_arrays),
+                        final_arrays=final_arrays, extract_comp=extract_comp),
                 static_argnames=("batch", "rounds"),
             )
         else:
@@ -365,11 +378,17 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
             stlut = jnp.asarray(spacetime_correction_lut(
                 std_checks, rounds, stlut_max_weight))
         extract_arrays = tuple(map(jnp.asarray, ext_fn(code).to_arrays()))
+        extract_comp = None
+        if engine == "frames" and len(extract_arrays[0]) >= 100:
+            from qcss_tpu.sim import frame as fr
+
+            extract_comp = fr.compile_circuit(
+                *extract_arrays, code.n + std_checks.shape[0])
         fn = jax.jit(
             partial(_memory_body, code=code, noise=noise,
                     prep_arrays=prep_arrays, extract_arrays=extract_arrays,
                     decoder=decoder, stlut=stlut, engine=engine, basis=basis,
-                    final_arrays=final_arrays),
+                    final_arrays=final_arrays, extract_comp=extract_comp),
             static_argnames=("batch", "rounds"),
         )
         counts = fn(jax.random.key(seed), batch, rounds)

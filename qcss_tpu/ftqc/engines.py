@@ -418,6 +418,18 @@ class FrameEngine:
             jnp.asarray(q1) + off, self.noise, key,
         )
 
+    def compile_block_circuit(self, arrays):
+        """Matrix form of a block-local circuit (host-side, once)."""
+        ops, q0, q1 = arrays
+        return self._fr.compile_circuit(ops, q0, q1, self.n)
+
+    def run_compiled(self, tab, comp, b, key):
+        """Compiled-circuit execution at block b — bit-identical to
+        `run_block_circuit` on the same key (two matmuls instead of a
+        per-gate scan; the FT-prep hot path)."""
+        return self._fr.run_compiled_noisy(
+            tab, comp, self.noise, key, qubits=self.block_qubits(b))
+
     def measure_block(self, tab, b, key):
         # Outcome deviations (reference ⊕ deviation = actual); measured
         # blocks are always reset before reuse in the FT protocols, so the

@@ -250,6 +250,15 @@ class MacroExecutor:
         # engine offsets them to the target block.
         self._prep_zero0 = code.noisy_encode_zero(range(self.n)).to_arrays()
         self._prep_plus0 = code.noisy_encode_plus(range(self.n)).to_arrays()
+        # Frame engine: prep circuits in matrix form (bit-identical to the
+        # scan on the same key; 5-10x on the RUS-prep hot path).
+        if hasattr(self.engine, "compile_block_circuit"):
+            self._prep_zero_comp = self.engine.compile_block_circuit(
+                self._prep_zero0)
+            self._prep_plus_comp = self.engine.compile_block_circuit(
+                self._prep_plus0)
+        else:
+            self._prep_zero_comp = self._prep_plus_comp = None
         # Shared-mode static ancilla block indices (reference: ftqc.py:60-61).
         self.anc1 = n_logical
         self.anc2 = n_logical + 1
@@ -292,8 +301,11 @@ class MacroExecutor:
         )
 
     def _run_prep(self, st: MachineState, b, plus: bool) -> MachineState:
-        arrays = self._prep_plus0 if plus else self._prep_zero0
         st, sub = self._split(st)
+        comp = self._prep_plus_comp if plus else self._prep_zero_comp
+        if comp is not None:
+            return st._replace(tab=self.engine.run_compiled(st.tab, comp, b, sub))
+        arrays = self._prep_plus0 if plus else self._prep_zero0
         return st._replace(tab=self.engine.run_block_circuit(st.tab, arrays, b, sub))
 
     def _reset_block(self, st: MachineState, b) -> MachineState:

@@ -152,6 +152,13 @@ class ShardedFrameMemory:
         self.h2_raw = np.asarray(code.raw_parity_check_c2)
         self._extract = tuple(map(jnp.asarray, z_extraction_circuit(
             code, checks=self.h2_raw).to_arrays()))
+        from qcss_tpu.sim import frame as fr
+
+        # matrix form for large round circuits (see experiments.memory)
+        self._extract_comp = (
+            fr.compile_circuit(*self._extract, code.n + self.h2_raw.shape[0])
+            if len(self._extract[0]) >= 100 else None
+        )
         self._cache: dict = {}
 
     def sample(self, key: jax.Array, batch: int, rounds: int):
@@ -171,6 +178,7 @@ class ShardedFrameMemory:
             code, noise = self.code, self.noise
             n_anc = self.h2_raw.shape[0]
             extract = self._extract
+            comp = self._extract_comp
 
             # check_vma=False for the same reason as sharded_ftqc_run: the
             # replicated zero-frame carry turns device-varying after the
@@ -180,7 +188,8 @@ class ShardedFrameMemory:
             def step(k):
                 my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
                 return _memory_circuit_frames(
-                    my_key, local, rounds, code, noise, extract, n_anc)
+                    my_key, local, rounds, code, noise, extract, n_anc,
+                    extract_comp=comp)
 
             fn = jax.jit(step)
             self._cache[(local, rounds)] = fn

@@ -139,6 +139,59 @@ class TestSingleFaultVsDEM:
         assert checked == 3 * len(gates)
 
 
+class TestCompiledCircuits:
+    def test_compiled_bit_identical_to_scan(self):
+        """Matrix-form execution (out = in·M ⊕ faults·S with vmapped
+        per-gate RNG) must reproduce the per-gate scan EXACTLY for every
+        noise-model shape, including the windowed (block-offset) apply."""
+        from qcss_tpu.circuits.ir import Circuit
+
+        rng = np.random.default_rng(1)
+        n = 8
+        for trial in range(6):
+            circ = Circuit()
+            for _ in range(30):
+                g = rng.choice(["h", "s", "cnot", "cz", "x"])
+                a = int(rng.integers(n))
+                if g in ("cnot", "cz"):
+                    b = int(rng.integers(n - 1))
+                    b += b >= a
+                    getattr(circ, g)(a, b)
+                else:
+                    getattr(circ, g)(a)
+            ops, q0, q1 = circ.to_arrays()
+            comp = fr.compile_circuit(ops, q0, q1, n)
+            B = 32
+            x0 = jnp.asarray(rng.integers(0, 2, (B, n)), jnp.uint8)
+            f0 = fr.Frames(x0, x0[:, ::-1])
+            for model in (
+                NoiseModel(),
+                NoiseModel(p_gate1=0.3, p_gate2=0.4),
+                NoiseModel(p_gate2=0.5),
+                NoiseModel(p_gate1=0.2, p_gate2=0.3,
+                           pauli1=(0.05, 0.05, 0.1),
+                           pauli2=(0.1, 0.1, 0.1)),
+            ):
+                key = jax.random.key(trial + 10)
+                a1 = fr.run_arrays_noisy(f0, ops, q0, q1, model, key)
+                a2 = fr.run_compiled_noisy(f0, comp, model, key)
+                assert (np.asarray(a1.x) == np.asarray(a2.x)).all()
+                assert (np.asarray(a1.z) == np.asarray(a2.z)).all()
+            # windowed apply inside wider frames
+            NQ = n + 5
+            fw = fr.Frames(
+                jnp.zeros((B, NQ), jnp.uint8).at[:, 3:3 + n].set(x0),
+                jnp.zeros((B, NQ), jnp.uint8).at[:, 3:3 + n].set(x0[:, ::-1]),
+            )
+            model = NoiseModel(p_gate2=0.4)
+            key = jax.random.key(trial)
+            aw = fr.run_compiled_noisy(fw, comp, model, key,
+                                       qubits=jnp.arange(3, 3 + n))
+            ref = fr.run_compiled_noisy(f0, comp, model, key)
+            assert (np.asarray(aw.x)[:, 3:3 + n] == np.asarray(ref.x)).all()
+            assert (np.asarray(aw.z)[:, 3:3 + n] == np.asarray(ref.z)).all()
+
+
 class TestGatePropagation:
     def test_random_circuit_matches_tableau_frame_conjugation(self):
         """Propagate a random frame through a random Clifford circuit in
