@@ -21,9 +21,22 @@ CODES = {
     "steane": lambda: families.steane(),
     "surface3": lambda: families.rotated_surface(3, max_table_weight=2, t=None),
     "surface5": lambda: families.rotated_surface(5, max_table_weight=3, t=None),
-    # no LUTs at d>=7: uf/dem/mwpm decoders only
-    "surface7": lambda: families.rotated_surface(7),
 }
+
+
+def _make_code(name: str):
+    if name in CODES:
+        return CODES[name]()
+    if name.startswith("surface"):
+        # no LUTs at d>=7: uf/dem/mwpm decoders only
+        return families.rotated_surface(int(name[len("surface"):]))
+    raise ValueError(f"unknown code {name!r}")
+
+
+def _distance(name: str) -> int:
+    if name == "steane":
+        return 3
+    return int(name[len("surface"):])
 
 
 def main():
@@ -49,8 +62,8 @@ def main():
 
     if args.curve:
         for name in args.codes:
-            code = CODES[name]()
-            d = {"surface3": 3, "surface5": 5, "surface7": 7, "steane": 3}[name]
+            code = _make_code(name)
+            d = _distance(name)
             for p in args.ps:
                 noise = NoiseModel(p_gate2=p, p_meas=5 * p)
                 t0 = time.perf_counter()
@@ -75,7 +88,7 @@ def main():
 
     noise = NoiseModel(p_gate2=args.p_gate, p_meas=args.p_meas)
     for name in args.codes:
-        code = CODES[name]()
+        code = _make_code(name)
         for rounds in args.rounds:
             # Warm (compile) then time (host-fenced inside the experiment).
             z_memory_experiment(code, rounds=rounds, noise=noise,
