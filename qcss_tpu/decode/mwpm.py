@@ -54,6 +54,11 @@ class MWPMDecoder:
         self.method = method
         # The native kernel (mwpm_decoder.cc) implements the 'auto' solver
         # split; forcing a specific solver runs pure Python.
+        if use_native and method != "auto":
+            raise ValueError(
+                "use_native=True supports only method='auto' (the native "
+                "kernel hardwires the DP/blossom cutover)"
+            )
         if use_native is None:
             use_native = method == "auto" and native.available()
         self._native = None

@@ -328,13 +328,8 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         if engine == "frames":
             from qcss_tpu.sim import frame as fr
 
-            # Matrix form wins once the round circuit is large (2x at
-            # d=11); small circuits keep the per-gate scan (measured
-            # slightly faster at d<=5). Both are bit-identical.
-            extract_comp = (
-                fr.compile_circuit(*extract_arrays, code.n + raw.shape[0])
-                if len(extract_arrays[0]) >= 100 else None
-            )
+            extract_comp = fr.maybe_compile(
+                extract_arrays, code.n + raw.shape[0])
             circuit_fn = jax.jit(
                 partial(_memory_circuit_frames, code=code, noise=noise,
                         extract_arrays=extract_arrays, n_anc=raw.shape[0],
@@ -379,11 +374,11 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
                 std_checks, rounds, stlut_max_weight))
         extract_arrays = tuple(map(jnp.asarray, ext_fn(code).to_arrays()))
         extract_comp = None
-        if engine == "frames" and len(extract_arrays[0]) >= 100:
+        if engine == "frames":
             from qcss_tpu.sim import frame as fr
 
-            extract_comp = fr.compile_circuit(
-                *extract_arrays, code.n + std_checks.shape[0])
+            extract_comp = fr.maybe_compile(
+                extract_arrays, code.n + std_checks.shape[0])
         fn = jax.jit(
             partial(_memory_body, code=code, noise=noise,
                     prep_arrays=prep_arrays, extract_arrays=extract_arrays,

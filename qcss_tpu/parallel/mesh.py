@@ -110,11 +110,14 @@ def sharded_ftqc_run(encoded, mesh: Mesh, batch: int, key: jax.Array) -> dict:
         encoded._sharded_cache = cache
     fn = cache.get((mesh, local))
     if fn is None:
-        body = (
-            encoded._execute_scheduled
-            if getattr(encoded, "engine", "unrolled") == "scheduled"
-            else encoded._execute
-        )
+        if getattr(encoded, "engine", "unrolled") == "scheduled":
+            # Host-side lowering (and, for the frames engine, the
+            # reference-outcome recording) must happen OUTSIDE the
+            # shard_map trace — reference_outcomes pulls concrete votes.
+            encoded._prepare_scheduled()
+            body = encoded._execute_scheduled
+        else:
+            body = encoded._execute
 
         # check_vma=False: the executor's initial (replicated) tableau enters
         # a lax.scan whose carry becomes device-varying after the first keyed
@@ -154,11 +157,8 @@ class ShardedFrameMemory:
             code, checks=self.h2_raw).to_arrays()))
         from qcss_tpu.sim import frame as fr
 
-        # matrix form for large round circuits (see experiments.memory)
-        self._extract_comp = (
-            fr.compile_circuit(*self._extract, code.n + self.h2_raw.shape[0])
-            if len(self._extract[0]) >= 100 else None
-        )
+        self._extract_comp = fr.maybe_compile(
+            self._extract, code.n + self.h2_raw.shape[0])
         self._cache: dict = {}
 
     def sample(self, key: jax.Array, batch: int, rounds: int):

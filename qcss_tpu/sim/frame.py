@@ -144,8 +144,21 @@ def _inject1(f: Frames, q, p, key) -> Frames:
 
 def _inject2(f: Frames, a, b, p, key) -> Frames:
     if isinstance(p, tuple):
-        ka, kb = jax.random.split(key)
-        return _inject1(_inject1(f, a, p, ka), b, p, kb)
+        # Match noise.depolarize2's tuple branch exactly: it delegates to
+        # depolarize1_many([a, b]) which draws ONE (B, 2) uniform from the
+        # UNSPLIT key — key consumption must coincide for the frames ↔
+        # unpacked-tableau bit-identity contract under biased noise.
+        u = jax.random.uniform(key, (f.batch, 2), dtype=jnp.float32)
+        x_hi, z_lo, z_hi = (
+            jnp.float32(v) for v in noise_mod._thresholds_1q(p)
+        )
+        x_hit = (u < x_hi).astype(jnp.uint8)
+        z_hit = ((u >= z_lo) & (u < z_hi)).astype(jnp.uint8)
+        x = f.x.at[:, a].set(f.x[:, a] ^ x_hit[:, 0])
+        x = x.at[:, b].set(x[:, b] ^ x_hit[:, 1])
+        z = f.z.at[:, a].set(f.z[:, a] ^ z_hit[:, 0])
+        z = z.at[:, b].set(z[:, b] ^ z_hit[:, 1])
+        return Frames(x, z)
     key_u, key_p = jax.random.split(key)
     hit = (
         jax.random.uniform(key_u, (f.batch,), dtype=jnp.float32) < jnp.float32(p)
@@ -268,8 +281,10 @@ def compile_circuit(ops, q0, q1, n: int) -> CompiledFrameCircuit:
     ops_np = onp.asarray(ops, onp.int32)
     q0_np = onp.asarray(q0, onp.int32)
     q1_np = onp.asarray(q1, onp.int32)
+    from qcss_tpu.circuits.ir import OPCODES
+
+    assert OPCODES["CNOT"] == 6  # gate-rule dispatch below keys off this
     G = ops_np.shape[0]
-    two_q_start = 6  # OPCODES["CNOT"]
     m = onp.eye(2 * n, dtype=onp.uint8)
     # fault rows per gate, recorded back-to-front
     rows_rev: list[onp.ndarray] = []
@@ -301,16 +316,30 @@ def compile_circuit(ops, q0, q1, n: int) -> CompiledFrameCircuit:
     )
 
 
+def maybe_compile(arrays, n: int,
+                  min_gates: int = 100) -> CompiledFrameCircuit | None:
+    """Compile an array-lowered circuit to matrix form when it is large
+    enough to win (measured cutover: the two-matmul form beats the
+    per-gate scan from ~100 gates up — 2x at surface d=11 — while small
+    circuits are faster scanned). Returns None below the cutover."""
+    ops = arrays[0]
+    if int(jnp.asarray(ops).shape[0]) < min_gates:
+        return None
+    return compile_circuit(*arrays, n)
+
+
 def _sampled_fault_bits(comp: CompiledFrameCircuit,
                         model: noise_mod.NoiseModel, key, batch: int):
     """[B, 4G] fault-coefficient bits with the scan path's exact key
     consumption: keys split per gate; 1q gates draw one uniform, 2q
-    scalar gates split into (u, pattern), biased 2q gates split into two
-    per-qubit draws (the loop's per-gate draws are vmapped over the
-    per-kind key groups — identical bits, one RNG op per group). Rows
-    align with `compile_circuit`'s 4-per-gate layout (1q gates leave
+    scalar gates split into (u, pattern), biased 2q gates draw one (B, 2)
+    uniform from the unsplit key (the loop's per-gate draws are vmapped
+    over the per-kind key groups — identical bits, one RNG op per group).
+    Rows align with `compile_circuit`'s 4-per-gate layout (1q gates leave
     their last two rows zero)."""
-    two_q_start = 6
+    from qcss_tpu.circuits.ir import OPCODES
+
+    two_q_start = OPCODES["CNOT"]
     G = comp.num_gates
     keys = jax.random.split(key, max(G, 1))
     ops_np = comp.ops
@@ -334,23 +363,28 @@ def _sampled_fault_bits(comp: CompiledFrameCircuit,
         out = out.at[:, base].set(x_hit).at[:, base + 1].set(z_hit)
     if idx_2q:
         rate2 = model.rate2
-        ks2 = jax.vmap(jax.random.split)(keys[jnp.asarray(idx_2q)])  # [G2,2]
         base = 4 * jnp.asarray(idx_2q)
         if isinstance(rate2, tuple):
+            # one (B, 2) uniform per gate from the UNSPLIT key — the
+            # _inject2 tuple branch's exact consumption
             x_hi, z_lo, z_hi = (
                 jnp.float32(v) for v in noise_mod._thresholds_1q(rate2)
             )
-            ua = u_batch(ks2[:, 0])
-            ub = u_batch(ks2[:, 1])
+            u = jax.vmap(
+                lambda k: jax.random.uniform(k, (batch, 2),
+                                             dtype=jnp.float32)
+            )(keys[jnp.asarray(idx_2q)])  # [G2, B, 2]
+            x_hit = (u < x_hi).astype(jnp.uint8)
+            z_hit = ((u >= z_lo) & (u < z_hi)).astype(jnp.uint8)
             out = (
-                out.at[:, base].set((ua < x_hi).astype(jnp.uint8).T)
-                .at[:, base + 1].set(
-                    ((ua >= z_lo) & (ua < z_hi)).astype(jnp.uint8).T)
-                .at[:, base + 2].set((ub < x_hi).astype(jnp.uint8).T)
-                .at[:, base + 3].set(
-                    ((ub >= z_lo) & (ub < z_hi)).astype(jnp.uint8).T)
+                out.at[:, base].set(x_hit[:, :, 0].T)
+                .at[:, base + 1].set(z_hit[:, :, 0].T)
+                .at[:, base + 2].set(x_hit[:, :, 1].T)
+                .at[:, base + 3].set(z_hit[:, :, 1].T)
             )
         else:
+            ks2 = jax.vmap(jax.random.split)(
+                keys[jnp.asarray(idx_2q)])  # [G2, 2]
             hit = (u_batch(ks2[:, 0]) < jnp.float32(rate2)).astype(jnp.uint8)
             pat = jax.vmap(
                 lambda k: jax.random.randint(k, (batch,), 1, 16,

@@ -61,6 +61,27 @@ class TestExactTableauEquivalence:
         assert out_t["logical_fail"] == out_f["logical_fail"]
         assert out_t["residual_syndrome"] == out_f["residual_syndrome"]
 
+    def test_bit_identical_under_biased_noise(self):
+        """The twirled-decoherence (tuple-rate) channel must ALSO consume
+        keys identically to the tableau path — regression for the
+        _inject2 tuple branch, which once split the per-gate key where
+        noise.depolarize2 draws one (B, 2) uniform unsplit."""
+        code = families.rotated_surface(3)
+        noise = NoiseModel.from_decoherence(300e-6, 300e-6,
+                                            ro_fidelity=0.99)
+        h2 = code.raw_parity_check_c2
+        ea = tuple(map(jnp.asarray,
+                       z_extraction_circuit(code, checks=h2).to_arrays()))
+        pa = tuple(map(jnp.asarray, code.noisy_encode_zero().to_arrays()))
+        k = jax.random.key(21)
+        s1, w1 = _memory_circuit(k, 128, 3, code, noise, pa, ea, h2.shape[0])
+        s2, w2 = _memory_circuit_frames(k, 128, 3, code, noise, ea,
+                                        h2.shape[0])
+        assert (np.asarray(s1) == np.asarray(s2)).all()
+        lz = code.z_operator_matrix()
+        w1, w2 = np.asarray(w1), np.asarray(w2)
+        assert (((w1 @ lz[0]) & 1) == ((w2 @ lz[0]) & 1)).all()
+
     def test_noiseless_is_silent(self):
         code = families.rotated_surface(3)
         out = z_memory_experiment(code, rounds=3, noise=NoiseModel(),

@@ -110,6 +110,20 @@ class TestSoundnessGuards:
                             tableau="frames")
 
 
+class TestSharded:
+    def test_sharded_run_with_frames_engine(self, steane):
+        """Regression: sharded_ftqc_run must hoist the reference-outcome
+        recording OUT of the shard_map trace (it once crashed with
+        TracerArrayConversionError when the frames engine was used
+        without a prior single-device run)."""
+        from qcss_tpu.parallel import make_mesh, sharded_ftqc_run
+
+        enc = rewrite_program(x_program(), steane, tableau="frames")
+        out = sharded_ftqc_run(enc, make_mesh(), batch=8,
+                               key=jax.random.key(2))
+        assert (np.asarray(out["ro"])[:, 0] == 1).all()
+
+
 class TestNoisyEquivalence:
     def test_bit_identical_to_unpacked_under_noise(self, steane):
         """Same seed → same key splits → same fault pattern → identical

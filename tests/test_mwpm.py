@@ -217,6 +217,13 @@ class TestMWPMDecoder:
         assert (o1 == o2).all()
         assert (c1 == c2).all()
 
+    def test_native_rejects_forced_solver(self):
+        import pytest
+
+        _, _, _, g = _surface_graph(3)
+        with pytest.raises(ValueError, match="auto"):
+            MWPMDecoder(g, method="dp", use_native=True)
+
     def test_memory_experiment_integration(self):
         """decoder='mwpm' / 'dem-mwpm' run end-to-end and do not lose to
         union-find on the same shots."""
