@@ -218,7 +218,16 @@ class MwpmNativeHandle:
             self._ptr = None
 
     def __del__(self):
-        self.close()
+        # During interpreter teardown the ctypes machinery (or the
+        # library itself) may already be gone — leak rather than crash.
+        import sys
+
+        if sys.is_finalizing():
+            return
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def decode_batch(self, syndromes: np.ndarray, want_corrections: bool = True,
                      n_threads: int | None = None):
