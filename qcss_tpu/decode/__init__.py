@@ -30,6 +30,7 @@ from qcss_tpu.decode.correlated import (
     conditional_weights,
     correlated_logical_error_rate,
 )
+from qcss_tpu.decode.device_uf import DeviceUFDecoder, make_obs_decoder
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
@@ -55,6 +56,8 @@ __all__ = [
     "uf_phenomenological_error_rate",
     "weights_from_probs",
     "circuit_level_graph",
+    "DeviceUFDecoder",
+    "make_obs_decoder",
     "MWPMDecoder",
     "MWPMOracle",
     "conditional_weights",

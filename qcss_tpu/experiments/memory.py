@@ -202,7 +202,8 @@ def _decode_difference(syns, word, lut, h_std):
 
 
 _DEVICE_DECODERS = ("vote", "difference", "stlut")
-_DECODERS = _DEVICE_DECODERS + ("uf", "dem", "mwpm", "dem-mwpm")
+_FUSED_DECODERS = ("device-uf", "device-dem")
+_DECODERS = _DEVICE_DECODERS + ("uf", "dem", "mwpm", "dem-mwpm") + _FUSED_DECODERS
 
 
 def _count_failures(word, corr, code, basis: str = "z"):
@@ -229,6 +230,34 @@ def _count_failures(word, corr, code, basis: str = "z"):
         "logical_fail": jnp.sum(outcome.astype(jnp.int32), dtype=jnp.int32),
         "residual_syndrome": jnp.sum(jnp.any(resid == 1, axis=-1), dtype=jnp.int32),
     }
+
+
+def _memory_fused_device(key, batch, rounds, code, noise, extract_arrays,
+                         n_anc, decode_fn, log_row, raw_j, engine="frames",
+                         prep_arrays=None, final_arrays=None,
+                         extract_comp=None):
+    """Sample AND decode in one compiled device program (decoder='device-*'):
+    circuit sampling, detector assembly, batched union-find
+    (`decode.device_uf`), and failure counting all fuse into a single jit
+    — only two scalars cross the host boundary. This is the architectural
+    inversion the reference performs with Quil classical instructions
+    executed inside the QVM (reference: css_code.py:649-685), completed
+    for matching decoders on the accelerator."""
+    if engine == "frames":
+        syns, word = _memory_circuit_frames(
+            key, batch, rounds, code, noise, extract_arrays, n_anc=n_anc,
+            final_arrays=final_arrays, extract_comp=extract_comp)
+    else:
+        syns, word = _memory_circuit(
+            key, batch, rounds, code, noise, prep_arrays, extract_arrays,
+            n_anc=n_anc, final_arrays=final_arrays)
+    final_syn = gf2_jax.syndromes_dense(word, raw_j)
+    dets = detector_history(syns, final_syn)
+    obs, conv = decode_fn(dets)
+    outcome = (word.astype(jnp.int32) * log_row.astype(jnp.int32)
+               ).sum(axis=-1) & 1
+    fails = (outcome ^ (obs & 1)).astype(jnp.int32)
+    return jnp.sum(fails), jnp.all(conv)
 
 
 def _memory_body(key, batch, rounds, code, noise, prep_arrays, extract_arrays,
@@ -319,7 +348,48 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         else tuple(map(jnp.asarray, prep_circ().to_arrays()))
     )
 
-    if decoder in ("uf", "dem", "mwpm", "dem-mwpm"):
+    if decoder in _FUSED_DECODERS:
+        from qcss_tpu.decode.device_uf import make_obs_decoder
+        from qcss_tpu.decode.uf import spacetime_graph
+
+        extract_arrays = tuple(map(jnp.asarray, ext_fn(
+            code, checks=raw).to_arrays()))
+        if decoder == "device-dem":
+            from qcss_tpu.decode.dem import (
+                circuit_level_graph,
+                extraction_gate_list,
+            )
+
+            graph = circuit_level_graph(
+                raw, extraction_gate_list(code, raw), rounds,
+                p_gate2=noise.p_gate2, p_meas=noise.p_meas,
+                p_reset=noise.p_reset, logicals=logicals,
+            )
+        else:
+            graph = spacetime_graph(raw, logicals, rounds)
+        decode_fn = make_obs_decoder(graph)
+        extract_comp = None
+        if engine == "frames":
+            from qcss_tpu.sim import frame as fr
+
+            extract_comp = fr.maybe_compile(
+                extract_arrays, code.n + raw.shape[0])
+        fn = jax.jit(
+            partial(_memory_fused_device, code=code, noise=noise,
+                    extract_arrays=extract_arrays, n_anc=raw.shape[0],
+                    decode_fn=decode_fn,
+                    log_row=jnp.asarray(logicals[0], jnp.int32),
+                    raw_j=jnp.asarray(raw, jnp.uint8), engine=engine,
+                    prep_arrays=prep_arrays, final_arrays=final_arrays,
+                    extract_comp=extract_comp),
+            static_argnames=("batch", "rounds"),
+        )
+        fails, conv = fn(jax.random.key(seed), batch, rounds)
+        if not bool(conv):
+            raise RuntimeError("device union-find hit its growth cap")
+        counts = {"logical_fail": int(fails),
+                  "residual_syndrome": float("nan")}
+    elif decoder in ("uf", "dem", "mwpm", "dem-mwpm"):
         from qcss_tpu.decode.mwpm import MWPMDecoder
         from qcss_tpu.decode.uf import UFDecoder, spacetime_graph
 
@@ -387,9 +457,13 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
             static_argnames=("batch", "rounds"),
         )
         counts = fn(jax.random.key(seed), batch, rounds)
+    resid = counts["residual_syndrome"]
     return {
         "logical_fail": int(counts["logical_fail"]) / batch,
-        "residual_syndrome": int(counts["residual_syndrome"]) / batch,
+        # observable-only device decoders never materialize corrections,
+        # so no residual-syndrome accounting exists for them
+        "residual_syndrome": (
+            float("nan") if resid != resid else int(resid) / batch),
         "rounds": rounds,
         "samples": batch,
         "decoder": decoder,

@@ -1,0 +1,140 @@
+"""Device union-find decoder vs the host kernel.
+
+Exactness on all weight <= t errors (the unique-decoding regime, where
+every valid matching decoder must agree on the observable), statistical
+agreement with the host union-find at operating error rates, and
+convergence on weighted (DEM) graphs.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from qcss_tpu.codes.families import rotated_surface as surface_code
+from qcss_tpu.decode.device_uf import DeviceUFDecoder, make_obs_decoder
+from qcss_tpu.decode.uf import UFDecoder, graph_from_checks, spacetime_graph
+
+
+def _surface_graph(d):
+    code = surface_code(d)
+    return graph_from_checks(
+        code.raw_parity_check_c2, code.z_operator_matrix())
+
+
+@pytest.mark.parametrize("d", [3, 5])
+def test_exhaustive_low_weight_matches_host(d):
+    code = surface_code(d)
+    g = _surface_graph(d)
+    h = np.asarray(code.raw_parity_check_c2, np.uint8)
+    lz = np.asarray(code.z_operator_matrix(), np.uint8)
+    n = h.shape[1]
+    t = (d - 1) // 2
+    from itertools import combinations
+
+    errs = []
+    for w in range(0, t + 1):
+        for qs in combinations(range(n), w):
+            e = np.zeros(n, np.uint8)
+            e[list(qs)] = 1
+            errs.append(e)
+    errs = np.stack(errs)
+    syn = (errs @ h.T) & 1
+    par = ((errs @ lz.T) & 1)[:, 0].astype(np.uint32)
+
+    _, obs_host = UFDecoder(g).decode_batch(syn, want_corrections=False)
+    _, obs_dev = DeviceUFDecoder(g).decode_batch(syn)
+    # both must decode every weight <= t error exactly
+    np.testing.assert_array_equal(obs_host & 1, par)
+    np.testing.assert_array_equal(obs_dev & 1, par)
+
+
+def test_random_agreement_code_capacity():
+    d = 7
+    code = surface_code(d)
+    g = _surface_graph(d)
+    h = np.asarray(code.raw_parity_check_c2, np.uint8)
+    rng = np.random.default_rng(7)
+    errs = (rng.random((4096, h.shape[1])) < 0.05).astype(np.uint8)
+    syn = (errs @ h.T) & 1
+    _, obs_host = UFDecoder(g).decode_batch(syn, want_corrections=False)
+    _, obs_dev = DeviceUFDecoder(g).decode_batch(syn)
+    lz = np.asarray(code.z_operator_matrix(), np.uint8)
+    par = ((errs @ lz.T) & 1)[:, 0]
+    fail_host = np.mean((obs_host & 1) != par)
+    fail_dev = np.mean((obs_dev & 1) != par)
+    agree = np.mean((obs_host & 1) == (obs_dev & 1))
+    # different valid corrections may disagree on heavy shots, but the
+    # decoders must be statistically interchangeable
+    assert agree > 0.97, agree
+    assert abs(fail_host - fail_dev) < 0.01, (fail_host, fail_dev)
+
+
+def test_spacetime_graph_agreement():
+    d = 3
+    code = surface_code(d)
+    h = np.asarray(code.raw_parity_check_c2, np.uint8)
+    lz = code.z_operator_matrix()
+    g = spacetime_graph(h, lz, rounds=3)
+    rng = np.random.default_rng(11)
+    # sparse random detection events (valid and invalid patterns alike —
+    # the decoder must terminate and agree statistically on both)
+    dets = (rng.random((1024, g.num_nodes)) < 0.04).astype(np.uint8)
+    _, obs_host = UFDecoder(g).decode_batch(dets, want_corrections=False)
+    _, obs_dev = DeviceUFDecoder(g).decode_batch(dets)
+    agree = np.mean((obs_host & 1) == (obs_dev & 1))
+    assert agree > 0.95, agree
+
+
+def test_weighted_dem_graph_converges_and_decodes():
+    from qcss_tpu.decode.dem import circuit_level_graph, extraction_gate_list
+    from qcss_tpu.experiments.memory import memory_experiment  # noqa: F401
+    d = 3
+    code = surface_code(d)
+    raw = code.raw_parity_check_c2
+    g = circuit_level_graph(
+        raw, extraction_gate_list(code, raw), rounds=3,
+        p_gate2=2e-3, p_meas=1e-2, p_reset=0.0,
+        logicals=code.z_operator_matrix(),
+    )
+    rng = np.random.default_rng(3)
+    dets = (rng.random((512, g.num_nodes)) < 0.03).astype(np.uint8)
+    _, obs_host = UFDecoder(g).decode_batch(dets, want_corrections=False)
+    _, obs_dev = DeviceUFDecoder(g).decode_batch(dets)
+    agree = np.mean((obs_host & 1) == (obs_dev & 1))
+    assert agree > 0.93, agree
+
+
+def test_fused_memory_experiment_matches_host_dem():
+    """decoder='device-dem' (one fused jit: sample + decode + count) must
+    statistically match the host DEM decode of the same shots."""
+    from qcss_tpu.experiments.memory import memory_experiment
+    from qcss_tpu.sim.noise import NoiseModel
+
+    code = surface_code(3)
+    noise = NoiseModel(p_gate2=2e-3, p_meas=1e-2)
+    host = memory_experiment(code, rounds=3, noise=noise, decoder="dem",
+                             batch=8192, seed=5, engine="frames")
+    dev = memory_experiment(code, rounds=3, noise=noise, decoder="device-dem",
+                            batch=8192, seed=5, engine="frames")
+    # identical samples (same key consumption), near-identical decoders
+    assert abs(host["logical_fail"] - dev["logical_fail"]) * 8192 < 8, (
+        host["logical_fail"], dev["logical_fail"])
+    assert np.isnan(dev["residual_syndrome"])
+
+
+def test_jit_composability():
+    """The pure decoder embeds inside a larger jit without retracing."""
+    import jax.numpy as jnp
+
+    g = _surface_graph(3)
+    dec = make_obs_decoder(g)
+
+    @jax.jit
+    def pipeline(dets):
+        obs, conv = dec(dets)
+        return obs.sum(), conv.all()
+
+    dets = np.zeros((8, g.num_nodes), np.uint8)
+    dets[0, 0] = 1
+    s, c = pipeline(jnp.asarray(dets))
+    assert bool(c)
