@@ -10,6 +10,13 @@ maximum-cardinality matchings, which turns weight negation into exact
 MINIMUM-weight perfect matching — the decoder-side entry point
 (`min_weight_perfect_matching`).
 
+The internal organization — the endpoint/neighbend adjacency encoding,
+label/labelend tree bookkeeping, and the assign_label / scan_blossom /
+add_blossom / expand_blossom / augment_blossom routine decomposition —
+follows Joris van Rantwijk's classic public-domain ``mwmatching.py``
+scheme (also the basis of NetworkX's ``max_weight_matching``), the
+de-facto standard software formulation of Galil's presentation.
+
 Used by `decode.mwpm.MWPMDecoder` for production exact matching at any
 defect count (the bitmask-DP oracle in the same module caps at ~16
 defects). Differentially tested against that oracle on random weighted

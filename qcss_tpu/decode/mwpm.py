@@ -243,6 +243,39 @@ class MWPMDecoder:
                 pairs.append((i, m))
         return cost, par, pairs
 
+    @staticmethod
+    def _decompose(dists, bdist):
+        """Exactness-preserving defect-graph decomposition (mirrors the
+        native kernel): a pair edge with d(i,j) >= bd(i) + bd(j) can be
+        replaced by the two boundary pairings at no greater cost, so some
+        optimal matching avoids it; dropping those edges splits the
+        defects into independent components (ascending member order,
+        ordered by smallest member)."""
+        unreach = MWPMDecoder._UNREACH
+        k = len(bdist)
+        parent = list(range(k))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(k):
+            for j in range(i + 1, k):
+                if dists[i, j] >= unreach:
+                    continue
+                if (bdist[i] < unreach and bdist[j] < unreach
+                        and dists[i, j] >= bdist[i] + bdist[j]):
+                    continue
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+        comps: dict[int, list[int]] = {}
+        for i in range(k):
+            comps.setdefault(find(i), []).append(i)
+        return [comps[r] for r in sorted(comps)]
+
     def decode_one(self, syn: np.ndarray, corr: np.ndarray | None = None) -> int:
         """Decode one shot; returns the observable-flip bitmask. When
         ``corr`` (a zeroed `[n_qubits]` uint8 buffer) is passed, the
@@ -252,7 +285,23 @@ class MWPMDecoder:
         if k == 0:
             return 0
         dg = self._defect_graph(defects)
-        if self.method == "dp" or (self.method == "auto" and k <= self.DP_CUTOVER):
+        if self.method == "auto":
+            # decomposed solve, component-for-component the native kernel
+            dists, pars, bdist, bpar = dg
+            par = 0
+            pairs = []
+            for comp in self._decompose(dists, bdist):
+                idx = np.asarray(comp)
+                sub = (dists[np.ix_(idx, idx)], pars[np.ix_(idx, idx)],
+                       bdist[idx], bpar[idx])
+                if len(comp) <= self.DP_CUTOVER:
+                    _, p, sub_pairs = self._solve_dp(*sub)
+                else:
+                    _, p, sub_pairs = self._solve_blossom(*sub)
+                par ^= p
+                pairs.extend(
+                    (comp[i], -1 if j < 0 else comp[j]) for i, j in sub_pairs)
+        elif self.method == "dp":
             _, par, pairs = self._solve_dp(*dg)
         else:
             _, par, pairs = self._solve_blossom(*dg)

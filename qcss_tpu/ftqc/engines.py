@@ -118,6 +118,15 @@ class UnpackedEngine:
             tab, zeros.at[:, q].set(x_flips), zeros.at[:, q].set(z_flips)
         )
 
+    def inject_data_flips(self, tab, x_flips, z_flips):
+        """[B, m, n] Pauli flips on the first m blocks at once (the idle
+        channel's injection point; data blocks are the block prefix)."""
+        B, m, n = x_flips.shape
+        pad = tab.n - m * self.stride
+        xf = jnp.pad(x_flips.reshape(B, m * n), ((0, 0), (0, pad)))
+        zf = jnp.pad(z_flips.reshape(B, m * n), ((0, 0), (0, pad)))
+        return tb.apply_pauli_frame(tab, xf, zf)
+
 
 class PackedEngine:
     """Word-aligned packed blocks: block b owns words [b*Wb, (b+1)*Wb)."""
@@ -161,6 +170,19 @@ class PackedEngine:
     def inject_block_flips(self, tab, b, x_flips, z_flips):
         return self._inject_packed(
             tab, b, gf2_jax.pack_bits(x_flips), gf2_jax.pack_bits(z_flips)
+        )
+
+    def inject_data_flips(self, tab, x_flips, z_flips):
+        """[B, m, n] flips on the first m blocks (idle injection): pack
+        per block (blocks are word-aligned), place at word offset 0."""
+        B, m, n = x_flips.shape
+        xw = gf2_jax.pack_bits(x_flips).reshape(B, m * self.wb)
+        zw = gf2_jax.pack_bits(z_flips).reshape(B, m * self.wb)
+        pad = tab.words - m * self.wb
+        return tp.apply_pauli_frame(
+            tab,
+            jnp.pad(xw, ((0, 0), (0, pad))),
+            jnp.pad(zw, ((0, 0), (0, pad))),
         )
 
     def _depolarize_block(self, tab, b, p, key):
@@ -489,6 +511,65 @@ class FrameEngine:
 
     def inject_block_flips(self, tab, b, x_flips, z_flips):
         return self._fr.inject_flips(tab, self.block_qubits(b), x_flips, z_flips)
+
+    def inject_data_flips(self, tab, x_flips, z_flips):
+        B, m, n = x_flips.shape
+        q = jnp.arange(m * n, dtype=jnp.int32)
+        return self._fr.inject_flips(
+            tab, q, x_flips.reshape(B, m * n), z_flips.reshape(B, m * n))
+
+    # -- multi-block primitives (the parallel-EC path; frames-only) -----------
+
+    def blocks_qubits(self, blocks) -> "np.ndarray":
+        """Static [m, n] qubit windows for a static block list."""
+        import numpy as np
+
+        blocks = np.asarray(blocks, np.int32)
+        return blocks[:, None] * self.stride + np.arange(self.n, dtype=np.int32)
+
+    def reset_blocks(self, tab, qubits):
+        return self._fr.reset_qubits(tab, jnp.asarray(qubits).reshape(-1))
+
+    def run_compiled_multi(self, tab, comp, windows, key):
+        return self._fr.run_compiled_noisy_multi(
+            tab, comp, self.noise, key, windows)
+
+    def cnot_qubits(self, tab, qc, qt, key):
+        """Pairwise CNOT on explicit disjoint qubit arrays (+ 2q noise)."""
+        qc = jnp.asarray(qc).reshape(-1)
+        qt = jnp.asarray(qt).reshape(-1)
+        tab = self._fr.Frames(
+            tab.x.at[:, qt].set(tab.x[:, qt] ^ tab.x[:, qc]),
+            tab.z.at[:, qc].set(tab.z[:, qc] ^ tab.z[:, qt]),
+        )
+        if self.noise.p_gate2:
+            tab = self._fr.inject2_many(tab, qc, qt, self.noise.rate2, key)
+        return tab
+
+    def h_qubits(self, tab, q, key):
+        q = jnp.asarray(q).reshape(-1)
+        xq, zq = tab.x[:, q], tab.z[:, q]
+        tab = self._fr.Frames(tab.x.at[:, q].set(zq), tab.z.at[:, q].set(xq))
+        if self.noise.p_gate1:
+            tab = self._fr.inject1_many(tab, q, self.noise.rate1, key)
+        return tab
+
+    def measure_qubits(self, tab, q):
+        """Outcome deviations at explicit qubits (multi-block form of
+        `measure_block`; same deterministic-reference contract)."""
+        return tab, tab.x[:, jnp.asarray(q).reshape(-1)]
+
+    def select_qubits(self, tab, cols, mask, new, old):
+        """Per-(sample, column) commit: for the static column set `cols`
+        with per-column mask `mask` [B, len(cols)], take `new` where set."""
+        cols = jnp.asarray(cols).reshape(-1)
+        m = mask.astype(bool)
+        return self._fr.Frames(
+            old.x.at[:, cols].set(
+                jnp.where(m, new.x[:, cols], old.x[:, cols])),
+            old.z.at[:, cols].set(
+                jnp.where(m, new.z[:, cols], old.z[:, cols])),
+        )
 
 
 def make_engine(

@@ -55,7 +55,7 @@ class EncodedProgram:
     def __init__(self, raw: Program, code, noise: noise_mod.NoiseModel | None = None,
                  max_prep_attempts: int = 8, engine: str = "scheduled",
                  tableau: str = "unpacked", ancillas: str = "shared",
-                 ec_extractions: int = 1):
+                 ec_extractions: int = 1, ec_schedule: str = "serial"):
         if code.k != 1:
             raise UnsupportedQECCError("code must have k = 1")
         if engine not in ("scheduled", "unrolled"):
@@ -70,6 +70,14 @@ class EncodedProgram:
             raise ValueError("dedicated ancillas require the scheduled engine")
         if engine == "unrolled" and ec_extractions != 1:
             raise ValueError("repeated extraction requires the scheduled engine")
+        if ec_schedule == "parallel" and engine == "unrolled":
+            raise ValueError("parallel EC requires the scheduled engine")
+        if ec_schedule == "parallel" and ancillas != "dedicated":
+            raise ValueError("ec_schedule='parallel' requires "
+                             "ancillas='dedicated'")
+        if ec_schedule == "parallel" and tableau != "frames":
+            raise ValueError("ec_schedule='parallel' requires "
+                             "tableau='frames'")
         self.raw = raw
         self.code = code
         self.noise = noise or noise_mod.NoiseModel()
@@ -77,6 +85,7 @@ class EncodedProgram:
         self.tableau = tableau
         self.ancillas = ancillas
         self.ec_extractions = ec_extractions
+        self.ec_schedule = ec_schedule
         self.max_prep_attempts = max_prep_attempts
         self.qubit_map = {q: i for i, q in enumerate(raw.qubits())}
         self.n_logical = len(self.qubit_map)
@@ -230,6 +239,7 @@ class EncodedProgram:
                 self.code, self.n_logical, self.noise, self.max_prep_attempts,
                 tableau_engine=self.tableau, ancillas=self.ancillas,
                 ec_extractions=self.ec_extractions,
+                ec_schedule=self.ec_schedule,
             )
             ref_outs = (
                 schedule.reference_outcomes(macro, self.code)
@@ -267,7 +277,8 @@ def rewrite_program(raw: Program, code, *,
                     engine: str = "scheduled",
                     tableau: str = "unpacked",
                     ancillas: str = "shared",
-                    ec_extractions: int = 1) -> EncodedProgram:
+                    ec_extractions: int = 1,
+                    ec_schedule: str = "serial") -> EncodedProgram:
     """Validate and FT-encode a raw Clifford program — the framework's
     flagship entry point (reference analogue: ftqc.py:42).
 
@@ -284,9 +295,14 @@ def rewrite_program(raw: Program, code, *,
     reference's scheme) or 2 (Shor-style repeated extraction: a correction
     commits only when both syndromes agree — wins the readout-dominated
     regime, see BASELINE.md).
+    ec_schedule: 'serial' (one block's Steane round at a time, the
+    reference's shared-scratch structure — ftqc.py:153-171) or 'parallel'
+    (every block's round simultaneously; requires ancillas='dedicated' and
+    tableau='frames'; under idle noise this removes the n_logical-fold
+    idle exposure the serial schedule charges to waiting blocks).
     """
     return EncodedProgram(raw, code, noise, max_prep_attempts, engine,
-                          tableau, ancillas, ec_extractions)
+                          tableau, ancillas, ec_extractions, ec_schedule)
 
 
 def run_program(raw: Program, code, batch: int = 1, *,

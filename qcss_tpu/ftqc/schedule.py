@@ -70,6 +70,27 @@ GATE_IDS = {"I": 0, "X": 1, "Y": 2, "Z": 3, "H": 4, "S": 5, "CNOT": 6, "CZ": 7,
             "PHASE": 5}
 
 
+def circuit_depth(arrays) -> int:
+    """ASAP-layered depth of an array-lowered circuit (host-side): the
+    number of parallel gate layers, i.e. the circuit's duration in
+    elementary time steps for idle-noise accounting."""
+    ops, q0, q1 = (np.asarray(a) for a in arrays)
+    from qcss_tpu.circuits.ir import OPCODES
+
+    two_q_start = OPCODES["CNOT"]
+    avail: dict[int, int] = {}
+    depth = 0
+    for g in range(ops.shape[0]):
+        qs = [int(q0[g])]
+        if int(ops[g]) >= two_q_start:
+            qs.append(int(q1[g]))
+        t = max(avail.get(q, 0) for q in qs) + 1
+        for q in qs:
+            avail[q] = t
+        depth = max(depth, t)
+    return depth
+
+
 class MachineState(NamedTuple):
     tab: tb.Tableau
     x_frames: jax.Array  # [B, n_blocks, n]
@@ -198,6 +219,7 @@ class MacroExecutor:
                  tableau_engine: str = "unpacked",
                  ancillas: str = "shared",
                  ec_extractions: int = 1,
+                 ec_schedule: str = "serial",
                  reference_mode: bool = False):
         from qcss_tpu.ftqc.engines import make_engine
 
@@ -205,6 +227,20 @@ class MacroExecutor:
             raise ValueError("ancillas must be 'shared' or 'dedicated'")
         if ec_extractions not in (1, 2):
             raise ValueError("ec_extractions must be 1 or 2")
+        if ec_schedule not in ("serial", "parallel"):
+            raise ValueError("ec_schedule must be 'serial' or 'parallel'")
+        if ec_schedule == "parallel":
+            # Parallel EC runs every block's Steane round simultaneously:
+            # it needs per-block ancillas, and per-(sample, block) RUS
+            # commits, which only the frame state representation supports
+            # (tableau rows are not block-separable mid-protocol).
+            if ancillas != "dedicated":
+                raise ValueError("ec_schedule='parallel' requires "
+                                 "ancillas='dedicated'")
+            if tableau_engine != "frames" and not reference_mode:
+                raise ValueError("ec_schedule='parallel' requires "
+                                 "tableau='frames'")
+        self.ec_schedule = ec_schedule if not reference_mode else "serial"
         # reference_mode: the noiseless run that records per-measure-site
         # reference outcomes for the 'frames' engine. Pauli gates are
         # skipped (they ride the frame in the frame run) and measure
@@ -229,9 +265,11 @@ class MacroExecutor:
         # QVM-qubit-ceiling compromise — reference: ftqc.py:153-160).
         # 'dedicated': each logical block owns its own EC/measure ancilla
         # pair — no ceiling here, and the layout the parallel-EC path
-        # needs. Under this noise model (no idle locations) the failure
-        # statistics are identical; the ancilla is freshly verified per
-        # use either way.
+        # needs. Without idle locations (p_idle = 0) the failure
+        # statistics are identical (the ancilla is freshly verified per
+        # use either way); with p_idle > 0 the serialization cost the
+        # reference warns about (ftqc.py:156-160) becomes measurable —
+        # see benchmarks/idle_bench.py.
         n_anc = 2 if ancillas == "shared" else 2 * n_logical
         self.n_blocks = n_logical + n_anc
         self.noise = noise or noise_mod.NoiseModel()
@@ -262,6 +300,41 @@ class MacroExecutor:
         # Shared-mode static ancilla block indices (reference: ftqc.py:60-61).
         self.anc1 = n_logical
         self.anc2 = n_logical + 1
+        if self.ec_schedule == "parallel":
+            L = n_logical
+            a1 = [L + 2 * b for b in range(L)]
+            a2 = [L + 2 * b + 1 for b in range(L)]
+            self._par = {
+                "anc1_blocks": np.asarray(a1, np.int32),
+                "anc2_blocks": np.asarray(a2, np.int32),
+                "data_q": self.engine.blocks_qubits(list(range(L))),
+                "anc1_q": self.engine.blocks_qubits(a1),
+                "anc2_q": self.engine.blocks_qubits(a2),
+            }
+        # Idle-noise durations, in elementary time steps (one transversal
+        # layer / measurement / reset = 1 step; prep networks = their
+        # ASAP-layered depth). Static Python ints, so each idle channel
+        # composes to ONE closed-form injection (noise.compose_pauli).
+        self._idle_on = bool(self.noise.p_idle) and n_logical > 0
+        self._depth_zero = circuit_depth(self._prep_zero0)
+        self._depth_plus = circuit_depth(self._prep_plus0)
+        # _error_detect(x_sector, include_operators): reset + anc prep +
+        # transversal CNOT + (H for the Z sector) + measure.
+        self._detect_steps = {
+            (True, False): 1 + self._depth_plus + 1 + 1,
+            (True, True): 1 + self._depth_zero + 1 + 1,
+            (False, False): 1 + self._depth_zero + 1 + 1 + 1,
+            (False, True): 1 + self._depth_plus + 1 + 1 + 1,
+        }
+        # one _encode_ft attempt: reset + prep + both detection rounds
+        self._attempt_steps = {
+            True: 1 + self._depth_plus
+            + self._detect_steps[(True, False)]
+            + self._detect_steps[(False, True)],
+            False: 1 + self._depth_zero
+            + self._detect_steps[(False, False)]
+            + self._detect_steps[(True, True)],
+        }
 
     def _anc_pair(self, b):
         """The EC/measure ancilla pair serving data block b (b may be
@@ -276,6 +349,38 @@ class MacroExecutor:
     def _split(self, st: MachineState):
         key, sub = jax.random.split(st.key)
         return st._replace(key=key), sub
+
+    def _idle_data(self, st: MachineState, busy, steps: int,
+                   sample_mask=None) -> MachineState:
+        """Charge `steps` time steps of idle noise to every DATA block not
+        in `busy` (block indices, traced or static; ancilla blocks are
+        reset/re-verified before every use, so idling them is
+        unobservable). The composed channel costs one RNG draw; the draw
+        and its key split happen identically in every engine, preserving
+        the frames <-> tableau bit-identity contract. `sample_mask`
+        restricts the charge to samples actually spending the time (the
+        RUS-prep retry loop)."""
+        if not self._idle_on or steps <= 0:
+            return st
+        rate = noise_mod.compose_pauli(self.noise.rate_idle, steps)
+        st, sub = self._split(st)
+        B = st.x_frames.shape[0]
+        L = self.n_logical
+        u = jax.random.uniform(sub, (B, L, self.n), dtype=jnp.float32)
+        x_hi, z_lo, z_hi = (
+            jnp.float32(v) for v in noise_mod._thresholds_1q(rate))
+        x_hit = u < x_hi
+        z_hit = (u >= z_lo) & (u < z_hi)
+        bl = jnp.arange(L, dtype=jnp.int32)
+        idle = jnp.ones((L,), bool)
+        for bb in busy:
+            idle = idle & (bl != jnp.asarray(bb, jnp.int32))
+        m = idle[None, :, None]
+        if sample_mask is not None:
+            m = m & sample_mask.astype(bool)[:, None, None]
+        xf = (x_hit & m).astype(jnp.uint8)
+        zf = (z_hit & m).astype(jnp.uint8)
+        return st._replace(tab=self.engine.inject_data_flips(st.tab, xf, zf))
 
     def _cond_mask(self, st: MachineState, cond) -> jax.Array:
         """Per-sample execution mask for an op's condition word: -1 → all,
@@ -366,11 +471,15 @@ class MacroExecutor:
             frame = st.z_frames[:, b, :]
         return st, decode_lut.detect_errors(mem, frame, check)
 
-    def _encode_ft(self, st: MachineState, b, anc, plus: bool) -> MachineState:
+    def _encode_ft(self, st: MachineState, b, anc, plus: bool,
+                   busy_data=()) -> MachineState:
         """Repeat-until-success |0̄⟩/|+̄⟩ preparation of block b with
         detection against `anc` (reference: css_code.py:314-366): the
         while-loop body runs batch-wide but commits only still-flagged
-        samples."""
+        samples. `busy_data` lists the data blocks engaged in this prep
+        (all others are charged one attempt's worth of idle noise per
+        attempt they actually wait through — committed with the rest of
+        the body, so only still-flagged samples pay)."""
         batch = st.tab.batch
 
         def body(carry):
@@ -402,6 +511,9 @@ class MacroExecutor:
                 s, out_b = self._error_detect(s, b, anc, x_sector=True,
                                               include_operators=True)
             new_flag = out_a | out_b
+            # Blocks elsewhere idle for this attempt's duration (committed
+            # below only for samples actually re-running it).
+            s = self._idle_data(s, busy_data, self._attempt_steps[plus])
             m3 = flag[:, None, None].astype(bool)
             committed = MachineState(
                 self.engine.select(flag, s.tab, st_in.tab),
@@ -430,7 +542,9 @@ class MacroExecutor:
 
         st = self._encode_ft(st, anc1, anc2, plus=True)
         st = self._transversal_cnot(st, b, anc1)
+        st = self._idle_data(st, (b,), 1)      # others idle through the CNOT
         st, mem = self._measure_block(st, anc1)
+        st = self._idle_data(st, (), 1)        # every data block idles
         return st, gf2_jax.syndromes_dense(mem ^ st.x_frames[:, b, :], self.h2)
 
     def _extract_z_syndrome(self, st: MachineState, b, anc1, anc2):
@@ -438,8 +552,9 @@ class MacroExecutor:
 
         st = self._encode_ft(st, anc1, anc2, plus=False)
         st = self._transversal_cnot(st, anc1, b)
-        st = self._transversal_1q(st, "H", anc1)
+        st = self._idle_data(st, (b,), 1)
         st, mem = self._measure_block(st, anc1)
+        st = self._idle_data(st, (), 2)        # H on the ancilla + measure
         return st, gf2_jax.syndromes_dense(mem ^ st.z_frames[:, b, :], self.h1)
 
     def _ec_one(self, st: MachineState, b) -> MachineState:
@@ -474,17 +589,203 @@ class MacroExecutor:
             z_frames=st.z_frames.at[:, b, :].set(st.z_frames[:, b, :] ^ corr)
         )
 
+    # -- parallel EC (ec_schedule='parallel'; frames engine) ----------------------
+    #
+    # The serial path runs one block's Steane round at a time (the
+    # reference's structure — one shared scratch, every other block
+    # waiting: ftqc.py:153-171); with idle noise that wait converts
+    # directly into data errors. The parallel path runs EVERY block's
+    # round simultaneously: all ancilla preps in one multi-window
+    # compiled-circuit execution, all transversal CNOTs in one pairwise
+    # call, all measurements in one readout — so a wide program pays ONE
+    # round of idle exposure instead of n_logical of them.
+
+    def _reset_blocks_par(self, st: MachineState, blocks, qubits) -> MachineState:
+        st, _ = self._split(st)
+        tab = self.engine.reset_blocks(st.tab, qubits)
+        if self.noise.p_reset:
+            st, sub = self._split(st)
+            flips = jax.random.bernoulli(
+                sub, self.noise.p_reset,
+                (st.x_frames.shape[0], qubits.size)).astype(jnp.uint8)
+            tab = self.engine._fr.inject_flips(
+                tab, jnp.asarray(qubits).reshape(-1), flips,
+                jnp.zeros_like(flips))
+        zeros_f = jnp.zeros(
+            (st.x_frames.shape[0], len(blocks), self.n), jnp.uint8)
+        return st._replace(
+            tab=tab,
+            x_frames=st.x_frames.at[:, jnp.asarray(blocks)].set(zeros_f),
+            z_frames=st.z_frames.at[:, jnp.asarray(blocks)].set(zeros_f),
+        )
+
+    def _prep_blocks_par(self, st: MachineState, windows, plus: bool) -> MachineState:
+        st, sub = self._split(st)
+        comp = self._prep_plus_comp if plus else self._prep_zero_comp
+        return st._replace(
+            tab=self.engine.run_compiled_multi(st.tab, comp, windows, sub))
+
+    def _measure_blocks_par(self, st: MachineState, qubits):
+        st, _ = self._split(st)
+        tab, outs = self.engine.measure_qubits(st.tab, qubits)
+        st = st._replace(tab=tab)
+        if self.noise.p_meas:
+            st, sub = self._split(st)
+            outs = noise_mod.flip_bits(outs, self.noise.p_meas, sub)
+        B = outs.shape[0]
+        return st, outs.reshape(B, self.n_logical, self.n)
+
+    def _detect_par(self, st: MachineState, x_sector: bool,
+                    include_operators: bool):
+        """All-blocks error detection: verify every anc1 block against its
+        anc2 partner (the multi-block `_error_detect`). Returns
+        (state, flags [B, L])."""
+        p = self._par
+        st = self._reset_blocks_par(st, p["anc2_blocks"], p["anc2_q"])
+        if x_sector:
+            st = self._prep_blocks_par(st, p["anc2_q"],
+                                       plus=not include_operators)
+            st, sub = self._split(st)
+            st = st._replace(tab=self.engine.cnot_qubits(
+                st.tab, p["anc1_q"], p["anc2_q"], sub))
+        else:
+            st = self._prep_blocks_par(st, p["anc2_q"],
+                                       plus=include_operators)
+            st, sub = self._split(st)
+            st = st._replace(tab=self.engine.cnot_qubits(
+                st.tab, p["anc2_q"], p["anc1_q"], sub))
+            st, sub = self._split(st)
+            st = st._replace(tab=self.engine.h_qubits(
+                st.tab, p["anc2_q"], sub))
+        st, mem = self._measure_blocks_par(st, p["anc2_q"])
+        if x_sector:
+            check = (self.detect_x_with_ops if include_operators
+                     else self.detect_x_plain)
+            frame = st.x_frames[:, jnp.asarray(p["anc1_blocks"])]
+        else:
+            check = (self.detect_z_with_ops if include_operators
+                     else self.detect_z_plain)
+            frame = st.z_frames[:, jnp.asarray(p["anc1_blocks"])]
+        return st, decode_lut.detect_errors(mem, frame, check)
+
+    def _encode_ft_par(self, st: MachineState, plus: bool) -> MachineState:
+        """FT-prepare ALL anc1 blocks at once, with per-(sample, block)
+        repeat-until-success: a block that verified keeps its state while
+        its neighbors retry (possible on frames because block columns are
+        independent; a tableau's rows are not block-separable)."""
+        p = self._par
+        B = st.x_frames.shape[0]
+        L = self.n_logical
+        # commit columns: each anc pair commits as one unit
+        cols = np.concatenate([p["anc1_q"], p["anc2_q"]], axis=1)  # [L, 2n]
+        fidx = np.repeat(np.arange(L), 2 * self.n)
+        cols_flat = cols.reshape(-1)
+        ablocks = np.concatenate([p["anc1_blocks"], p["anc2_blocks"]])
+        bidx = np.concatenate([np.arange(L), np.arange(L)])
+
+        def body(carry):
+            st_in, flag, attempts = carry
+            s = self._reset_blocks_par(st_in, p["anc1_blocks"], p["anc1_q"])
+            s = self._prep_blocks_par(s, p["anc1_q"], plus)
+            if plus:
+                s, out_a = self._detect_par(s, True, False)
+                s, out_b = self._detect_par(s, False, True)
+            else:
+                s, out_a = self._detect_par(s, False, False)
+                s, out_b = self._detect_par(s, True, True)
+            new_flag = out_a | out_b  # [B, L]
+            s = self._idle_data(s, (), self._attempt_steps[plus],
+                                sample_mask=jnp.any(flag.astype(bool), axis=1))
+            colmask = flag[:, fidx]
+            tab = self.engine.select_qubits(
+                st_in.tab, cols_flat, colmask, s.tab, st_in.tab)
+            mb = jnp.zeros((B, self.n_blocks), jnp.uint8).at[
+                :, jnp.asarray(ablocks)].set(flag[:, bidx]).astype(bool)
+            committed = MachineState(
+                tab,
+                jnp.where(mb[:, :, None], s.x_frames, st_in.x_frames),
+                jnp.where(mb[:, :, None], s.z_frames, st_in.z_frames),
+                st_in.votes, st_in.memory, s.key, st_in.prep_fail,
+            )
+            flag = flag & new_flag
+            return committed, flag, attempts + 1
+
+        def cond(carry):
+            _, flag, attempts = carry
+            return jnp.any(flag.astype(bool)) & (
+                attempts < self.max_prep_attempts)
+
+        flag0 = jnp.ones((B, L), jnp.uint8)
+        st, flag, _ = jax.lax.while_loop(cond, body, (st, flag0, jnp.int32(0)))
+        return st._replace(
+            prep_fail=st.prep_fail | jnp.any(flag, axis=1).astype(jnp.uint8))
+
+    def _extract_sector_par(self, st: MachineState, x_sector: bool):
+        """One all-blocks syndrome extraction; returns (state, syn [B, L, r])."""
+        from qcss_tpu.ops import gf2_jax
+
+        p = self._par
+        st = self._encode_ft_par(st, plus=x_sector)
+        st, sub = self._split(st)
+        if x_sector:
+            st = st._replace(tab=self.engine.cnot_qubits(
+                st.tab, p["data_q"], p["anc1_q"], sub))
+        else:
+            st = st._replace(tab=self.engine.cnot_qubits(
+                st.tab, p["anc1_q"], p["data_q"], sub))
+            st, sub = self._split(st)
+            st = st._replace(tab=self.engine.h_qubits(st.tab, p["anc1_q"], sub))
+            st = self._idle_data(st, (), 1)  # H layer on the ancillas
+        st, mem = self._measure_blocks_par(st, p["anc1_q"])
+        st = self._idle_data(st, (), 1)      # readout layer
+        L = self.n_logical
+        if x_sector:
+            frame = st.x_frames[:, :L]
+            syn = gf2_jax.syndromes_dense(mem ^ frame, self.h2)
+        else:
+            frame = st.z_frames[:, :L]
+            syn = gf2_jax.syndromes_dense(mem ^ frame, self.h1)
+        return st, syn
+
+    def _ec_all_parallel(self, st: MachineState) -> MachineState:
+        L = self.n_logical
+        for x_sector, lut in ((True, self.lut2), (False, self.lut1)):
+            st, syn = self._extract_sector_par(st, x_sector)
+            commit = None
+            if self.ec_extractions > 1:
+                st, syn2 = self._extract_sector_par(st, x_sector)
+                commit = jnp.all(syn == syn2, axis=-1)  # [B, L]
+            corr = decode_lut.decode_corrections(syn, lut)  # [B, L, n]
+            if commit is not None:
+                corr = jnp.where(commit[:, :, None], corr,
+                                 jnp.zeros_like(corr))
+            if x_sector:
+                st = st._replace(x_frames=st.x_frames.at[:, :L].set(
+                    st.x_frames[:, :L] ^ corr))
+            else:
+                st = st._replace(z_frames=st.z_frames.at[:, :L].set(
+                    st.z_frames[:, :L] ^ corr))
+        return st
+
     # -- macro-op bodies --------------------------------------------------------------
 
     def _op_prep_zero(self, st: MachineState, a) -> MachineState:
         mask = self._cond_mask(st, a[1])
         anc1, _ = self._anc_pair(a[0])
-        new = self._encode_ft(st, a[0], anc1, plus=False)
+        new = self._encode_ft(st, a[0], anc1, plus=False, busy_data=(a[0],))
         return self._select_state(mask, new, st)
 
     def _op_gate(self, st: MachineState, a) -> MachineState:
         gate_id, b0, b1, cond = a[0], a[1], a[2], a[3]
-        return self._apply_gate(st, gate_id, b0, b1, self._cond_mask(st, cond))
+        mask = self._cond_mask(st, cond)
+        st = self._apply_gate(st, gate_id, b0, b1, mask)
+        if self._idle_on:
+            # one transversal layer elsewhere; 1q gates carry b1 = 0 in
+            # the lowered row, so mask it to b0 there
+            b1_eff = jnp.where(jnp.asarray(gate_id) >= GATE_IDS["CNOT"],
+                               b1, b0)
+            st = self._idle_data(st, (b0, b1_eff), 1, sample_mask=mask)
+        return st
 
     def _apply_gate(self, st: MachineState, gate_id, b0, b1, mask) -> MachineState:
         """Logical gate dispatch (reference: css_code.py:368-434), masked per
@@ -540,9 +841,12 @@ class MacroExecutor:
 
     def _op_ec_all(self, st: MachineState, a) -> MachineState:
         mask = self._cond_mask(st, a[0])
-        new = jax.lax.fori_loop(
-            0, self.n_logical, lambda b, s: self._ec_one(s, b), st
-        )
+        if self.ec_schedule == "parallel":
+            new = self._ec_all_parallel(st)
+        else:
+            new = jax.lax.fori_loop(
+                0, self.n_logical, lambda b, s: self._ec_one(s, b), st
+            )
         return self._select_state(mask, new, st)
 
     def _noisy_measure(self, st: MachineState, b):
@@ -553,7 +857,9 @@ class MacroExecutor:
         anc1, anc2 = self._anc_pair(b)
         st = self._encode_ft(st, anc1, anc2, plus=False)
         st = self._transversal_cnot(st, b, anc1)
+        st = self._idle_data(st, (b,), 1)
         st, mem = self._measure_block(st, anc1)
+        st = self._idle_data(st, (), 1)
         corrected, new_x = decode_lut.correct_errors(
             mem, st.x_frames[:, b, :], self.h2, self.lut2
         )

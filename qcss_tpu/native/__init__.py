@@ -219,14 +219,15 @@ class MwpmNativeHandle:
 
     def __del__(self):
         # During interpreter teardown the ctypes machinery (or the
-        # library itself) may already be gone — leak rather than crash.
-        import sys
-
-        if sys.is_finalizing():
-            return
+        # library itself, or even `sys.is_finalizing`) may already be
+        # torn down — leak rather than raise noise.
         try:
+            import sys
+
+            if sys.is_finalizing():
+                return
             self.close()
-        except Exception:
+        except BaseException:
             pass
 
     def decode_batch(self, syndromes: np.ndarray, want_corrections: bool = True,

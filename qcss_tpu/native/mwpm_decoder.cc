@@ -5,16 +5,24 @@
 // output on tie-free graphs).
 //
 // Pipeline per graph (handle API — create once, decode many batches):
-//   1. create: all-pairs shortest paths over the weighted matching graph
-//      (one Dijkstra per source, threaded), recording distance, the obs
-//      parity of the shortest path, and predecessor edges for correction
-//      reconstruction. Memory is O(V^2 * 12 B) — ~300 MB at V=5000; for
-//      larger graphs use the union-find kernel.
-//   2. decode_batch: each shot reduces to its defect set; defect counts
-//      <= 13 solve by bitmask DP, larger ones by the blossom algorithm
-//      (Edmonds; primal-dual O(n^3) as organized in Galil's 1986 survey)
-//      on 2k nodes, where defect i's virtual partner k+i carries its
-//      boundary distance and virtual partners pair freely.
+//   1. create: for graphs up to kApspMaxNodes vertices, all-pairs
+//      shortest paths (one Dijkstra per source, threaded) with distance,
+//      path obs parity, and predecessor edges. Larger graphs switch to
+//      LAZY mode: no precomputation — each shot runs one early-terminated
+//      Dijkstra per defect (stopping once every other defect and the
+//      boundary are finalized), so memory is O(k * V) transient per
+//      worker instead of O(V^2) resident, and V is unbounded.
+//   2. decode_batch: each shot reduces to its defect set, which is first
+//      DECOMPOSED: a pair edge (i, j) with d(i, j) >= bd(i) + bd(j) can
+//      be replaced in any matching by two boundary pairings at no extra
+//      cost, so some optimal matching uses no such edge and they are
+//      dropped; the surviving edges split the defects into independent
+//      components (usually singletons and pairs at operating error
+//      rates). Components up to 13 defects solve by bitmask DP, larger
+//      ones by the blossom algorithm (Edmonds; primal-dual O(n^3) as
+//      organized in Galil's 1986 survey) on 2k nodes, where defect i's
+//      virtual partner k+i carries its boundary distance and virtual
+//      partners pair freely.
 //
 // The reference's only decoder is a dense syndrome LUT
 // (reference: css_code.py:649-735); it has no matching decoder of any
@@ -23,6 +31,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
 #include <thread>
@@ -33,8 +42,10 @@ namespace {
 
 // ---------------------------------------------------------------------------
 // Blossom: exact maximum-weight matching (max-cardinality mode), a direct
-// translation of qcss_tpu/decode/blossom.py. Vertex count per call is
-// 2 * defect_count, so sizes stay small; everything is allocated per call.
+// translation of qcss_tpu/decode/blossom.py (whose internal organization
+// follows van Rantwijk's public-domain mwmatching.py scheme — see that
+// module's docstring). Vertex count per call is 2 * defect_count, so
+// sizes stay small; everything is allocated per call.
 // ---------------------------------------------------------------------------
 
 struct BEdge {
@@ -511,18 +522,22 @@ class Blossom {
 
 constexpr int32_t kUnreach = INT32_MAX;
 constexpr int kDpCutover = 13;  // keep in sync with MWPMDecoder.DP_CUTOVER
+// Above this vertex count the O(V^2) APSP tables are skipped and shots
+// run per-defect early-terminated Dijkstras instead (lazy mode).
+constexpr int32_t kApspMaxNodes = 4096;
 
 struct MwpmHandle {
   int32_t num_nodes;  // real detectors; boundary is node num_nodes
   int32_t num_edges;
   int32_t n_qubits;
+  bool lazy = false;
   std::vector<int32_t> edge_qubit;
   std::vector<uint32_t> edge_obs;
   // adjacency (CSR over num_nodes + 1 vertices)
   std::vector<int32_t> adj_off, adj_vert, adj_edge;
   std::vector<int32_t> adj_w;
   std::vector<uint32_t> adj_par;
-  // APSP, row-major [num_nodes + 1, num_nodes + 1]
+  // APSP, row-major [num_nodes + 1, num_nodes + 1] (empty in lazy mode)
   std::vector<int32_t> dist;
   std::vector<uint32_t> par;
   std::vector<int32_t> prev_edge;  // entering edge on shortest path
@@ -531,21 +546,34 @@ struct MwpmHandle {
   size_t nv() const { return (size_t)num_nodes + 1; }
 };
 
+// Single-source shortest paths. With `targets` non-null (lazy mode), the
+// search stops once `n_targets` marked vertices have been finalized —
+// popped entries have exact distances and valid predecessor chains, which
+// is all the matching needs.
 void dijkstra_row(const MwpmHandle& h, int src, int32_t* dist, uint32_t* par,
-                  int32_t* prev_edge, int32_t* prev_vert) {
+                  int32_t* prev_edge, int32_t* prev_vert,
+                  const uint8_t* targets = nullptr, int n_targets = 0) {
   size_t nv = h.nv();
   std::fill(dist, dist + nv, kUnreach);
   std::fill(par, par + nv, 0u);
   std::fill(prev_edge, prev_edge + nv, -1);
   std::fill(prev_vert, prev_vert + nv, -1);
   dist[src] = 0;
+  int remaining = n_targets;
+  if (targets && targets[src] && --remaining == 0) return;
   using QE = std::pair<int32_t, int32_t>;  // (dist, vertex)
   std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
   pq.push({0, src});
+  std::vector<uint8_t> done;
+  if (targets) done.assign(nv, 0);
   while (!pq.empty()) {
     auto [d, v] = pq.top();
     pq.pop();
     if (d > dist[v]) continue;
+    if (targets && targets[v] && v != src && !done[v]) {
+      done[v] = 1;
+      if (--remaining == 0) return;
+    }
     for (int32_t a = h.adj_off[v]; a < h.adj_off[v + 1]; ++a) {
       int32_t w = h.adj_vert[a];
       int32_t nd = d + h.adj_w[a];
@@ -560,30 +588,48 @@ void dijkstra_row(const MwpmHandle& h, int src, int32_t* dist, uint32_t* par,
   }
 }
 
-// Exact solve on the defect graph. defects: indices into the APSP rows.
-// Returns the obs parity; appends matched pairs (i, j) with j == -1 for
-// boundary into `pairs`.
-uint32_t solve_defects(const MwpmHandle& h, const std::vector<int32_t>& defects,
-                       std::vector<std::pair<int32_t, int32_t>>& pairs) {
-  int k = (int)defects.size();
-  size_t nv = h.nv();
-  int32_t bnd = h.num_nodes;
-  auto D = [&](int i, int j) -> int64_t {
-    int32_t d = h.dist[(size_t)defects[i] * nv + defects[j]];
+// Per-shot view over shortest-path rows: row i belongs to defect slot i
+// and is nv-wide, regardless of whether it points into the resident APSP
+// table or a lazy per-shot Dijkstra scratch.
+struct ShotView {
+  const MwpmHandle* h;
+  const std::vector<int32_t>* defects;
+  std::vector<const int32_t*> drow;
+  std::vector<const uint32_t*> prow;
+  std::vector<const int32_t*> perow;
+  std::vector<const int32_t*> pvrow;
+
+  int64_t D(int i, int j) const {
+    int32_t d = drow[i][(*defects)[j]];
     return d == kUnreach ? -1 : d;
-  };
-  auto P = [&](int i, int j) -> uint32_t {
-    return h.par[(size_t)defects[i] * nv + defects[j]];
-  };
-  auto BD = [&](int i) -> int64_t {
-    int32_t d = h.dist[(size_t)defects[i] * nv + bnd];
+  }
+  uint32_t P(int i, int j) const { return prow[i][(*defects)[j]]; }
+  int64_t BD(int i) const {
+    int32_t d = drow[i][h->num_nodes];
     return d == kUnreach ? -1 : d;
-  };
-  auto BP = [&](int i) -> uint32_t {
-    return h.par[(size_t)defects[i] * nv + bnd];
-  };
+  }
+  uint32_t BP(int i) const { return prow[i][h->num_nodes]; }
+};
+
+// Exact solve on one decomposed component. `comp` holds defect slots in
+// ascending order. Returns the obs parity; appends matched pairs (i, j)
+// as defect slots, with j == -1 for boundary.
+uint32_t solve_component(const ShotView& sv, const std::vector<int32_t>& comp,
+                         std::vector<std::pair<int32_t, int32_t>>& pairs) {
+  int k = (int)comp.size();
+  auto D = [&](int i, int j) -> int64_t { return sv.D(comp[i], comp[j]); };
+  auto P = [&](int i, int j) -> uint32_t { return sv.P(comp[i], comp[j]); };
+  auto BD = [&](int i) -> int64_t { return sv.BD(comp[i]); };
+  auto BP = [&](int i) -> uint32_t { return sv.BP(comp[i]); };
 
   uint32_t parity = 0;
+  if (k == 1) {  // decomposition leaves singletons only when boundary-matched
+    int64_t bd = BD(0);
+    if (bd < 0) return 0;
+    parity ^= BP(0);
+    pairs.push_back({comp[0], -1});
+    return parity;
+  }
   if (k <= kDpCutover) {
     // bitmask DP
     int full = (1 << k) - 1;
@@ -622,11 +668,11 @@ uint32_t solve_defects(const MwpmHandle& h, const std::vector<int32_t>& defects,
       int p = pick[mask];
       if (p == k) {
         parity ^= BP(i);
-        pairs.push_back({i, -1});
+        pairs.push_back({comp[i], -1});
         mask &= ~(1 << i);
       } else {
         parity ^= P(i, p);
-        pairs.push_back({i, p});
+        pairs.push_back({comp[i], comp[p]});
         mask &= ~(1 << i);
         mask &= ~(1 << p);
       }
@@ -652,20 +698,59 @@ uint32_t solve_defects(const MwpmHandle& h, const std::vector<int32_t>& defects,
     int m = mate[i];
     if (m == k + i) {
       parity ^= BP(i);
-      pairs.push_back({i, -1});
+      pairs.push_back({comp[i], -1});
     } else if (m > i && m < k) {
       parity ^= P(i, m);
-      pairs.push_back({i, m});
+      pairs.push_back({comp[i], comp[m]});
     }
   }
   return parity;
 }
 
-void apply_path(const MwpmHandle& h, int32_t src_node, int32_t dst_node,
-                uint8_t* corr) {
-  size_t nv = h.nv();
-  const int32_t* pe = &h.prev_edge[(size_t)src_node * nv];
-  const int32_t* pv = &h.prev_vert[(size_t)src_node * nv];
+// Decompose the defect graph and solve each component independently.
+// Exactness: a pair edge with d(i, j) >= bd(i) + bd(j) can be replaced
+// in any matching by the two boundary pairings at no greater cost, so
+// some optimal matching avoids every dropped edge; the kept edges'
+// connected components then share no usable pair edges and separate.
+uint32_t solve_defects(const ShotView& sv,
+                       std::vector<std::pair<int32_t, int32_t>>& pairs) {
+  const std::vector<int32_t>& defects = *sv.defects;
+  int k = (int)defects.size();
+  std::vector<int64_t> bd(k);
+  for (int i = 0; i < k; ++i) bd[i] = sv.BD(i);
+  std::vector<int32_t> dsu(k);
+  for (int i = 0; i < k; ++i) dsu[i] = i;
+  std::vector<int32_t> stack;
+  auto find = [&](int32_t x) {
+    while (dsu[x] != x) {
+      dsu[x] = dsu[dsu[x]];
+      x = dsu[x];
+    }
+    return x;
+  };
+  for (int i = 0; i < k; ++i) {
+    for (int j = i + 1; j < k; ++j) {
+      int64_t dij = sv.D(i, j);
+      if (dij < 0) continue;
+      if (bd[i] >= 0 && bd[j] >= 0 && dij >= bd[i] + bd[j]) continue;
+      int32_t a = find(i), b = find(j);
+      if (a != b) dsu[a < b ? b : a] = a < b ? a : b;
+    }
+  }
+  // components keyed by root (== smallest member), members ascending
+  std::vector<std::vector<int32_t>> comps(k);
+  for (int i = 0; i < k; ++i) comps[find(i)].push_back(i);
+  uint32_t parity = 0;
+  for (int r = 0; r < k; ++r)
+    if (!comps[r].empty()) parity ^= solve_component(sv, comps[r], pairs);
+  return parity;
+}
+
+void apply_path(const MwpmHandle& h, const ShotView& sv, int src_slot,
+                int32_t dst_node, uint8_t* corr) {
+  const int32_t* pe = sv.perow[src_slot];
+  const int32_t* pv = sv.pvrow[src_slot];
+  int32_t src_node = (*sv.defects)[src_slot];
   int32_t v = dst_node;
   while (v != src_node) {
     int32_t e = pe[v];
@@ -714,6 +799,9 @@ void* qcss_mwpm_create(const int32_t* edges, const int32_t* edge_qubit,
       h->adj_par[slot] = edge_obs[e];
     }
   }
+  h->lazy = num_nodes > kApspMaxNodes ||
+            (std::getenv("QCSS_MWPM_FORCE_LAZY") != nullptr);
+  if (h->lazy) return h;  // per-shot Dijkstras at decode time
   h->dist.resize(nv * nv);
   h->par.resize(nv * nv);
   h->prev_edge.resize(nv * nv);
@@ -750,9 +838,14 @@ int32_t qcss_mwpm_decode_batch(void* handle, const uint8_t* syndromes,
   int nt = std::max(1, (int)std::min<int64_t>(n_threads, batch));
   std::atomic<int64_t> next{0};
   std::atomic<int32_t> rc{0};
+  size_t nv = h.nv();
   auto worker = [&]() {
     std::vector<int32_t> defects;
     std::vector<std::pair<int32_t, int32_t>> pairs;
+    // lazy-mode scratch, grown to the largest defect count seen
+    std::vector<int32_t> l_dist, l_pe, l_pv;
+    std::vector<uint32_t> l_par;
+    std::vector<uint8_t> targets;
     while (true) {
       int64_t b = next.fetch_add(1);
       if (b >= batch) break;
@@ -768,15 +861,51 @@ int32_t qcss_mwpm_decode_batch(void* handle, const uint8_t* syndromes,
         obs[b] = 0;
         continue;
       }
-      obs[b] = solve_defects(h, defects, pairs);
+      size_t k = defects.size();
+      ShotView sv;
+      sv.h = &h;
+      sv.defects = &defects;
+      sv.drow.resize(k);
+      sv.prow.resize(k);
+      sv.perow.resize(k);
+      sv.pvrow.resize(k);
+      if (h.lazy) {
+        if (l_dist.size() < k * nv) {
+          l_dist.resize(k * nv);
+          l_par.resize(k * nv);
+          l_pe.resize(k * nv);
+          l_pv.resize(k * nv);
+        }
+        targets.assign(nv, 0);
+        for (int32_t d : defects) targets[d] = 1;
+        targets[h.num_nodes] = 1;
+        int n_targets = (int)k + 1;
+        for (size_t i = 0; i < k; ++i) {
+          dijkstra_row(h, defects[i], &l_dist[i * nv], &l_par[i * nv],
+                       &l_pe[i * nv], &l_pv[i * nv], targets.data(),
+                       n_targets);
+          sv.drow[i] = &l_dist[i * nv];
+          sv.prow[i] = &l_par[i * nv];
+          sv.perow[i] = &l_pe[i * nv];
+          sv.pvrow[i] = &l_pv[i * nv];
+        }
+      } else {
+        for (size_t i = 0; i < k; ++i) {
+          size_t off = (size_t)defects[i] * nv;
+          sv.drow[i] = &h.dist[off];
+          sv.prow[i] = &h.par[off];
+          sv.perow[i] = &h.prev_edge[off];
+          sv.pvrow[i] = &h.prev_vert[off];
+        }
+      }
+      obs[b] = solve_defects(sv, pairs);
       size_t covered = 0;
       for (auto [i, j] : pairs) covered += (j < 0) ? 1 : 2;
       if (covered != defects.size()) rc.store(2);  // unmatchable syndrome
       if (corr) {
         for (auto [i, j] : pairs) {
-          int32_t src = defects[i];
           int32_t dst = j < 0 ? h.num_nodes : defects[j];
-          apply_path(h, src, dst, corr);
+          apply_path(h, sv, i, dst, corr);
         }
       }
     }

@@ -426,6 +426,32 @@ def run_compiled_noisy(f: Frames, comp: CompiledFrameCircuit,
     return Frames(f.x.at[:, qubits].set(x_out), f.z.at[:, qubits].set(z_out))
 
 
+def run_compiled_noisy_multi(f: Frames, comp: CompiledFrameCircuit,
+                             model: noise_mod.NoiseModel, key,
+                             windows) -> Frames:
+    """Execute the SAME compiled block-local circuit on m qubit windows
+    simultaneously — the parallel-EC primitive (all blocks' ancilla preps
+    run in one pair of matmuls instead of m sequential executions).
+    ``windows``: [m, n] static qubit indices. Noise is drawn independently
+    per window (one flat [B*m] draw per gate group; frames-engine-only
+    path, so no cross-engine key-consumption contract applies)."""
+    windows = jnp.asarray(windows, jnp.int32)
+    m = windows.shape[0]
+    B = f.batch
+    x, z = f.x[:, windows], f.z[:, windows]      # [B, m, n]
+    v = jnp.concatenate([x, z], axis=-1)          # [B, m, 2n]
+    out = _mod2_matmul(v.reshape(B * m, -1), comp.m)
+    if (model.p_gate1 or model.p_gate2) and comp.s is not None:
+        bits = _sampled_fault_bits(comp, model, key, B * m)
+        out = out ^ _mod2_matmul(bits, comp.s)
+    out = out.reshape(B, m, -1)
+    n = comp.n
+    return Frames(
+        f.x.at[:, windows].set(out[..., :n]),
+        f.z.at[:, windows].set(out[..., n:]),
+    )
+
+
 def inject_flips(f: Frames, qubits, x_flips, z_flips) -> Frames:
     """XOR explicit [B, m] flips into the frame at the given qubits."""
     q = jnp.asarray(qubits, jnp.int32)

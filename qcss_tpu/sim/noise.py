@@ -36,6 +36,15 @@ class NoiseModel:
     p_gate1/p_gate2 must hold the corresponding totals (they gate whether
     a noise location is emitted at all); use `from_decoherence`, which
     keeps them consistent.
+
+    p_idle / pauli_idle: IDLE noise locations — the per-time-step Pauli
+    channel on every data qubit not touched by the current operation
+    (consumed by the FTQC macro executor, which charges duration-weighted
+    idle channels; see `ftqc.schedule`). The reference has no idle
+    locations at all, yet its own comment warns that shared EC ancillas
+    "limit parallelism, which significantly reduces fault tolerance"
+    (reference: ftqc.py:156-160) — a cost that only becomes measurable
+    with these channels.
     """
 
     p_gate1: float = 0.0
@@ -44,6 +53,8 @@ class NoiseModel:
     p_reset: float = 0.0
     pauli1: tuple[float, float, float] | None = None
     pauli2: tuple[float, float, float] | None = None
+    p_idle: float = 0.0
+    pauli_idle: tuple[float, float, float] | None = None
 
     @property
     def is_trivial(self) -> bool:
@@ -61,11 +72,18 @@ class NoiseModel:
         biased, else the scalar 15-way-depolarizing total."""
         return self.pauli2 if self.pauli2 is not None else self.p_gate2
 
+    @property
+    def rate_idle(self):
+        """Per-time-step idle channel: (p_x, p_y, p_z) if biased, else the
+        scalar uniform total."""
+        return self.pauli_idle if self.pauli_idle is not None else self.p_idle
+
     @classmethod
     def from_decoherence(cls, t1: float, t2: float,
                          gate_time_1q: float = 50e-9,
                          gate_time_2q: float = 150e-9,
-                         ro_fidelity: float = 1.0) -> "NoiseModel":
+                         ro_fidelity: float = 1.0,
+                         idle_time: float | None = None) -> "NoiseModel":
         """Pauli-twirled T1/T2 decoherence — the apples-to-apples analogue
         of the reference's QVM noise model (reference:
         test/test_fidelity.py:76-82, which uses pyquil's
@@ -92,11 +110,43 @@ class NoiseModel:
 
         r1 = twirl(gate_time_1q)
         r2 = twirl(gate_time_2q)
+        # idle_time: duration of ONE idle step (a qubit waiting while one
+        # elementary operation runs elsewhere); None = no idle locations,
+        # matching both the reference's QVM model and this framework's
+        # pre-round-3 behavior.
+        ri = twirl(idle_time) if idle_time is not None else None
         return cls(
             p_gate1=sum(r1), p_gate2=sum(r2),
             p_meas=1.0 - ro_fidelity, p_reset=0.0,
             pauli1=r1, pauli2=r2,
+            p_idle=sum(ri) if ri is not None else 0.0,
+            pauli_idle=ri,
         )
+
+
+def compose_pauli(rate, steps: int):
+    """The T-fold composition of a single-qubit Pauli channel, in closed
+    form via its Pauli-transfer eigenvalues (lambda_x = 1 - 2(p_y + p_z)
+    etc. multiply under composition): a qubit idling for `steps` time
+    steps sees ONE channel with these rates, so duration-weighted idle
+    noise costs a single RNG draw regardless of duration. `rate` is a
+    scalar uniform total or a (p_x, p_y, p_z) tuple; the return matches
+    the input's form (uniform composes to uniform)."""
+    if steps == 1:
+        return rate
+    if isinstance(rate, tuple):
+        px, py, pz = rate
+    else:
+        px = py = pz = rate / 3.0
+    lx = (1.0 - 2.0 * (py + pz)) ** steps
+    ly = (1.0 - 2.0 * (px + pz)) ** steps
+    lz = (1.0 - 2.0 * (px + py)) ** steps
+    px2 = max((1.0 + lx - ly - lz) / 4.0, 0.0)
+    py2 = max((1.0 - lx + ly - lz) / 4.0, 0.0)
+    pz2 = max((1.0 - lx - ly + lz) / 4.0, 0.0)
+    if isinstance(rate, tuple):
+        return (px2, py2, pz2)
+    return px2 + py2 + pz2
 
 
 def _thresholds_1q(p):

@@ -262,3 +262,75 @@ class TestAsYardstick:
         uf_fail = np.mean((uo & 1) != par)
         mw_fail = np.mean(((mo & 1) != par)[ok])
         assert mw_fail <= uf_fail * 1.05  # exact matching can't be worse
+
+
+class TestRound3Scaling:
+    """Round-3 additions: defect-graph decomposition + lazy (APSP-free)
+    mode for graphs past the O(V^2) memory wall."""
+
+    def test_decomposition_preserves_exactness(self):
+        """Decomposed auto solve == undecomposed DP on random shots."""
+        import os
+        code = families.rotated_surface(5)
+        h = code.raw_parity_check_c2
+        g = graph_from_checks(h, code.z_operator_matrix())
+        rng = np.random.default_rng(0)
+        errs = (rng.random((256, h.shape[1])) < 0.08).astype(np.uint8)
+        syn = (errs @ h.T) & 1
+        d_auto = MWPMDecoder(g, use_native=False)
+        d_dp = MWPMDecoder(g, method="dp")
+        for b in range(syn.shape[0]):
+            defects = np.nonzero(syn[b] & 1)[0]
+            if len(defects) == 0:
+                continue
+            dg = d_dp._defect_graph(defects)
+            cost_dp, _, _ = d_dp._solve_dp(*dg)
+            # decomposed cost must match the exact undecomposed optimum
+            cost_dec = 0
+            for comp in d_auto._decompose(dg[0], dg[2]):
+                idx = np.asarray(comp)
+                sub = (dg[0][np.ix_(idx, idx)], dg[1][np.ix_(idx, idx)],
+                       dg[2][idx], dg[3][idx])
+                c, _, _ = d_dp._solve_dp(*sub)
+                cost_dec += c
+            assert cost_dec == cost_dp, b
+
+    def test_lazy_mode_bit_identical(self):
+        """QCSS_MWPM_FORCE_LAZY handles must reproduce the APSP mode
+        exactly (obs and corrections)."""
+        import os
+        code = families.rotated_surface(5)
+        h = code.raw_parity_check_c2
+        lz = code.z_operator_matrix()
+        g = spacetime_graph(h, lz, 5)
+        rng = np.random.default_rng(3)
+        dets = (rng.random((128, g.num_nodes)) < 0.03).astype(np.uint8)
+        c1, o1 = MWPMDecoder(g).decode_batch(dets)
+        os.environ["QCSS_MWPM_FORCE_LAZY"] = "1"
+        try:
+            dec = MWPMDecoder(g)
+            c2, o2 = dec.decode_batch(dets)
+        finally:
+            del os.environ["QCSS_MWPM_FORCE_LAZY"]
+        assert np.array_equal(o1, o2)
+        assert np.array_equal(c1, c2)
+
+    def test_large_distance_within_memory(self):
+        """d=23 R=23 (V=6336 > the APSP threshold) auto-selects lazy mode
+        and decodes — past the round-2 memory wall."""
+        code = families.rotated_surface(23)
+        h = code.raw_parity_check_c2
+        lz = code.z_operator_matrix()
+        g = spacetime_graph(h, lz, 23)
+        assert g.num_nodes > 4096
+        rng = np.random.default_rng(5)
+        dets = np.zeros((8, g.num_nodes), np.uint8)
+        # sparse, valid detector pairs from single space faults
+        for b in range(8):
+            cols = rng.integers(0, g.num_edges, 4)
+            for e in cols:
+                for v in g.edges[e]:
+                    if v >= 0:
+                        dets[b, v] ^= 1
+        _, obs = MWPMDecoder(g).decode_batch(dets, want_corrections=False)
+        assert obs.shape == (8,)
