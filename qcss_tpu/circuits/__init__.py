@@ -1,5 +1,6 @@
 """Clifford circuit/program IR and encoding-network synthesis."""
 
+from qcss_tpu.circuits.quil import parse_quil
 from qcss_tpu.circuits.ir import (
     Block,
     Circuit,
@@ -19,6 +20,7 @@ from qcss_tpu.circuits.ir import (
 )
 
 __all__ = [
+    "parse_quil",
     "Block",
     "Circuit",
     "ClassicalInst",
