@@ -1,0 +1,301 @@
+"""Two-sector circuit-level DEM with X<->Z fault correlations.
+
+`decode.dem` builds the single-sector detector error model analytically.
+This module generalizes to the full two-sector memory experiment (Z-check
+extraction then X-check extraction every round) by PROPAGATING each
+elementary fault's Pauli frame through the round circuit programmatically
+— the same single-fault algebra, mechanized, which is what makes the
+joint enumeration tractable: every 2-qubit depolarizing pattern
+decomposes into an X-component (firing Z-check detectors -> an edge in
+the X-error graph) and a Z-component (firing X-check detectors -> an edge
+in the Z-error graph), and patterns carrying BOTH (the Y-type patterns of
+the depolarizing channel) are recorded as CORRELATION PAIRS between the
+two graphs.
+
+Fault bookkeeping is exact about round boundaries: a fault is summarized
+as, per check, its flipped MEASUREMENT rounds within a 3-round horizon
+plus a persistence flag (the steady-state syndrome of its residual data
+frame); detector events are then synthesized per occurrence round t with
+the experiment length R in hand — measurement flips beyond round R-1
+never happen (e.g. a reset fault in the final round is a physical no-op)
+while residual data errors telescope into the perfect final slice.
+
+Correlated two-pass decoding mirrors `decode.correlated` at circuit
+level: decode the X-error graph, mark its chosen edges (the union-find's
+edge-indicator output), and re-weight each coupled Z-error-graph edge to
+the conditional -log-likelihood (P(Z-part | X-part) = 1/2 per coupled
+location under depolarizing) for the second pass — see
+`experiments.memory_xz`.
+
+The reference decodes each sector with an independent LUT per extraction
+and has no correlation machinery of any kind (reference:
+css_code.py:436-470).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from qcss_tpu.decode.uf import MatchingGraph, weights_from_probs
+
+_HORIZON = 3
+
+
+@dataclass(frozen=True)
+class TwoSectorDEM:
+    """Joint detector error model of the two-sector memory experiment.
+
+    ``graph_x_errors`` decodes X data errors from the Z-check detectors;
+    ``graph_z_errors`` decodes Z data errors from the X-check detectors.
+    Both use ``edge_qubit = arange(E)`` (edge-indicator corrections).
+    ``pairs`` is [P, 2] int32 rows (edge_in_x_error_graph,
+    edge_in_z_error_graph) of correlated fault locations."""
+
+    graph_x_errors: MatchingGraph
+    graph_z_errors: MatchingGraph
+    pairs: np.ndarray
+    cheap_weight: int = 2
+
+
+class _RoundCircuit:
+    """One round of the two-sector extraction schedule as an op list the
+    fault propagator can walk. Ops: ("cnot", c, t), ("h", q),
+    ("measure", q, sector, check), ("reset", q). Z extraction first,
+    then X extraction (H-sandwich ancillas), matching
+    `experiments.memory`'s circuits."""
+
+    def __init__(self, code):
+        hz = np.asarray(code.raw_parity_check_c2, np.uint8) & 1
+        hx = np.asarray(code.raw_parity_check_c1, np.uint8) & 1
+        n = hz.shape[1]
+        rz, rx = hz.shape[0], hx.shape[0]
+        self.n = n
+        self.rz, self.rx = rz, rx
+        self.hz, self.hx = hz, hx
+        self.lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+        self.lx = np.asarray(code.x_operator_matrix(), np.uint8) & 1
+        self.n_qubits = n + rz + rx
+        zanc = n + np.arange(rz)
+        xanc = n + rz + np.arange(rx)
+        ops = []
+        for c in range(rz):
+            for j in np.nonzero(hz[c])[0]:
+                ops.append(("cnot", int(j), int(zanc[c])))
+        for c in range(rz):
+            ops.append(("measure", int(zanc[c]), "z", c))
+            ops.append(("reset", int(zanc[c])))
+        for c in range(rx):
+            ops.append(("h", int(xanc[c])))
+        for c in range(rx):
+            for j in np.nonzero(hx[c])[0]:
+                ops.append(("cnot", int(xanc[c]), int(j)))
+        for c in range(rx):
+            ops.append(("h", int(xanc[c])))
+        for c in range(rx):
+            ops.append(("measure", int(xanc[c]), "x", c))
+            ops.append(("reset", int(xanc[c])))
+        self.ops = ops
+
+
+def _analyze(circ: _RoundCircuit, start_op: int, x0, z0):
+    """Propagate a fault injected AFTER op `start_op` (-1 = round start)
+    for `_HORIZON` rounds. Returns (info, obs_z, obs_x) where info maps
+    sector -> {check: (flip_rounds tuple, persistent bool)}."""
+    x = x0.copy()
+    z = z0.copy()
+    flips: dict[str, dict[int, list[int]]] = {"z": {}, "x": {}}
+    for r in range(_HORIZON):
+        ops = circ.ops if r > 0 else circ.ops[start_op + 1:]
+        for op in ops:
+            kind = op[0]
+            if kind == "cnot":
+                _, c, t = op
+                x[t] ^= x[c]
+                z[c] ^= z[t]
+            elif kind == "h":
+                q = op[1]
+                x[q], z[q] = z[q], x[q]
+            elif kind == "measure":
+                q, sector, check = op[1], op[2], op[3]
+                if x[q]:
+                    flips[sector].setdefault(check, []).append(r)
+            else:  # reset
+                q = op[1]
+                x[q] = 0
+                z[q] = 0
+    res_x = x[: circ.n]
+    res_z = z[: circ.n]
+    persist = {
+        "z": (circ.hz @ res_x) % 2,
+        "x": (circ.hx @ res_z) % 2,
+    }
+    info: dict[str, dict[int, tuple]] = {"z": {}, "x": {}}
+    for sector in ("z", "x"):
+        checks = set(flips[sector]) | set(np.nonzero(persist[sector])[0])
+        for c in checks:
+            fl = tuple(flips[sector].get(c, ()))
+            p = bool(persist[sector][int(c)])
+            # steady state must be reached by the horizon's last round
+            assert ((_HORIZON - 1) in fl) == p, (sector, c, fl, p)
+            info[sector][int(c)] = (fl, p)
+    obs_z = int((res_x @ circ.lz[0]) % 2)
+    obs_x = int((res_z @ circ.lx[0]) % 2)
+    return info, obs_z, obs_x
+
+
+def _events(info_sector: dict, t: int, rounds: int, r_c: int):
+    """Detector events of a fault occurring in round t, as a sorted
+    tuple of detector indices (slice * r_c + check). Measurement flips
+    beyond round rounds-1 never happen; persistent residual errors
+    telescope into the perfect final slice `rounds`."""
+    par: dict[int, int] = {}
+
+    def toggle(s, c):
+        k = s * r_c + c
+        par[k] = par.get(k, 0) ^ 1
+
+    for c, (fl, persistent) in info_sector.items():
+        for rh in fl:
+            f = t + rh
+            if f <= rounds - 1:
+                toggle(f, c)
+                toggle(f + 1, c)
+        if persistent:
+            if t + _HORIZON <= rounds - 1:
+                # flip train continues through every remaining round
+                toggle(t + _HORIZON, c)
+                toggle(rounds, c)
+            toggle(rounds, c)  # the perfect final readout's contribution
+    return tuple(sorted(k for k, v in par.items() if v))
+
+
+def _fault_species(circ: _RoundCircuit, noise):
+    """All single-fault species of one round. Yields
+    (info, obs_z, obs_x, prob, correlated)."""
+    out = []
+    nq = circ.n_qubits
+
+    p1 = noise.p_gate1
+    p2 = noise.p_gate2
+    if p2:
+        pe = p2 / 15.0
+        for k, op in enumerate(circ.ops):
+            if op[0] != "cnot":
+                continue
+            _, a, b = op
+            for pa in "IXYZ":
+                for pb in "IXYZ":
+                    if pa == pb == "I":
+                        continue
+                    x0 = np.zeros(nq, np.uint8)
+                    z0 = np.zeros(nq, np.uint8)
+                    for q, pp in ((a, pa), (b, pb)):
+                        if pp in "XY":
+                            x0[q] = 1
+                        if pp in "ZY":
+                            z0[q] = 1
+                    info, oz, ox = _analyze(circ, k, x0, z0)
+                    corr = bool(info["z"]) and bool(info["x"])
+                    out.append((info, oz, ox, pe, corr))
+    if p1:
+        pe = p1 / 3.0
+        for k, op in enumerate(circ.ops):
+            if op[0] != "h":
+                continue
+            q = op[1]
+            for pp in "XYZ":
+                x0 = np.zeros(nq, np.uint8)
+                z0 = np.zeros(nq, np.uint8)
+                if pp in "XY":
+                    x0[q] = 1
+                if pp in "ZY":
+                    z0[q] = 1
+                info, oz, ox = _analyze(circ, k, x0, z0)
+                corr = bool(info["z"]) and bool(info["x"])
+                out.append((info, oz, ox, pe, corr))
+    pm = noise.p_meas
+    if pm:
+        for op in circ.ops:
+            if op[0] != "measure":
+                continue
+            sector, check = op[2], op[3]
+            info = {"z": {}, "x": {}}
+            info[sector][check] = ((0,), False)
+            out.append((info, 0, 0, pm, False))
+    pr = noise.p_reset
+    if pr:
+        for k, op in enumerate(circ.ops):
+            if op[0] != "reset":
+                continue
+            x0 = np.zeros(nq, np.uint8)
+            x0[op[1]] = 1
+            info, oz, ox = _analyze(circ, k, x0, np.zeros(nq, np.uint8))
+            out.append((info, oz, ox, pr, False))
+    return out
+
+
+def build_two_sector_dem(code, rounds: int, noise) -> TwoSectorDEM:
+    """Joint DEM over (rounds+1) detector slices per sector, with the
+    correlation pairs of faults carrying both X and Z components."""
+    circ = _RoundCircuit(code)
+    species = _fault_species(circ, noise)
+    merged = {"z": {}, "x": {}}  # dets tuple -> [prob, obs]
+    pair_counts: dict[tuple, float] = {}
+    n_checks = {"z": circ.rz, "x": circ.rx}
+    obs_of = {"z": 1, "x": 2}
+    for t in range(rounds):
+        for info, oz, ox, prob, corr in species:
+            keys = {}
+            for sector, obs in (("z", oz), ("x", ox)):
+                dets = _events(info[sector], t, rounds, n_checks[sector])
+                if not dets:
+                    keys[sector] = None
+                    continue
+                cur = merged[sector].get(dets)
+                if cur is None:
+                    merged[sector][dets] = [prob, obs]
+                else:
+                    if cur[1] != obs:
+                        raise ValueError(
+                            f"conflicting logical effect at {dets}")
+                    cur[0] += prob
+                keys[sector] = dets
+            if corr and keys["z"] and keys["x"]:
+                k = (keys["z"], keys["x"])
+                pair_counts[k] = pair_counts.get(k, 0.0) + prob
+
+    graphs = {}
+    index = {}
+    for sector in ("z", "x"):
+        r_c = n_checks[sector]
+        edges, eobs, probs = [], [], []
+        idx = {}
+        for dets, (prob, obs) in merged[sector].items():
+            if len(dets) > 2:
+                raise ValueError(f"non-matchable signature {dets}")
+            a = dets[0]
+            b = dets[1] if len(dets) == 2 else -1
+            idx[dets] = len(edges)
+            edges.append((a, b))
+            eobs.append(obs)
+            probs.append(min(prob, 0.499))
+        e = len(edges)
+        graphs[sector] = MatchingGraph(
+            num_nodes=(rounds + 1) * r_c,
+            edges=np.asarray(edges, np.int32).reshape(-1, 2),
+            edge_qubit=np.arange(e, dtype=np.int32),  # edge indicators
+            edge_obs=np.asarray(eobs, np.uint32),
+            n_qubits=e,
+            edge_weight=weights_from_probs(probs),
+        )
+        index[sector] = idx
+    pairs = np.asarray(
+        [(index["z"][kz], index["x"][kx]) for (kz, kx) in pair_counts],
+        np.int32).reshape(-1, 2)
+    return TwoSectorDEM(
+        graph_x_errors=graphs["z"],
+        graph_z_errors=graphs["x"],
+        pairs=pairs,
+    )

@@ -84,6 +84,10 @@ class DeviceGraph(NamedTuple):
     inc_e: jax.Array
     other_v: jax.Array
     lane_inc: tuple
+    b_edges: jax.Array   # [Eb] edges incident to the boundary hub
+    b_other: jax.Array   # [Eb] their far endpoints
+    b_mask: jax.Array    # [Eb] False on the shape-stability sentinel slot
+    lane_b: tuple        # per lane, the [Eb] labels of b_edges
     num_nodes: int  # detectors (boundary node NOT included)
     max_rounds: int
 
@@ -105,20 +109,31 @@ def build_device_graph(graph: MatchingGraph,
             raise ValueError("each obs lane must be [num_edges]")
         if int(lane.max(initial=0)) > 2**30:
             raise ValueError("edge labels must fit in 31 signed bits")
-    # padded incidence tables; slot edge E is the inert sentinel
+    # Padded incidence tables over the REAL detectors; slot edge E is the
+    # inert sentinel. The virtual boundary node is excluded — it is a hub
+    # touching every boundary edge (degree 264 at surface d=11 R=11,
+    # which would balloon the [B, V, D] working set 25x) and gets its own
+    # explicit edge-list reduction in the kernel instead.
     deg = np.zeros(V, np.int64)
     for e in range(E):
-        deg[eu[e]] += 1
-        deg[ev[e]] += 1
-    D = int(deg.max(initial=1))
+        if eu[e] != bn:
+            deg[eu[e]] += 1
+        if ev[e] != bn:
+            deg[ev[e]] += 1
+    D = int(deg[:bn].max(initial=1))
     inc_e = np.full((V, D), E, np.int32)
     other_v = np.tile(np.arange(V, dtype=np.int32)[:, None], (1, D))
     fill = np.zeros(V, np.int64)
     for e in range(E):
         for a, b in ((eu[e], ev[e]), (ev[e], eu[e])):
+            if a == bn:
+                continue
             inc_e[a, fill[a]] = e
             other_v[a, fill[a]] = b
             fill[a] += 1
+    b_edges = np.nonzero((eu == bn) | (ev == bn))[0].astype(np.int32)
+    b_other = np.where(eu[b_edges] == bn, ev[b_edges],
+                       eu[b_edges]).astype(np.int32)
     lane_inc = tuple(
         jnp.asarray(np.concatenate([lane, [0]])[inc_e].astype(np.int32))
         for lane in lanes
@@ -129,6 +144,12 @@ def build_device_graph(graph: MatchingGraph,
         # E (far above any real trajectory; the loop exits as soon as no
         # cluster is active).
         max_growth_rounds = E + 1
+    b_mask = np.ones(b_edges.shape[0], bool)
+    if b_edges.size == 0:
+        # keep the kernel shape-stable: one inert sentinel boundary slot
+        b_edges = np.asarray([0], np.int32)
+        b_other = np.asarray([bn], np.int32)
+        b_mask = np.zeros(1, bool)
     return DeviceGraph(
         eu=jnp.asarray(eu),
         ev=jnp.asarray(ev),
@@ -137,6 +158,11 @@ def build_device_graph(graph: MatchingGraph,
         inc_e=jnp.asarray(inc_e),
         other_v=jnp.asarray(other_v),
         lane_inc=lane_inc,
+        b_edges=jnp.asarray(b_edges),
+        b_other=jnp.asarray(b_other),
+        b_mask=jnp.asarray(b_mask),
+        lane_b=tuple(
+            jnp.asarray(lane[b_edges].astype(np.int32)) for lane in lanes),
         num_nodes=bn,
         max_rounds=max_growth_rounds,
     )
@@ -174,10 +200,14 @@ def decode_labels(dg: DeviceGraph, detectors):
         """[B, V] -> [B, V, D] via the static incidence table."""
         return x[:, other_flat].reshape(B, V, D)
 
-    def propagate(comp, cpar, satD):
+    def propagate(comp, cpar, sat, satD):
         """Min-label propagation to fixpoint over saturated edges,
         carrying every parity lane along the argmin edge (one consistent
-        path per adoption). satD: [B, V, D] saturated-incident mask."""
+        path per adoption). The boundary hub adopts through its own
+        static edge list (excluded from the padded tables — see
+        `build_device_graph`). satD: [B, V, D] saturated-incident mask."""
+        satB = sat[:, dg.b_edges] & dg.b_mask[None, :]  # [B, Eb]
+        iota_b = jnp.arange(dg.b_edges.shape[0], dtype=jnp.int32)[None, :]
 
         def cond(s):
             return s[2]
@@ -197,7 +227,22 @@ def decode_labels(dg: DeviceGraph, detectors):
                     jnp.where(oh, gatherD(qlane) ^ lab[None, :, :], 0),
                     axis=2)
                 new_par.append(jnp.where(adopted, val, qlane))
-            return new, tuple(new_par), jnp.any(adopted)
+            # boundary hub: same adoption over its explicit edge list
+            cand_b = jnp.where(satB, comp[:, dg.b_other], BIG)  # [B, Eb]
+            best_b = jnp.min(cand_b, axis=1)
+            cur_b = new[:, bn]
+            adopted_b = best_b < cur_b
+            oh_b = (jnp.argmin(cand_b, axis=1).astype(jnp.int32)[:, None]
+                    == iota_b)
+            new = new.at[:, bn].set(jnp.minimum(cur_b, best_b))
+            out_par = []
+            for qlane, lab_b in zip(new_par, dg.lane_b):
+                val_b = jnp.sum(
+                    jnp.where(oh_b, qlane[:, dg.b_other] ^ lab_b[None, :], 0),
+                    axis=1)
+                out_par.append(qlane.at[:, bn].set(
+                    jnp.where(adopted_b, val_b, qlane[:, bn])))
+            return new, tuple(out_par), jnp.any(adopted) | jnp.any(adopted_b)
 
         comp, cpar, _ = jax.lax.while_loop(
             cond, body, (comp, cpar, jnp.bool_(True)))
@@ -251,7 +296,7 @@ def decode_labels(dg: DeviceGraph, detectors):
         satD = jnp.concatenate(
             [sat, jnp.zeros((B, 1), bool)], axis=1
         )[:, inc_flat].reshape(B, V, D)
-        comp, cpar = propagate(comp, cpar, satD)
+        comp, cpar = propagate(comp, cpar, sat, satD)
         act = activity(comp, satD)
         return comp, cpar, support, act, jnp.any(act) & grew, i + 1
 

@@ -24,9 +24,16 @@ that jits end-to-end over a batch of shots.
 
 from __future__ import annotations
 
+import weakref
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# code object -> {config tuple -> shared jitted row-runner}; weak so codes
+# built in tests don't pin compiled executables (and never keyed by id()
+# of temporaries — the code instance itself is the key)
+_SCHEDULED_RUNNERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 from qcss_tpu.circuits.ir import (
     BitRef,
@@ -227,6 +234,30 @@ class EncodedProgram:
         out["__prep_fail__"] = st.prep_fail[:, None]
         return out
 
+    def _exec_config_key(self) -> tuple:
+        return (self.tableau, self.ancillas, self.ec_extractions,
+                self.ec_schedule, self.max_prep_attempts, self.noise,
+                self.n_logical)
+
+    def _shared_scheduled_runner(self, executor):
+        """One compiled executor per (code, config, rows-bucket,
+        memory_size, batch) serves EVERY program with that shape: the
+        macro rows travel as a traced argument (`MacroExecutor.run_rows`),
+        so re-encoding a new program costs a lowering pass, not an XLA
+        compile — compile-once/run-many, the serving-path property the
+        per-program jit lacked (and the fix for the round-2 test-suite
+        compile-cost creep)."""
+        per_code = _SCHEDULED_RUNNERS.setdefault(self.code, {})
+        cfg = self._exec_config_key()
+        fn = per_code.get(cfg)
+        if fn is None:
+            def run(rows, key, batch, memory_size):
+                st = executor.run_rows(rows, key, batch, memory_size)
+                return st.memory, st.prep_fail
+            fn = jax.jit(run, static_argnames=("batch", "memory_size"))
+            per_code[cfg] = fn
+        return fn
+
     def _prepare_scheduled(self):
         """Lower once and (for the 'frames' engine) record the reference
         measurement outcomes — host-side work that must happen OUTSIDE the
@@ -260,13 +291,28 @@ class EncodedProgram:
         without passing verification; callers can discard those shots or
         bound the unverified fraction."""
         key = jax.random.key(0) if key is None else key
+        if self.engine == "scheduled":
+            from qcss_tpu.ftqc import schedule
+
+            macro, executor, ref_outs = self._prepare_scheduled()
+            # bucket the row count so programs share compiled executors
+            t = macro.ops.shape[0]
+            pad_to = 8
+            while pad_to < t:
+                pad_to *= 2
+            rows = jnp.asarray(
+                schedule.macro_rows(macro, ref_outs, pad_to=pad_to))
+            fn = self._shared_scheduled_runner(executor)
+            memory, prep_fail = fn(rows, key, batch, macro.memory_size)
+            memory = np.asarray(memory)
+            out = {
+                name: memory[:, off:off + size]
+                for name, (off, size) in macro.memory_layout.items()
+            }
+            out["__prep_fail__"] = np.asarray(prep_fail)[:, None]
+            return out
         if self._compiled is None:
-            if self.engine == "scheduled":
-                self._prepare_scheduled()  # host-side, before the trace
-                body = self._execute_scheduled
-            else:
-                body = self._execute
-            self._compiled = jax.jit(body, static_argnames=("batch",))
+            self._compiled = jax.jit(self._execute, static_argnames=("batch",))
         out = self._compiled(key, batch)
         return {name: np.asarray(v) for name, v in out.items()}
 

@@ -63,6 +63,9 @@ OP_CLASSICAL = 5  # (cop, dst, src_enc, cond): classical bit op on memory;
 # src_enc >= 0 is a register offset, -(v+1) an immediate v (0/1).
 # The pass-through of the reference's classical instructions
 # (reference: ftqc.py:111-116).
+OP_NOP = 6  # padding row: programs are padded to shape buckets so one
+# compiled executor (macro rows as a TRACED argument) runs every program
+# of the same (code, config, bucket) — compile once, run many.
 
 # Logical gate ids for OP_GATE's arg0 ('PHASE' is the reference's old name
 # for S — reference: test/test_css_code.py:25).
@@ -913,21 +916,20 @@ class MacroExecutor:
 
     # -- top level -----------------------------------------------------------------------
 
-    def execute(self, macro: MacroProgram, key: jax.Array, batch: int,
-                ref_outs: np.ndarray | None = None,
-                capture_votes: bool = False):
-        """Run the macro program. ``ref_outs`` ([T] reference measurement
-        outcomes) is required by the 'frames' engine (see
-        `reference_outcomes`) and zero-filled otherwise.
-        ``capture_votes=True`` additionally returns the votes array after
-        every op ([T, B, trials]) — the reference-recording hook."""
+    def run_rows(self, rows: jax.Array, key: jax.Array, batch: int,
+                 memory_size: int, capture_votes: bool = False):
+        """Execute macro rows ([T, 6] int32: opcode, a0..a3, reference
+        outcome) given as a TRACED argument: one compiled executor per
+        (config, row-count bucket, memory_size) serves every program —
+        the compile-once/run-many form `EncodedProgram` shares across
+        programs. Rows may be padded with `OP_NOP`."""
         zeros_f = jnp.zeros((batch, self.n_blocks, self.n), dtype=jnp.uint8)
         st = MachineState(
             tab=self.engine.zero_state(batch),
             x_frames=zeros_f,
             z_frames=zeros_f,
             votes=jnp.zeros((batch, self.trials), dtype=jnp.uint8),
-            memory=jnp.zeros((batch, macro.memory_size), dtype=jnp.uint8),
+            memory=jnp.zeros((batch, memory_size), dtype=jnp.uint8),
             key=key,
             prep_fail=jnp.zeros((batch,), dtype=jnp.uint8),
         )
@@ -938,20 +940,44 @@ class MacroExecutor:
             self._op_measure_trial,
             self._op_vote_store,
             self._op_classical,
+            lambda st, a: st,  # OP_NOP
         ]
-        ops = np.asarray(macro.ops)
-        ref_col = (
-            np.zeros((ops.shape[0], 1), np.int32) if ref_outs is None
-            else np.asarray(ref_outs, np.int32).reshape(-1, 1)
-        )
-        rows = jnp.asarray(np.concatenate([ops, ref_col], axis=1))
 
         def step(carry, row):
             new = jax.lax.switch(row[0], bodies, carry, row[1:])
             return new, (new.votes if capture_votes else None)
 
-        st, ys = jax.lax.scan(step, st, rows)
+        st, ys = jax.lax.scan(step, st, jnp.asarray(rows, jnp.int32))
         return (st, ys) if capture_votes else st
+
+    def execute(self, macro: MacroProgram, key: jax.Array, batch: int,
+                ref_outs: np.ndarray | None = None,
+                capture_votes: bool = False):
+        """Run the macro program. ``ref_outs`` ([T] reference measurement
+        outcomes) is required by the 'frames' engine (see
+        `reference_outcomes`) and zero-filled otherwise.
+        ``capture_votes=True`` additionally returns the votes array after
+        every op ([T, B, trials]) — the reference-recording hook."""
+        rows = macro_rows(macro, ref_outs)
+        return self.run_rows(rows, key, batch, macro.memory_size,
+                             capture_votes=capture_votes)
+
+
+def macro_rows(macro: MacroProgram, ref_outs: np.ndarray | None = None,
+               pad_to: int | None = None) -> np.ndarray:
+    """[T, 6] executor rows (ops + reference-outcome column), optionally
+    NOP-padded to ``pad_to`` rows (shape-bucketing for shared compiles)."""
+    ops = np.asarray(macro.ops)
+    ref_col = (
+        np.zeros((ops.shape[0], 1), np.int32) if ref_outs is None
+        else np.asarray(ref_outs, np.int32).reshape(-1, 1)
+    )
+    rows = np.concatenate([ops, ref_col], axis=1).astype(np.int32)
+    if pad_to is not None and pad_to > rows.shape[0]:
+        pad = np.zeros((pad_to - rows.shape[0], 6), np.int32)
+        pad[:, 0] = OP_NOP
+        rows = np.concatenate([rows, pad], axis=0)
+    return rows
 
 
 def reference_outcomes(macro: MacroProgram, code, *, batch: int = 32,
