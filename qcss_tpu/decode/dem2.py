@@ -172,58 +172,62 @@ def _events(info_sector: dict, t: int, rounds: int, r_c: int):
 
 
 def _fault_species(circ: _RoundCircuit, noise):
-    """All single-fault species of one round. Yields
-    (info, obs_z, obs_x, prob, correlated)."""
-    out = []
+    """Single-Pauli COMPONENT faults of one round (the standard DEM
+    decomposition — dem.py applies the same X (x) X split): each noisy
+    location contributes its per-qubit X- and Z-component marginals, and
+    same-qubit (X, Z) co-occurrences (the Y-type patterns) are recorded
+    as correlation annotations between the two components.
+
+    Returns (components, pairs): components is a list of
+    (comp_key, info, obs_z, obs_x, prob); pairs maps
+    (x_comp_key, z_comp_key) -> joint probability."""
+    comps = []
+    pairs = {}
     nq = circ.n_qubits
 
-    p1 = noise.p_gate1
+    def inject(k, q, pauli_x: bool, prob, key):
+        x0 = np.zeros(nq, np.uint8)
+        z0 = np.zeros(nq, np.uint8)
+        (x0 if pauli_x else z0)[q] = 1
+        info, oz, ox = _analyze(circ, k, x0, z0)
+        comps.append((key, info, oz, ox, prob))
+
     p2 = noise.p_gate2
     if p2:
-        pe = p2 / 15.0
+        # per-side marginals of the 15-way channel: P(X-component on one
+        # side) = 8/15 p; P(X and Z on the same side, i.e. that side is
+        # Y) = 4/15 p
         for k, op in enumerate(circ.ops):
             if op[0] != "cnot":
                 continue
-            _, a, b = op
-            for pa in "IXYZ":
-                for pb in "IXYZ":
-                    if pa == pb == "I":
-                        continue
-                    x0 = np.zeros(nq, np.uint8)
-                    z0 = np.zeros(nq, np.uint8)
-                    for q, pp in ((a, pa), (b, pb)):
-                        if pp in "XY":
-                            x0[q] = 1
-                        if pp in "ZY":
-                            z0[q] = 1
-                    info, oz, ox = _analyze(circ, k, x0, z0)
-                    corr = bool(info["z"]) and bool(info["x"])
-                    out.append((info, oz, ox, pe, corr))
+            for q in (op[1], op[2]):
+                kx = ("2q", k, q, "x")
+                kz = ("2q", k, q, "z")
+                inject(k, q, True, 8.0 * p2 / 15.0, kx)
+                inject(k, q, False, 8.0 * p2 / 15.0, kz)
+                pairs[(kx, kz)] = 4.0 * p2 / 15.0
+    p1 = noise.p_gate1
     if p1:
-        pe = p1 / 3.0
+        # uniform 1q depolarizing: P(X-comp) = P(Z-comp) = 2/3 p;
+        # joint (Y) = 1/3 p
         for k, op in enumerate(circ.ops):
             if op[0] != "h":
                 continue
             q = op[1]
-            for pp in "XYZ":
-                x0 = np.zeros(nq, np.uint8)
-                z0 = np.zeros(nq, np.uint8)
-                if pp in "XY":
-                    x0[q] = 1
-                if pp in "ZY":
-                    z0[q] = 1
-                info, oz, ox = _analyze(circ, k, x0, z0)
-                corr = bool(info["z"]) and bool(info["x"])
-                out.append((info, oz, ox, pe, corr))
+            kx = ("1q", k, q, "x")
+            kz = ("1q", k, q, "z")
+            inject(k, q, True, 2.0 * p1 / 3.0, kx)
+            inject(k, q, False, 2.0 * p1 / 3.0, kz)
+            pairs[(kx, kz)] = p1 / 3.0
     pm = noise.p_meas
     if pm:
-        for op in circ.ops:
+        for k, op in enumerate(circ.ops):
             if op[0] != "measure":
                 continue
             sector, check = op[2], op[3]
             info = {"z": {}, "x": {}}
             info[sector][check] = ((0,), False)
-            out.append((info, 0, 0, pm, False))
+            comps.append((("meas", k), info, 0, 0, pm))
     pr = noise.p_reset
     if pr:
         for k, op in enumerate(circ.ops):
@@ -232,39 +236,79 @@ def _fault_species(circ: _RoundCircuit, noise):
             x0 = np.zeros(nq, np.uint8)
             x0[op[1]] = 1
             info, oz, ox = _analyze(circ, k, x0, np.zeros(nq, np.uint8))
-            out.append((info, oz, ox, pr, False))
-    return out
+            comps.append((("reset", k), info, oz, ox, pr))
+    return comps, pairs
 
 
 def build_two_sector_dem(code, rounds: int, noise) -> TwoSectorDEM:
     """Joint DEM over (rounds+1) detector slices per sector, with the
-    correlation pairs of faults carrying both X and Z components."""
+    correlation pairs of same-qubit (X, Z) fault components.
+
+    Compound components (ancilla-side faults that fan out into several
+    data qubits — >= 3 detectors) are DECOMPOSED into existing elementary
+    edges with consistent total observable effect, the standard matching
+    treatment (their probability adds to each component edge; the
+    correlation between the pieces is ignored, as for every X (x) X
+    decomposition)."""
     circ = _RoundCircuit(code)
-    species = _fault_species(circ, noise)
-    merged = {"z": {}, "x": {}}  # dets tuple -> [prob, obs]
-    pair_counts: dict[tuple, float] = {}
+    comps, pair_probs = _fault_species(circ, noise)
     n_checks = {"z": circ.rz, "x": circ.rx}
-    obs_of = {"z": 1, "x": 2}
+
+    merged = {"z": {}, "x": {}}      # (dets, obs) -> prob
+    compounds = {"z": [], "x": []}   # (dets, obs, prob)
+    comp_edge: dict[tuple, tuple] = {}  # (t, comp_key, sector) -> (dets, obs)
     for t in range(rounds):
-        for info, oz, ox, prob, corr in species:
-            keys = {}
+        for key, info, oz, ox, prob in comps:
             for sector, obs in (("z", oz), ("x", ox)):
                 dets = _events(info[sector], t, rounds, n_checks[sector])
                 if not dets:
-                    keys[sector] = None
                     continue
-                cur = merged[sector].get(dets)
-                if cur is None:
-                    merged[sector][dets] = [prob, obs]
+                if len(dets) <= 2:
+                    k = (dets, obs)
+                    merged[sector][k] = merged[sector].get(k, 0.0) + prob
+                    comp_edge[(t, key, sector)] = k
                 else:
-                    if cur[1] != obs:
-                        raise ValueError(
-                            f"conflicting logical effect at {dets}")
-                    cur[0] += prob
-                keys[sector] = dets
-            if corr and keys["z"] and keys["x"]:
-                k = (keys["z"], keys["x"])
-                pair_counts[k] = pair_counts.get(k, 0.0) + prob
+                    compounds[sector].append((dets, obs, prob))
+
+    # decompose compounds into existing elementary edges
+    for sector in ("z", "x"):
+        have = merged[sector]
+
+        def decompose(dets, obs, _cache={}):
+            ck = (sector, dets, obs)
+            if ck in _cache:
+                return _cache[ck]
+            if not dets:
+                out = [] if obs == 0 else None
+                _cache[ck] = out
+                return out
+            d0, rest = dets[0], dets[1:]
+            for o in (0, 1):
+                if ((d0,), o) in have:
+                    sub = decompose(rest, obs ^ o)
+                    if sub is not None:
+                        out = [((d0,), o)] + sub
+                        _cache[ck] = out
+                        return out
+                for i, d1 in enumerate(rest):
+                    if ((d0, d1), o) in have:
+                        rem = rest[:i] + rest[i + 1:]
+                        sub = decompose(rem, obs ^ o)
+                        if sub is not None:
+                            out = [((d0, d1), o)] + sub
+                            _cache[ck] = out
+                            return out
+            _cache[ck] = None
+            return None
+
+        for dets, obs, prob in compounds[sector]:
+            parts = decompose(dets, obs)
+            if parts is None:
+                raise ValueError(
+                    f"cannot decompose compound fault {dets} (obs {obs}) "
+                    "into elementary edges")
+            for k in parts:
+                have[k] = have[k] + prob
 
     graphs = {}
     index = {}
@@ -272,12 +316,10 @@ def build_two_sector_dem(code, rounds: int, noise) -> TwoSectorDEM:
         r_c = n_checks[sector]
         edges, eobs, probs = [], [], []
         idx = {}
-        for dets, (prob, obs) in merged[sector].items():
-            if len(dets) > 2:
-                raise ValueError(f"non-matchable signature {dets}")
+        for (dets, obs), prob in merged[sector].items():
             a = dets[0]
             b = dets[1] if len(dets) == 2 else -1
-            idx[dets] = len(edges)
+            idx[(dets, obs)] = len(edges)
             edges.append((a, b))
             eobs.append(obs)
             probs.append(min(prob, 0.499))
@@ -291,9 +333,17 @@ def build_two_sector_dem(code, rounds: int, noise) -> TwoSectorDEM:
             edge_weight=weights_from_probs(probs),
         )
         index[sector] = idx
-    pairs = np.asarray(
-        [(index["z"][kz], index["x"][kx]) for (kz, kx) in pair_counts],
-        np.int32).reshape(-1, 2)
+
+    pair_acc: dict[tuple, float] = {}
+    for (kx_comp, kz_comp), joint in pair_probs.items():
+        for t in range(rounds):
+            ez = comp_edge.get((t, kx_comp, "z"))
+            ex = comp_edge.get((t, kz_comp, "x"))
+            if ez is None or ex is None:
+                continue  # a side vanished or was compound-decomposed
+            k = (index["z"][ez], index["x"][ex])
+            pair_acc[k] = pair_acc.get(k, 0.0) + joint
+    pairs = np.asarray(sorted(pair_acc), np.int32).reshape(-1, 2)
     return TwoSectorDEM(
         graph_x_errors=graphs["z"],
         graph_z_errors=graphs["x"],

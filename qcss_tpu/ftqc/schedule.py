@@ -556,6 +556,7 @@ class MacroExecutor:
         st = self._encode_ft(st, anc1, anc2, plus=False)
         st = self._transversal_cnot(st, anc1, b)
         st = self._idle_data(st, (b,), 1)
+        st = self._transversal_1q(st, "H", anc1)
         st, mem = self._measure_block(st, anc1)
         st = self._idle_data(st, (), 2)        # H on the ancilla + measure
         return st, gf2_jax.syndromes_dense(mem ^ st.z_frames[:, b, :], self.h1)
