@@ -18,6 +18,7 @@ Prints one JSON line per point; shots are chunked to bound device memory.
 
 import argparse
 import json
+import math
 import sys
 import time
 
@@ -30,6 +31,17 @@ from qcss_tpu.circuits import Program  # noqa: E402
 from qcss_tpu.codes import families  # noqa: E402
 from qcss_tpu.ftqc import rewrite_program  # noqa: E402
 from qcss_tpu.sim.noise import NoiseModel  # noqa: E402
+
+
+def wilson(k: int, n: int, z: float = 1.96) -> tuple[float, float]:
+    """Wilson score interval for a binomial proportion (95% default)."""
+    if n == 0:
+        return (0.0, 1.0)
+    ph = k / n
+    den = 1 + z * z / n
+    mid = (ph + z * z / (2 * n)) / den
+    half = z * math.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n)) / den
+    return (max(mid - half, 0.0), min(mid + half, 1.0))
 
 
 def main():
@@ -78,25 +90,51 @@ def main():
             prep_fails += int(res["__prep_fail__"].sum())
         dt = time.perf_counter() - t0
         raw = raw_x_program_error_rate(shots, model, jax.random.key(2))
+        raw_k = int(round(raw * shots))
         row = {
             "bench": "breakeven",
             "code": args.code,
             "p": p,
             "shots": shots,
             "raw_rate": raw,
+            "raw_ci": wilson(raw_k, shots),
             "enc_fails": fails,
             "enc_rate": fails / shots,
+            "enc_ci": wilson(fails, shots),
             "prep_fail_frac": prep_fails / shots,
             "enc_shots_per_sec": round(shots / dt),
             "encoded_wins": fails / shots < raw,
+            # CI-resolved verdicts: encoded wins/loses beyond statistics
+            "encoded_wins_ci": wilson(fails, shots)[1] < wilson(raw_k, shots)[0],
+            "encoded_loses_ci": wilson(fails, shots)[0] > wilson(raw_k, shots)[1],
         }
         results.append(row)
         print(json.dumps(row), flush=True)
 
     wins = [r["p"] for r in results if r["encoded_wins"]]
+    # resolve the crossing: the bracketing (largest CI-certain win,
+    # smallest CI-certain loss) plus a log-log interpolation of the
+    # encoded/raw ratio through 1
+    ci_wins = sorted(r["p"] for r in results if r["encoded_wins_ci"])
+    ci_loses = sorted(r["p"] for r in results if r["encoded_loses_ci"])
+    p_star = None
+    lo = max(ci_wins) if ci_wins else None
+    hi = min(ci_loses) if ci_loses else None
+    if lo is not None and hi is not None and lo < hi:
+        pts = sorted((r["p"], r["enc_rate"] / max(r["raw_rate"], 1e-12))
+                     for r in results
+                     if lo <= r["p"] <= hi and r["enc_rate"] > 0)
+        for (p0, r0), (p1, r1) in zip(pts, pts[1:]):
+            if r0 < 1 <= r1:
+                f = (0 - math.log(r0)) / (math.log(r1) - math.log(r0))
+                p_star = math.exp(
+                    math.log(p0) + f * (math.log(p1) - math.log(p0)))
+                break
     print(json.dumps({
         "bench": "breakeven_summary",
         "pseudo_threshold_lower_bound": max(wins) if wins else None,
+        "p_star_ci_bracket": [lo, hi],
+        "p_star_interpolated": p_star,
         "ancillas": args.ancillas,
         "ec_extractions": args.ec_extractions,
     }), flush=True)

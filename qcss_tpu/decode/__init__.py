@@ -31,6 +31,11 @@ from qcss_tpu.decode.correlated import (
     correlated_logical_error_rate,
 )
 from qcss_tpu.decode.device_uf import DeviceUFDecoder, make_obs_decoder
+from qcss_tpu.decode.device_streaming import (
+    DeviceStreamingDecoder,
+    stream_memory_rate,
+)
+from qcss_tpu.decode.dem2 import TwoSectorDEM, build_two_sector_dem
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
@@ -58,6 +63,10 @@ __all__ = [
     "circuit_level_graph",
     "DeviceUFDecoder",
     "make_obs_decoder",
+    "DeviceStreamingDecoder",
+    "stream_memory_rate",
+    "TwoSectorDEM",
+    "build_two_sector_dem",
     "MWPMDecoder",
     "MWPMOracle",
     "conditional_weights",

@@ -7,9 +7,11 @@ from qcss_tpu.experiments.memory import (
     z_extraction_circuit,
     z_memory_experiment,
 )
+from qcss_tpu.experiments.memory_xz import xz_memory_experiment
 
 __all__ = [
     "memory_experiment",
+    "xz_memory_experiment",
     "x_extraction_circuit",
     "x_memory_experiment",
     "z_extraction_circuit",
