@@ -44,9 +44,9 @@ class DeviceStreamingDecoder:
 
     Same contract as `streaming.StreamingDecoder.decode_stream`
     (detectors [B, S, r], last slice from perfect readout, returns [B]
-    observable-flip masks), restricted to single-observable codes and
-    r <= 30 detectors per slice (the carry lane is one int32 bitmask;
-    wider codes need the lane split across two windows' worth of bits)."""
+    observable-flip masks), restricted to single-observable codes. Wide
+    codes split the carry across ceil(r / 30) label lanes (lane counts
+    are unconstrained in the device kernel)."""
 
     def __init__(self, h, logicals, *, window: int = 6, commit: int = 3,
                  p_space: float | None = None, p_time: float | None = None):
@@ -60,23 +60,26 @@ class DeviceStreamingDecoder:
         self._logicals = np.asarray(logicals, dtype=np.uint8) & 1
         if self._logicals.shape[0] != 1:
             raise ValueError("device streaming supports one observable")
-        if self.r > 30:
-            raise ValueError(
-                f"{self.r} detectors/slice exceeds the 30-bit carry lane")
         g, meta = _window_graph(self.h, self._logicals, window, True,
                                 p_space, p_time)
         kind, sl = meta[:, 0], meta[:, 1]
         committed_obs = np.where(
             (kind == 0) & (sl < commit), g.edge_obs & 1, 0).astype(np.int64)
-        crossing = np.where(
-            (kind == 1) & (sl == commit - 1),
-            np.int64(1) << meta[:, 2], 0)
-        # lane 0 = committed-region obs (not the full obs); lane 1 = carry
+        # carry bits split across ceil(r/30) lanes of <= 30 bits each
+        self._n_carry = -(-self.r // 30)
+        lanes = []
+        for li in range(self._n_carry):
+            lo, hi = 30 * li, min(30 * (li + 1), self.r)
+            in_lane = (kind == 1) & (sl == commit - 1) & (
+                meta[:, 2] >= lo) & (meta[:, 2] < hi)
+            lanes.append(np.where(
+                in_lane, np.int64(1) << (meta[:, 2] - lo), 0))
+        # lane 0 = committed-region obs (not the full obs); rest = carry
         g_committed = g.__class__(
             num_nodes=g.num_nodes, edges=g.edges, edge_qubit=g.edge_qubit,
             edge_obs=committed_obs.astype(np.uint32), n_qubits=g.n_qubits,
             edge_weight=g.edge_weight)
-        self._mid = build_device_graph(g_committed, extra_lanes=(crossing,))
+        self._mid = build_device_graph(g_committed, extra_lanes=tuple(lanes))
         self._mid_fn = jax.jit(partial(decode_labels, self._mid))
         self._final: dict[int, object] = {}
 
@@ -95,11 +98,15 @@ class DeviceStreamingDecoder:
         W, r = self.window, self.r
         win = win.astype(jnp.uint8)
         win = win.at[:, 0, :].set(win[:, 0, :] ^ carry)
-        (committed, crossing), conv = self._mid_fn(
-            win.reshape(win.shape[0], W * r))
-        obs = obs ^ committed
-        carry = ((crossing[:, None] >> jnp.arange(r)[None, :]) & 1
-                 ).astype(jnp.uint8)
+        labels, conv = self._mid_fn(win.reshape(win.shape[0], W * r))
+        obs = obs ^ labels[0]
+        chunks = []
+        for li in range(self._n_carry):
+            width = min(30 * (li + 1), r) - 30 * li
+            chunks.append(((labels[1 + li][:, None]
+                            >> jnp.arange(width)[None, :]) & 1
+                           ).astype(jnp.uint8))
+        carry = jnp.concatenate(chunks, axis=1)
         return obs, carry, conv
 
     def final_step(self, win, carry, obs, slices: int):

@@ -68,8 +68,21 @@ def test_fused_stream_memory_distance_suppression():
     assert res[3] < 0.9  # not totally scrambled
 
 
-def test_rejects_wide_codes():
-    code = rotated_surface(9)  # r = 40 > 28
-    with pytest.raises(ValueError):
-        DeviceStreamingDecoder(code.raw_parity_check_c2,
-                               code.z_operator_matrix())
+def test_wide_code_multi_lane_carry():
+    """d=9 has r = 40 > 30 detectors/slice: the carry splits across two
+    label lanes; the stream must still decode coherently."""
+    code = rotated_surface(9)
+    h = code.raw_parity_check_c2
+    lz = code.z_operator_matrix()
+    dets, par = sample_phenomenological_stream(
+        jax.random.key(4), 0.004, 0.004, 128, 16, h, lz)
+    dets, par = np.asarray(dets), np.asarray(par)[:, 0]
+    dev = DeviceStreamingDecoder(h, lz, window=8, commit=4)
+    assert dev._n_carry == 2
+    obs_d = dev.decode_stream(dets)
+    host = StreamingDecoder(h, lz, window=8, commit=4)
+    obs_h = host.decode_stream(dets)
+    agree = np.mean((obs_h & 1) == (obs_d & 1))
+    assert agree > 0.9, agree
+    fail_d = np.mean((obs_d & 1) != par)
+    assert fail_d < 0.2, fail_d
