@@ -236,6 +236,76 @@ class ShardedFrameMemory:
         }
 
 
+    def fused_error_rate(self, *, rounds: int, batch: int, seed: int = 0,
+                         graph_kind: str = "dem") -> dict[str, float]:
+        """Round-3 form: sample AND union-find-decode on every device
+        (`decode.device_uf` inside the shard_map), with one `psum` of the
+        failure counts as the only collective — the fully inverted
+        pipeline at mesh scale (no detector history ever leaves the
+        devices)."""
+        from qcss_tpu.decode.device_uf import make_obs_decoder
+        from qcss_tpu.decode.uf import spacetime_graph
+        from qcss_tpu.experiments.memory import _memory_fused_device
+
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        if batch % n_dev:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh size {n_dev}")
+        local = batch // n_dev
+        axis = mesh.axis_names[0]
+        ck = ("fused", local, rounds, graph_kind)
+        fn = self._cache.get(ck)
+        if fn is None:
+            logicals = self.code.z_operator_matrix()
+            if graph_kind == "dem":
+                from qcss_tpu.decode.dem import (
+                    circuit_level_graph,
+                    extraction_gate_list,
+                )
+
+                graph = circuit_level_graph(
+                    self.h2_raw,
+                    extraction_gate_list(self.code, self.h2_raw), rounds,
+                    p_gate2=self.noise.p_gate2, p_meas=self.noise.p_meas,
+                    p_reset=self.noise.p_reset, logicals=logicals)
+            else:
+                graph = spacetime_graph(self.h2_raw, logicals, rounds)
+            decode_fn = make_obs_decoder(graph)
+            code, noise = self.code, self.noise
+            n_anc = self.h2_raw.shape[0]
+            extract = self._extract
+            comp = self._extract_comp
+            log_row = jnp.asarray(logicals[0], jnp.int32)
+            raw_j = jnp.asarray(self.h2_raw, jnp.uint8)
+
+            @partial(shard_map, mesh=mesh, in_specs=(P(),),
+                     out_specs=(P(), P()), check_vma=False)
+            def step(k):
+                my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+                fails, conv = _memory_fused_device(
+                    my_key, local, rounds, code=code, noise=noise,
+                    extract_arrays=extract, n_anc=n_anc,
+                    decode_fn=decode_fn, log_row=log_row, raw_j=raw_j,
+                    engine="frames", extract_comp=comp)
+                return (
+                    jax.lax.psum(fails, axis),
+                    jax.lax.psum(1 - conv.astype(jnp.int32), axis),
+                )
+
+            fn = jax.jit(step)
+            self._cache[ck] = fn
+        fails, bad = fn(jax.random.key(seed))
+        if int(bad):
+            raise RuntimeError("device union-find hit its growth cap")
+        return {
+            "logical_fail": int(fails) / batch,
+            "rounds": rounds,
+            "samples": batch,
+            "decoder": f"device-{graph_kind}",
+        }
+
+
 def sharded_logical_error_rate(
     code,
     p,

@@ -138,3 +138,16 @@ def test_jit_composability():
     dets[0, 0] = 1
     s, c = pipeline(jnp.asarray(dets))
     assert bool(c)
+
+
+def test_sharded_fused_pipeline():
+    """The fused sample+decode pipeline inside a shard_map over the
+    virtual mesh: one psum of failure counts is the only collective."""
+    from qcss_tpu.parallel.mesh import ShardedFrameMemory, make_mesh
+    from qcss_tpu.sim.noise import NoiseModel
+
+    mem = ShardedFrameMemory(
+        surface_code(3), NoiseModel(p_gate2=2e-3, p_meas=1e-2), make_mesh())
+    res = mem.fused_error_rate(rounds=3, batch=4096, seed=5)
+    assert res["decoder"] == "device-dem"
+    assert res["logical_fail"] < 0.01, res
