@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--ancillas", default="shared")
     ap.add_argument("--ec-extractions", type=int, default=1,
                     help="2 = Shor-style repeated extraction per EC sector")
+    ap.add_argument("--idle-frac", type=float, default=0.0,
+                    help="p_idle = idle_frac * p (0 = no idle locations)")
+    ap.add_argument("--ec-schedule", default="serial",
+                    choices=["serial", "parallel"])
     ap.add_argument("--code", default="steane",
                     choices=["steane", "golay", "color5"],
                     help="encoded code: steane [[7,1,3]], golay [[23,1,7]] "
@@ -70,13 +74,15 @@ def main():
         # enough shots to expect >= ~40 raw failures (raw rate ~ 1.7p)
         shots = max(args.min_shots, int(40 / (1.7 * p)))
         shots = ((shots + args.chunk - 1) // args.chunk) * args.chunk
-        model = NoiseModel(p_gate1=p, p_gate2=p, p_meas=p, p_reset=p)
+        model = NoiseModel(p_gate1=p, p_gate2=p, p_meas=p, p_reset=p,
+                           p_idle=args.idle_frac * p)
         prog = Program()
         ro = prog.declare("ro", 1)
         prog.x(0).measure(0, ro[0])
         enc = rewrite_program(prog, code, noise=model, tableau=args.tableau,
                               ancillas=args.ancillas,
-                              ec_extractions=args.ec_extractions)
+                              ec_extractions=args.ec_extractions,
+                              ec_schedule=args.ec_schedule)
         # warm at the CHUNK size (batch is a static arg: a different warmup
         # size would leave the real compile inside the timed loop) and twice
         # (the tunnel's first post-compile result can be stale)
@@ -94,6 +100,7 @@ def main():
         row = {
             "bench": "breakeven",
             "code": args.code,
+            "idle_frac": args.idle_frac,
             "p": p,
             "shots": shots,
             "raw_rate": raw,
