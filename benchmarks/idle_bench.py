@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--blocks", type=int, default=2)
     ap.add_argument("--shots", type=int, default=1 << 15)
     ap.add_argument("--chunk", type=int, default=1 << 13)
+    ap.add_argument("--decoherence", action="store_true",
+                    help="use Pauli-twirled T1/T2 decoherence "
+                         "(--t1/--t2/--ro/--idle-time) instead of flat "
+                         "p_gate2/p_idle rates")
+    ap.add_argument("--t1", type=float, default=100e-6)
+    ap.add_argument("--t2", type=float, default=100e-6)
+    ap.add_argument("--ro", type=float, default=0.995)
+    ap.add_argument("--idle-time", type=float, default=150e-9)
     args = ap.parse_args()
 
     code = families.steane()
@@ -50,7 +58,12 @@ def main():
         prog.x(b)
     for b in range(args.blocks):
         prog.measure(b, ro[b])
-    noise = NoiseModel(p_gate2=args.p_gate2, p_idle=args.p_idle)
+    if args.decoherence:
+        noise = NoiseModel.from_decoherence(
+            args.t1, args.t2, ro_fidelity=args.ro,
+            idle_time=args.idle_time)
+    else:
+        noise = NoiseModel(p_gate2=args.p_gate2, p_idle=args.p_idle)
 
     configs = [
         ("shared", "serial"),
@@ -71,12 +84,13 @@ def main():
         dt = time.perf_counter() - t0
         shots = (args.shots // args.chunk) * args.chunk
         print(json.dumps({
-            "bench": "idle_schedule",
+            "bench": ("idle_schedule_decoherence" if args.decoherence
+                      else "idle_schedule"),
             "ancillas": ancillas,
             "ec_schedule": sched,
             "blocks": args.blocks,
-            "p_gate2": args.p_gate2,
-            "p_idle": args.p_idle,
+            "p_gate2": noise.p_gate2 if args.decoherence else args.p_gate2,
+            "p_idle": noise.p_idle if args.decoherence else args.p_idle,
             "shots": shots,
             "fails": fails,
             "fail_rate": fails / shots,

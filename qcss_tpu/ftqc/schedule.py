@@ -698,8 +698,6 @@ class MacroExecutor:
                 s, out_a = self._detect_par(s, False, False)
                 s, out_b = self._detect_par(s, True, True)
             new_flag = out_a | out_b  # [B, L]
-            s = self._idle_data(s, (), self._attempt_steps[plus],
-                                sample_mask=jnp.any(flag.astype(bool), axis=1))
             colmask = flag[:, fidx]
             tab = self.engine.select_qubits(
                 st_in.tab, cols_flat, colmask, s.tab, st_in.tab)
@@ -711,6 +709,15 @@ class MacroExecutor:
                 jnp.where(mb[:, :, None], s.z_frames, st_in.z_frames),
                 st_in.votes, st_in.memory, s.key, st_in.prep_fail,
             )
+            # Idle on the DATA blocks must be charged AFTER the commit:
+            # the per-(sample, block) commit above only writes ancilla
+            # columns, so an injection inside the body would be silently
+            # reverted (a bug caught when a 1-block program showed the
+            # parallel schedule "beating" the serial one 6.7x — they
+            # charge identical idle for one block).
+            committed = self._idle_data(
+                committed, (), self._attempt_steps[plus],
+                sample_mask=jnp.any(flag.astype(bool), axis=1))
             flag = flag & new_flag
             return committed, flag, attempts + 1
 

@@ -121,7 +121,11 @@ class TestIdleExecution:
         out_s = enc_ser.run(4096, key=k)
         fp = int((np.asarray(out_p["ro"]) != [1, 1]).any(axis=1).sum())
         fs = int((np.asarray(out_s["ro"]) != [1, 1]).any(axis=1).sum())
-        assert fp * 3 < fs, (fp, fs)  # measured 63 vs 1622 at 8192 shots
+        # Measured 187 vs 473 at 4096 shots (2.5x; the earlier 63-vs-1622
+        # figure predated the commit-ordering fix in _encode_ft_par, which
+        # was silently dropping data-block idle inside the parallel RUS
+        # loop — the win is real but 2.5x, not 26x).
+        assert fp * 2 < fs, (fp, fs)
         # noiseless exactness through the same parallel machinery
         out0 = rewrite_program(p, code, tableau="frames",
                                ancillas="dedicated",
