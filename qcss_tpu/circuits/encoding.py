@@ -14,6 +14,72 @@ verification tests agree exactly.
 from qcss_tpu.circuits.ir import Circuit
 
 
+def _commutes(a, b) -> bool:
+    """Conservative gate commutation: True only when swapping a and b
+    provably preserves the circuit unitary.
+
+    Disjoint supports always commute. CNOT pairs commute when they share
+    only controls or only targets (X-type on controls, Z-type... i.e. the
+    standard CNOT commutation rules); Z-diagonal gates (Z, S, CZ) commute
+    among themselves. Everything else sharing a qubit is treated as
+    dependent."""
+    qa, qb = set(a.qubits), set(b.qubits)
+    if not (qa & qb):
+        return True
+    if a.name == "CNOT" and b.name == "CNOT":
+        (c1, t1), (c2, t2) = a.qubits, b.qubits
+        return c1 != t2 and c2 != t1
+    _ZDIAG = ("Z", "S", "CZ", "PHASE")
+    if a.name in _ZDIAG and b.name in _ZDIAG:
+        return True
+    return False
+
+
+def depth_optimize(circ: Circuit) -> Circuit:
+    """Reorder commuting gates to reduce circuit depth; unitary-identical.
+
+    The reference emits prep networks row-by-row (css_code.py:203-312),
+    which serializes every CNOT sharing a control: ASAP depth ~ the row
+    weight times the overlap pattern. But CNOTs that share only controls
+    or only targets commute, so the same GATE SET admits much shallower
+    schedules — for the |0̄⟩ network the CNOT block is bipartite
+    (controls in the first r1 qubits, targets beyond), where the optimal
+    depth is the max qubit degree (König edge coloring). Shallow prep
+    matters because idle noise is charged per layer: every data block
+    idles through the full ancilla-prep depth each EC round
+    (`ftqc.schedule._attempt_steps`).
+
+    Greedy list scheduling over the commutation-relaxed dependency DAG:
+    gates keep their relative order whenever they do not provably
+    commute, so the product unitary is unchanged; each gate is placed in
+    the earliest layer that respects its dependencies and one-gate-per-
+    qubit-per-layer. O(T^2) pair analysis — prep networks are small."""
+    gates = list(circ.gates)
+    T = len(gates)
+    layer = [0] * T
+    # earliest layer a qubit is free at, tracked per occupied layer set:
+    # a gate may fill an earlier gap only if no non-commuting earlier
+    # gate sits at or after that slot, so per-qubit "occupied layers"
+    # plus dependency lower bounds are both needed.
+    occupied: dict[int, set] = {}
+    dep_floor = [0] * T  # min allowed layer (1-based below)
+    for i, g in enumerate(gates):
+        lo = dep_floor[i] + 1
+        qs = g.qubits
+        t = lo
+        while any(t in occupied.get(q, ()) for q in qs):
+            t += 1
+        layer[i] = t
+        for q in qs:
+            occupied.setdefault(q, set()).add(t)
+        # propagate dependency floors to later non-commuting gates
+        for j in range(i + 1, T):
+            if dep_floor[j] < t and not _commutes(g, gates[j]):
+                dep_floor[j] = t
+    order = sorted(range(T), key=lambda i: (layer[i], i))
+    return Circuit(gates[i] for i in order)
+
+
 def encode_zero_network(code, qubits=None) -> Circuit:
     """|0̄⟩ preparation network (reference: css_code.py:203-260).
 

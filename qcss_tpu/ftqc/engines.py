@@ -38,6 +38,7 @@ class UnpackedEngine:
         self.n = n
         self.n_blocks = n_blocks
         self.noise = noise
+        self.nv = noise  # value source; swapped for a traced NoiseView
         self.stride = n
 
     def block_qubits(self, b) -> jax.Array:
@@ -62,7 +63,7 @@ class UnpackedEngine:
         off = jnp.asarray(b, jnp.int32) * self.stride
         return noise_mod.run_arrays_noisy(
             tab, jnp.asarray(ops), jnp.asarray(q0) + off, jnp.asarray(q1) + off,
-            self.noise, key,
+            self.nv, key,
         )
 
     def measure_block(self, tab, b, key):
@@ -75,7 +76,7 @@ class UnpackedEngine:
         if self.noise.p_gate2:
             tab = noise_mod.depolarize2_many(
                 tab, self.block_qubits(b_ctrl), self.block_qubits(b_tgt),
-                self.noise.rate2, key,
+                self.nv.rate2, key,
             )
         return tab
 
@@ -85,7 +86,7 @@ class UnpackedEngine:
         tab = fn(tab, self.block_qubits(b))
         if self.noise.p_gate1:
             tab = noise_mod.depolarize1_many(
-                tab, self.block_qubits(b), self.noise.rate1, key
+                tab, self.block_qubits(b), self.nv.rate1, key
             )
         return tab
 
@@ -94,7 +95,7 @@ class UnpackedEngine:
         if self.noise.p_gate2:
             tab = noise_mod.depolarize2_many(
                 tab, self.block_qubits(b0), self.block_qubits(b1),
-                self.noise.rate2, key,
+                self.nv.rate2, key,
             )
         return tab
 
@@ -135,6 +136,7 @@ class PackedEngine:
         self.n = n
         self.n_blocks = n_blocks
         self.noise = noise
+        self.nv = noise  # value source; swapped for a traced NoiseView
         self.wb = (n + WORD - 1) // WORD  # words per block
         self.stride = self.wb * WORD      # qubits per block slot (padded)
 
@@ -248,10 +250,10 @@ class PackedEngine:
             )
 
         def dep1(t, q, k):
-            return dep1_at(t, q, k, self.noise.rate1)
+            return dep1_at(t, q, k, self.nv.rate1)
 
         def dep2(t, a, b_q, k):
-            rate2 = self.noise.rate2
+            rate2 = self.nv.rate2
             if isinstance(rate2, tuple):
                 ka, kb = jax.random.split(k)
                 return dep1_at(dep1_at(t, a, ka, rate2), b_q, kb, rate2)
@@ -331,7 +333,7 @@ class PackedEngine:
         tab = tab.replace(x=x, z=z, r=r)
         if self.noise.p_gate2:
             tab = self._depolarize_pair_blocks(tab, b_ctrl, b_tgt,
-                                               self.noise.rate2, key)
+                                               self.nv.rate2, key)
         return tab
 
     def transversal_1q(self, tab, gate: str, b, key):
@@ -354,7 +356,7 @@ class PackedEngine:
         else:  # pragma: no cover
             raise ValueError(gate)
         if self.noise.p_gate1:
-            tab = self._depolarize_block(tab, b, self.noise.rate1, key)
+            tab = self._depolarize_block(tab, b, self.nv.rate1, key)
         return tab
 
     def transversal_cz(self, tab, b0, b1, key):
@@ -370,7 +372,7 @@ class PackedEngine:
         )
         tab = tab.replace(z=z, r=r)
         if self.noise.p_gate2:
-            tab = self._depolarize_pair_blocks(tab, b0, b1, self.noise.rate2, key)
+            tab = self._depolarize_pair_blocks(tab, b0, b1, self.nv.rate2, key)
         return tab
 
     def pauli_inject(self, tab, b, x_row, z_row, mask):
@@ -411,6 +413,7 @@ class FrameEngine:
         self.n = n
         self.n_blocks = n_blocks
         self.noise = noise
+        self.nv = noise  # value source; swapped for a traced NoiseView
         self.stride = n
 
     def block_qubits(self, b) -> jax.Array:
@@ -437,7 +440,7 @@ class FrameEngine:
         off = jnp.asarray(b, jnp.int32) * self.stride
         return self._fr.run_arrays_noisy(
             tab, jnp.asarray(ops), jnp.asarray(q0) + off,
-            jnp.asarray(q1) + off, self.noise, key,
+            jnp.asarray(q1) + off, self.nv, key,
         )
 
     def compile_block_circuit(self, arrays):
@@ -450,7 +453,7 @@ class FrameEngine:
         `run_block_circuit` on the same key (two matmuls instead of a
         per-gate scan; the FT-prep hot path)."""
         return self._fr.run_compiled_noisy(
-            tab, comp, self.noise, key, qubits=self.block_qubits(b))
+            tab, comp, self.nv, key, qubits=self.block_qubits(b))
 
     def measure_block(self, tab, b, key):
         # Outcome deviations (reference ⊕ deviation = actual); measured
@@ -466,7 +469,7 @@ class FrameEngine:
             tab.z.at[:, qc].set(tab.z[:, qc] ^ tab.z[:, qt]),
         )
         if self.noise.p_gate2:
-            tab = self._fr.inject2_many(tab, qc, qt, self.noise.rate2, key)
+            tab = self._fr.inject2_many(tab, qc, qt, self.nv.rate2, key)
         return tab
 
     def transversal_1q(self, tab, gate: str, b, key):
@@ -483,7 +486,7 @@ class FrameEngine:
         else:  # pragma: no cover
             raise ValueError(gate)
         if self.noise.p_gate1:
-            tab = self._fr.inject1_many(tab, q, self.noise.rate1, key)
+            tab = self._fr.inject1_many(tab, q, self.nv.rate1, key)
         return tab
 
     def transversal_cz(self, tab, b0, b1, key):
@@ -493,7 +496,7 @@ class FrameEngine:
         z = z.at[:, qb].set(z[:, qb] ^ tab.x[:, qa])
         tab = self._fr.Frames(tab.x, z)
         if self.noise.p_gate2:
-            tab = self._fr.inject2_many(tab, qa, qb, self.noise.rate2, key)
+            tab = self._fr.inject2_many(tab, qa, qb, self.nv.rate2, key)
         return tab
 
     def pauli_inject(self, tab, b, x_row, z_row, mask):
@@ -532,7 +535,7 @@ class FrameEngine:
 
     def run_compiled_multi(self, tab, comp, windows, key):
         return self._fr.run_compiled_noisy_multi(
-            tab, comp, self.noise, key, windows)
+            tab, comp, self.nv, key, windows)
 
     def cnot_qubits(self, tab, qc, qt, key):
         """Pairwise CNOT on explicit disjoint qubit arrays (+ 2q noise)."""
@@ -543,7 +546,7 @@ class FrameEngine:
             tab.z.at[:, qc].set(tab.z[:, qc] ^ tab.z[:, qt]),
         )
         if self.noise.p_gate2:
-            tab = self._fr.inject2_many(tab, qc, qt, self.noise.rate2, key)
+            tab = self._fr.inject2_many(tab, qc, qt, self.nv.rate2, key)
         return tab
 
     def h_qubits(self, tab, q, key):
@@ -551,7 +554,7 @@ class FrameEngine:
         xq, zq = tab.x[:, q], tab.z[:, q]
         tab = self._fr.Frames(tab.x.at[:, q].set(zq), tab.z.at[:, q].set(xq))
         if self.noise.p_gate1:
-            tab = self._fr.inject1_many(tab, q, self.noise.rate1, key)
+            tab = self._fr.inject1_many(tab, q, self.nv.rate1, key)
         return tab
 
     def measure_qubits(self, tab, q):

@@ -235,9 +235,12 @@ class EncodedProgram:
         return out
 
     def _exec_config_key(self) -> tuple:
+        # Noise enters by STRUCTURE only (static_key); the actual rates
+        # travel as a traced argument of the shared runner, so sweeps and
+        # test matrices over noise values share one compiled executor.
         return (self.tableau, self.ancillas, self.ec_extractions,
-                self.ec_schedule, self.max_prep_attempts, self.noise,
-                self.n_logical)
+                self.ec_schedule, self.max_prep_attempts,
+                self.noise.static_key(), self.n_logical)
 
     def _shared_scheduled_runner(self, executor):
         """One compiled executor per (code, config, rows-bucket,
@@ -251,8 +254,12 @@ class EncodedProgram:
         cfg = self._exec_config_key()
         fn = per_code.get(cfg)
         if fn is None:
-            def run(rows, key, batch, memory_size):
-                st = executor.run_rows(rows, key, batch, memory_size)
+            def run(rows, rates, key, batch, memory_size):
+                executor.set_rates(rates)
+                try:
+                    st = executor.run_rows(rows, key, batch, memory_size)
+                finally:
+                    executor.reset_rates()
                 return st.memory, st.prep_fail
             fn = jax.jit(run, static_argnames=("batch", "memory_size"))
             per_code[cfg] = fn
@@ -303,7 +310,8 @@ class EncodedProgram:
             rows = jnp.asarray(
                 schedule.macro_rows(macro, ref_outs, pad_to=pad_to))
             fn = self._shared_scheduled_runner(executor)
-            memory, prep_fail = fn(rows, key, batch, macro.memory_size)
+            memory, prep_fail = fn(rows, self.noise.flat_rates(), key,
+                                   batch, macro.memory_size)
             memory = np.asarray(memory)
             out = {
                 name: memory[:, off:off + size]

@@ -276,6 +276,12 @@ class MacroExecutor:
         n_anc = 2 if ancillas == "shared" else 2 * n_logical
         self.n_blocks = n_logical + n_anc
         self.noise = noise or noise_mod.NoiseModel()
+        # Value source for noise rates: the static model by default;
+        # `set_rates` swaps in a traced NoiseView so one compiled executor
+        # serves every rate assignment with this structure (guards — the
+        # `if self.noise.p_X:` short-circuits that also fix the key
+        # consumption pattern — always read the STATIC model).
+        self.nv = self.noise
         self.max_prep_attempts = max_prep_attempts
         self.trials = 2 * code.t + 1
         self.engine = make_engine(tableau_engine, self.n, self.n_blocks, self.noise)
@@ -288,9 +294,17 @@ class MacroExecutor:
         self.detect_z_plain = dev.h1
         self.detect_z_with_ops = jnp.concatenate([dev.h1, dev.logical_x], axis=0)
         # Block-local prep networks (qubits in [0, n)), lowered once; the
-        # engine offsets them to the target block.
-        self._prep_zero0 = code.noisy_encode_zero(range(self.n)).to_arrays()
-        self._prep_plus0 = code.noisy_encode_plus(range(self.n)).to_arrays()
+        # engine offsets them to the target block. Depth-optimized
+        # (commuting-gate reorder, unitary-identical to the reference-order
+        # network): idle noise is charged per LAYER, so prep depth is a
+        # direct fault-tolerance cost — 1.4-2x shallower across the code
+        # families (Golay 22 -> 11 layers), see encoding.depth_optimize.
+        from qcss_tpu.circuits.encoding import depth_optimize
+
+        self._prep_zero0 = depth_optimize(
+            code.noisy_encode_zero(range(self.n))).to_arrays()
+        self._prep_plus0 = depth_optimize(
+            code.noisy_encode_plus(range(self.n))).to_arrays()
         # Frame engine: prep circuits in matrix form (bit-identical to the
         # scan on the same key; 5-10x on the RUS-prep hot path).
         if hasattr(self.engine, "compile_block_circuit"):
@@ -365,7 +379,7 @@ class MacroExecutor:
         RUS-prep retry loop)."""
         if not self._idle_on or steps <= 0:
             return st
-        rate = noise_mod.compose_pauli(self.noise.rate_idle, steps)
+        rate = noise_mod.compose_pauli(self.nv.rate_idle, steps)
         st, sub = self._split(st)
         B = st.x_frames.shape[0]
         L = self.n_logical
@@ -422,7 +436,7 @@ class MacroExecutor:
         if self.noise.p_reset:
             st, sub = self._split(st)
             flips = jax.random.bernoulli(
-                sub, self.noise.p_reset, (tab.batch, self.n)
+                sub, self.nv.p_reset, (tab.batch, self.n)
             ).astype(jnp.uint8)
             tab = self.engine.inject_block_flips(
                 tab, b, flips, jnp.zeros_like(flips)
@@ -448,7 +462,7 @@ class MacroExecutor:
         st = st._replace(tab=tab)
         if self.noise.p_meas:
             st, sub = self._split(st)
-            outs = noise_mod.flip_bits(outs, self.noise.p_meas, sub)
+            outs = noise_mod.flip_bits(outs, self.nv.p_meas, sub)
         return st, outs
 
     # -- FT subroutines (reference: css_code.py:314-533) ----------------------------
@@ -610,7 +624,7 @@ class MacroExecutor:
         if self.noise.p_reset:
             st, sub = self._split(st)
             flips = jax.random.bernoulli(
-                sub, self.noise.p_reset,
+                sub, self.nv.p_reset,
                 (st.x_frames.shape[0], qubits.size)).astype(jnp.uint8)
             tab = self.engine._fr.inject_flips(
                 tab, jnp.asarray(qubits).reshape(-1), flips,
@@ -635,7 +649,7 @@ class MacroExecutor:
         st = st._replace(tab=tab)
         if self.noise.p_meas:
             st, sub = self._split(st)
-            outs = noise_mod.flip_bits(outs, self.noise.p_meas, sub)
+            outs = noise_mod.flip_bits(outs, self.nv.p_meas, sub)
         B = outs.shape[0]
         return st, outs.reshape(B, self.n_logical, self.n)
 
@@ -814,7 +828,7 @@ class MacroExecutor:
                 s2, sub = self._split(s2)
                 s2 = s2._replace(
                     tab=self.engine.depolarize_block(
-                        s2.tab, b0, self.noise.rate1, sub
+                        s2.tab, b0, self.nv.rate1, sub
                     )
                 )
                 # Samples whose conditional gate did not fire get no noise
@@ -923,6 +937,19 @@ class MacroExecutor:
         return st._replace(memory=st.memory.at[:, dst].set(stored))
 
     # -- top level -----------------------------------------------------------------------
+
+    def set_rates(self, vec) -> None:
+        """Swap the noise VALUE source to a (traced) `flat_rates()` vector
+        for the current trace; pair with `reset_rates()`. Lets the jitted
+        row-runner take rates as an argument, so a p-sweep shares one
+        compiled executor (see NoiseModel.static_key)."""
+        view = self.noise.view(vec)
+        self.nv = view
+        self.engine.nv = view
+
+    def reset_rates(self) -> None:
+        self.nv = self.noise
+        self.engine.nv = self.noise
 
     def run_rows(self, rows: jax.Array, key: jax.Array, batch: int,
                  memory_size: int, capture_votes: bool = False):

@@ -78,6 +78,54 @@ class NoiseModel:
         scalar uniform total."""
         return self.pauli_idle if self.pauli_idle is not None else self.p_idle
 
+    # -- runtime-rate support (compile-once across noise VALUES) ---------------
+    #
+    # The FTQC executors jit once per noise STRUCTURE (which channels are
+    # present, uniform vs biased) and stream the actual probabilities in as
+    # a traced argument: a p-sweep then costs one XLA compile total instead
+    # of one per point, and the test suite's many NoiseModel configurations
+    # share executors. `static_key()` is the structure, `flat_rates()` the
+    # traced payload, `view()` the NoiseModel-shaped façade the engines
+    # read values from (guards keep using the static model: traced values
+    # have no truthiness).
+
+    def static_key(self) -> tuple:
+        return (bool(self.p_gate1), bool(self.p_gate2), bool(self.p_meas),
+                bool(self.p_reset), bool(self.p_idle),
+                self.pauli1 is not None, self.pauli2 is not None,
+                self.pauli_idle is not None)
+
+    _FLAT_LEN = 14
+
+    def flat_rates(self) -> "jax.Array":
+        """All rate values as one f32[14] vector (order: p_gate1, p_gate2,
+        p_meas, p_reset, p_idle, pauli1, pauli2, pauli_idle; absent biased
+        tuples are zero-filled)."""
+        def three(t):
+            return t if t is not None else (0.0, 0.0, 0.0)
+
+        return jnp.asarray(
+            [self.p_gate1, self.p_gate2, self.p_meas, self.p_reset,
+             self.p_idle, *three(self.pauli1), *three(self.pauli2),
+             *three(self.pauli_idle)], dtype=jnp.float32)
+
+    def view(self, vec) -> "NoiseView":
+        """NoiseView over a (possibly traced) `flat_rates()` vector, with
+        this model's static structure."""
+        def rate(scalar_idx, tuple_off, biased):
+            if biased:
+                return (vec[tuple_off], vec[tuple_off + 1], vec[tuple_off + 2])
+            return vec[scalar_idx]
+
+        return NoiseView(
+            p_gate1=self.p_gate1, p_gate2=self.p_gate2,
+            is_trivial=self.is_trivial,
+            rate1=rate(0, 5, self.pauli1 is not None),
+            rate2=rate(1, 8, self.pauli2 is not None),
+            rate_idle=rate(4, 11, self.pauli_idle is not None),
+            p_meas=vec[2], p_reset=vec[3],
+        )
+
     @classmethod
     def from_decoherence(cls, t1: float, t2: float,
                          gate_time_1q: float = 50e-9,
@@ -124,6 +172,32 @@ class NoiseModel:
         )
 
 
+@dataclass(frozen=True)
+class NoiseView:
+    """A NoiseModel-shaped read surface whose VALUES may be traced arrays
+    while the guard fields (`p_gate1`, `p_gate2`, `is_trivial`) stay static
+    host floats — what the engines swap in during `MacroExecutor.run_rows`
+    so one compiled executor serves every rate assignment of the same
+    structure. Value fields: rate1, rate2, rate_idle (scalar or 3-tuple,
+    mirroring the model), p_meas, p_reset."""
+
+    p_gate1: float
+    p_gate2: float
+    is_trivial: bool
+    rate1: object
+    rate2: object
+    rate_idle: object
+    p_meas: object
+    p_reset: object
+
+
+def _clamp0(v):
+    """max(v, 0) for host floats and traced arrays alike."""
+    if isinstance(v, jax.Array):
+        return jnp.maximum(v, 0.0)
+    return max(v, 0.0)
+
+
 def compose_pauli(rate, steps: int):
     """The T-fold composition of a single-qubit Pauli channel, in closed
     form via its Pauli-transfer eigenvalues (lambda_x = 1 - 2(p_y + p_z)
@@ -141,9 +215,9 @@ def compose_pauli(rate, steps: int):
     lx = (1.0 - 2.0 * (py + pz)) ** steps
     ly = (1.0 - 2.0 * (px + pz)) ** steps
     lz = (1.0 - 2.0 * (px + py)) ** steps
-    px2 = max((1.0 + lx - ly - lz) / 4.0, 0.0)
-    py2 = max((1.0 - lx + ly - lz) / 4.0, 0.0)
-    pz2 = max((1.0 - lx - ly + lz) / 4.0, 0.0)
+    px2 = _clamp0((1.0 + lx - ly - lz) / 4.0)
+    py2 = _clamp0((1.0 - lx + ly - lz) / 4.0)
+    pz2 = _clamp0((1.0 - lx - ly + lz) / 4.0)
     if isinstance(rate, tuple):
         return (px2, py2, pz2)
     return px2 + py2 + pz2

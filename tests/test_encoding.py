@@ -129,6 +129,64 @@ class TestGenericInvariant:
         assert np.array_equal(gf2.rref(mat), gf2.rref(expected))
 
 
+class TestDepthOptimize:
+    """`encoding.depth_optimize`: commuting-gate reorder used by the FT
+    executor's prep networks (idle noise is charged per layer, so prep
+    depth is a fault-tolerance cost)."""
+
+    @pytest.mark.parametrize(
+        "make",
+        [families.steane, families.golay,
+         lambda: families.rotated_surface(5),
+         lambda: families.triangular_color(5)],
+        ids=["steane", "golay", "surface5", "color5"],
+    )
+    def test_state_identical_and_shallower(self, make):
+        import jax
+
+        from qcss_tpu.circuits.encoding import depth_optimize
+        from qcss_tpu.ftqc.schedule import circuit_depth
+        from qcss_tpu.sim import tableau as tb
+
+        code = make()
+        for build in (code.noisy_encode_zero, code.noisy_encode_plus):
+            circ = build()
+            opt = depth_optimize(circ)
+            # same multiset of gates, strictly shallower schedule
+            assert sorted((g.name, g.qubits) for g in circ) == \
+                sorted((g.name, g.qubits) for g in opt)
+            assert (circuit_depth(opt.to_arrays())
+                    < circuit_depth(circ.to_arrays()))
+            # identical output tableau (state equality incl. signs)
+            t0 = tb.run_circuit(tb.zero_state(1, code.n), circ)
+            t1 = tb.run_circuit(tb.zero_state(1, code.n), opt)
+            for f0, f1 in zip(jax.tree_util.tree_leaves(t0),
+                              jax.tree_util.tree_leaves(t1)):
+                assert (np.asarray(f0) == np.asarray(f1)).all()
+
+    def test_non_commuting_order_preserved(self):
+        from qcss_tpu.circuits.encoding import depth_optimize
+
+        # H then CNOT on the same qubit must not swap.
+        circ = Circuit().h(0).cnot(0, 1).cnot(1, 2)
+        opt = depth_optimize(circ)
+        names = [(g.name, g.qubits) for g in opt]
+        assert names.index(("H", (0,))) < names.index(("CNOT", (0, 1)))
+        assert (names.index(("CNOT", (0, 1)))
+                < names.index(("CNOT", (1, 2))))
+
+    def test_shared_control_parallelized(self):
+        from qcss_tpu.circuits.encoding import depth_optimize
+        from qcss_tpu.ftqc.schedule import circuit_depth
+
+        # Row-serial emission of a 2x2 biclique ASAP-schedules to depth 3
+        # (target 3 waits for target-2's layer); edge coloring gives 2.
+        circ = (Circuit().cnot(0, 2).cnot(0, 3)
+                .cnot(1, 2).cnot(1, 3))
+        assert circuit_depth(circ.to_arrays()) == 3
+        assert circuit_depth(depth_optimize(circ).to_arrays()) == 2
+
+
 class TestConjugationRules:
     def test_h_swaps_xz(self):
         mat = np.array([[1, 0, 0, 0], [0, 0, 1, 0]], dtype=np.uint8)  # X0, Z0
