@@ -123,13 +123,97 @@ class DeviceGraph(NamedTuple):
     packed_b: jax.Array | None    # [Eb] all lanes packed
     prop_cap: int | None
     act_cap: int | None
+    stencil: "StencilGraph | None" = None
+
+
+class StencilGraph(NamedTuple):
+    """Shift-stencil representation for LATTICE decoding graphs — no
+    gathers at all. Eligible when every internal edge connects v to
+    v + delta for a SMALL set of distinct deltas (surface spacetime
+    graphs have 4: three spatial and one temporal; circuit-level DEM
+    graphs add diagonals for 7), no two internal edges share an
+    endpoint pair, and boundary edges number <= ``KB`` per node. Edge
+    (o, v) is the internal edge v -- v+deltas[o] where ``emask[o, v]``;
+    boundary slot (k, v) is the k-th boundary edge at v where
+    ``bmask[k, v]``. A propagation step is then 2 static shifts per
+    offset plus elementwise min — VMEM/stencil-friendly and the basis
+    for the fused Pallas kernel."""
+
+    deltas: tuple               # distinct positive offsets, python ints
+    emask: jax.Array            # [O, V] bool
+    ewt: jax.Array              # [O, V] int32
+    eobs: jax.Array             # [O, V] int32, packed lanes
+    bmask: jax.Array            # [KB, V] bool
+    bwt: jax.Array              # [KB, V] int32
+    bobs: jax.Array             # [KB, V] int32, packed lanes
+
+
+_STENCIL_MAX_OFFSETS = 10
+_STENCIL_MAX_B = 4
+
+
+def _build_stencil(eu, ev, wt, bn, V, packed_full):
+    """StencilGraph from the edge list, or None when the graph is not
+    lattice-shaped (see StencilGraph). ``packed_full`` [E+1] carries all
+    lanes packed per edge."""
+    E = eu.shape[0]
+    internal = [e for e in range(E) if eu[e] != bn and ev[e] != bn]
+    boundary = [e for e in range(E) if eu[e] == bn or ev[e] == bn]
+    lo = np.minimum(eu, ev)
+    hi = np.maximum(eu, ev)
+    deltas = sorted({int(hi[e] - lo[e]) for e in internal})
+    if (len(deltas) > _STENCIL_MAX_OFFSETS or 0 in deltas
+            or len({(int(lo[e]), int(hi[e])) for e in internal})
+            != len(internal)):
+        return None
+    O = max(len(deltas), 1)
+    emask = np.zeros((O, V), bool)
+    ewt = np.zeros((O, V), np.int32)
+    eobs = np.zeros((O, V), np.int32)
+    dindex = {d: o for o, d in enumerate(deltas)}
+    for e in internal:
+        o = dindex[int(hi[e] - lo[e])]
+        v = int(lo[e])
+        emask[o, v] = True
+        ewt[o, v] = wt[e]
+        eobs[o, v] = packed_full[e]
+    per_node = np.zeros(V, np.int64)
+    for e in boundary:
+        v = int(lo[e]) if hi[e] == bn else int(hi[e])
+        per_node[v] += 1
+    KB = int(per_node.max(initial=1))
+    if KB > _STENCIL_MAX_B:
+        return None
+    bmask = np.zeros((KB, V), bool)
+    bwt = np.zeros((KB, V), np.int32)
+    bobs = np.zeros((KB, V), np.int32)
+    fill = np.zeros(V, np.int64)
+    for e in boundary:
+        v = int(lo[e]) if hi[e] == bn else int(hi[e])
+        k = fill[v]
+        fill[v] += 1
+        bmask[k, v] = True
+        bwt[k, v] = wt[e]
+        bobs[k, v] = packed_full[e]
+    if not deltas:
+        deltas = [1]  # shape stability; emask is all-False
+    return StencilGraph(
+        deltas=tuple(int(d) for d in deltas),
+        emask=jnp.asarray(emask),
+        ewt=jnp.asarray(ewt),
+        eobs=jnp.asarray(eobs),
+        bmask=jnp.asarray(bmask),
+        bwt=jnp.asarray(bwt),
+        bobs=jnp.asarray(bobs),
+    )
 
 
 def build_device_graph(graph: MatchingGraph,
                        max_growth_rounds: int | None = None,
                        extra_lanes: tuple = (),
                        prop_cap: int | None = None,
-                       act_cap: int | None = None) -> DeviceGraph:
+                       act_cap: int | None = None,
+                       stencil: bool | None = None) -> DeviceGraph:
     edges = np.asarray(graph.edges, np.int32)
     bn = graph.num_nodes  # virtual boundary node index
     V = bn + 1
@@ -194,6 +278,7 @@ def build_device_graph(graph: MatchingGraph,
     lane_offsets = []
     lane_masks = []
     packed_inc = packed_b = None
+    stencil_graph = None
     if vbits + sum(bits) <= 30:
         off = 0
         for b_ in reversed(bits):  # lane 0 ends up in the highest lane bits
@@ -208,6 +293,15 @@ def build_device_graph(graph: MatchingGraph,
             packed_full[:E] |= lane << o
         packed_inc = jnp.asarray(packed_full[inc_e].astype(np.int32))
         packed_b = jnp.asarray(packed_full[b_edges].astype(np.int32))
+        if stencil is None or stencil:
+            stencil_graph = _build_stencil(
+                eu, ev, wt, bn, V, packed_full[:E].astype(np.int32))
+            if stencil and stencil_graph is None:
+                raise ValueError("graph is not stencil-eligible")
+    elif stencil:
+        raise ValueError(
+            "stencil kernel requires packable label lanes "
+            f"(log2(V)={vbits} + lane bits {sum(bits)} > 30)")
     return DeviceGraph(
         eu=jnp.asarray(eu),
         ev=jnp.asarray(ev),
@@ -230,6 +324,7 @@ def build_device_graph(graph: MatchingGraph,
         packed_b=packed_b,
         prop_cap=prop_cap,
         act_cap=act_cap,
+        stencil=stencil_graph,
     )
 
 
@@ -246,9 +341,190 @@ def decode_labels(dg: DeviceGraph, detectors):
     jit-composable: embed it after a sampler so the whole pipeline
     compiles into one device program.
     """
+    if dg.stencil is not None:
+        if (dg.prop_cap is None and dg.act_cap is None
+                and _pallas_available()):
+            from qcss_tpu.decode.device_uf_pallas import (
+                decode_stencil_pallas,
+            )
+
+            return decode_stencil_pallas(dg, detectors)
+        return _decode_stencil(dg, detectors)
     if dg.pack_shift is not None:
         return _decode_packed(dg, detectors)
     return _decode_unpacked(dg, detectors)
+
+
+#: set False to force the XLA stencil kernel on TPU (debug/measurement)
+USE_PALLAS = True
+
+
+def _pallas_available() -> bool:
+    """Mosaic kernels require a real TPU backend (the CPU tests exercise
+    the pallas path separately through interpret mode)."""
+    if not USE_PALLAS:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def _decode_stencil(dg: DeviceGraph, detectors):
+    """Shift-stencil kernel for lattice graphs (see StencilGraph): the
+    per-slot static gathers of `_decode_packed` become static SHIFTS
+    along the flattened detector axis — two per offset — so every step
+    is contiguous-slice + elementwise, with packed labels throughout.
+    The virtual boundary hub lives at column bn like the incidence
+    kernel; its per-node boundary edges are dense [KB, V] slots."""
+    st = dg.stencil
+    dets = jnp.asarray(detectors)
+    B = dets.shape[0]
+    V = dg.num_nodes + 1
+    bn = dg.num_nodes
+    L = dg.pack_shift
+    O = len(st.deltas)
+    KB = st.bmask.shape[0]
+    defect = jnp.concatenate(
+        [dets.astype(jnp.int32) & 1, jnp.zeros((B, 1), jnp.int32)], axis=1
+    )  # [B, V]
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    vids = jnp.arange(V, dtype=jnp.int32)[None, :]
+    BIG = jnp.int32(2**30)
+
+    def shift_dn(x, d, fill):
+        """y[v] = x[v+d] (value of the HIGH endpoint at the low slot)."""
+        pad = jnp.full((B, d), fill, x.dtype)
+        return jnp.concatenate([x[:, d:], pad], axis=1)
+
+    def shift_up(x, d, fill):
+        """y[v+d] = x[v] (value of the LOW endpoint at the high slot)."""
+        pad = jnp.full((B, d), fill, x.dtype)
+        return jnp.concatenate([pad, x[:, :-d]], axis=1)
+
+    def propagate(packed, satm, satb):
+        def body(state):
+            (packed,) = state
+            cands = []
+            for o, d in enumerate(st.deltas):
+                offered = jnp.where(satm[o], packed ^ st.eobs[o][None, :],
+                                    BIG)
+                cands.append(jnp.where(
+                    satm[o], shift_dn(packed, d, BIG) ^ st.eobs[o][None, :],
+                    BIG))
+                cands.append(shift_up(offered, d, BIG))
+            hub = packed[:, bn][:, None]
+            for k in range(KB):
+                cands.append(jnp.where(
+                    satb[k], hub ^ st.bobs[k][None, :], BIG))
+            cand = reduce(jnp.minimum, cands)
+            adopted = (cand >> L) < (packed >> L)
+            new = jnp.where(adopted, cand, packed)
+            # hub adoption: min over every saturated boundary slot
+            hub_cand = reduce(jnp.minimum, [
+                jnp.min(jnp.where(satb[k], packed ^ st.bobs[k][None, :],
+                                  BIG), axis=1)
+                for k in range(KB)
+            ])
+            adopted_b = (hub_cand >> L) < (new[:, bn] >> L)
+            new = new.at[:, bn].set(
+                jnp.where(adopted_b, hub_cand, new[:, bn]))
+            return (new,), jnp.any(adopted, axis=1) | adopted_b
+
+        (packed,), still = _capped_while(body, (packed,), dg.prop_cap)
+        return packed, still
+
+    def activity(packed, satm):
+        comp = packed >> L
+        cnt = jnp.zeros((B, V), jnp.int32).at[bidx, comp].add(
+            defect, mode="promise_in_bounds")
+        broot = comp[:, bn]
+        act_root = ((cnt & 1) == 1) & (vids != broot[:, None])
+        act = act_root & (comp == vids)  # defined at representatives
+        passes = [satm[o] & (comp == shift_dn(comp, d, -1))
+                  for o, d in enumerate(st.deltas)]
+
+        def body(state):
+            (act,) = state
+            terms = [act]
+            for o, d in enumerate(st.deltas):
+                terms.append(shift_dn(act, d, False) & passes[o])
+                terms.append(shift_up(act & passes[o], d, False))
+            new = reduce(jnp.logical_or, terms)
+            return (new,), jnp.any(new & ~act, axis=1)
+
+        (act,), still = _capped_while(body, (act,), dg.act_cap)
+        return act, still
+
+    def round_cond(state):
+        _, _, _, act, suspect, any_active, i = state
+        return any_active & (i < dg.max_rounds)
+
+    def round_body(state):
+        packed, sup, supb, act, suspect, _, i = state
+        comp = packed >> L
+        incs = []
+        for o, d in enumerate(st.deltas):
+            growable = (st.emask[o][None, :] & (sup[:, o] < st.ewt[o])
+                        & (comp != shift_dn(comp, d, -1)))
+            incs.append(jnp.where(
+                growable,
+                act.astype(jnp.int32)
+                + shift_dn(act, d, False).astype(jnp.int32), 0))
+        inc = jnp.stack(incs, axis=1)  # [B, O, V]
+        comp_bn = comp[:, bn][:, None]
+        incb = jnp.stack([
+            jnp.where(st.bmask[k][None, :] & (supb[:, k] < st.bwt[k])
+                      & (comp != comp_bn), act.astype(jnp.int32), 0)
+            for k in range(KB)
+        ], axis=1)  # [B, KB, V]
+        slack = jnp.minimum(
+            jnp.min(jnp.where(
+                inc > 0,
+                -(-(st.ewt[None] - sup) // jnp.maximum(inc, 1)), BIG),
+                axis=(1, 2)),
+            jnp.min(jnp.where(
+                incb > 0,
+                -(-(st.bwt[None] - supb) // jnp.maximum(incb, 1)), BIG),
+                axis=(1, 2)),
+        )
+        delta = jnp.maximum(slack, 1)
+        delta = jnp.where(delta >= BIG, 1, delta)[:, None, None]
+        sup = sup + inc * delta
+        supb = supb + incb * delta
+        grew = jnp.any(inc > 0) | jnp.any(incb > 0)
+        satm = [(sup[:, o] >= st.ewt[o]) & st.emask[o][None, :]
+                for o in range(O)]
+        satb = [(supb[:, k] >= st.bwt[k]) & st.bmask[k][None, :]
+                for k in range(KB)]
+        packed, still_p = propagate(packed, satm, satb)
+        act, still_a = activity(packed, satm)
+        suspect = suspect | still_p | still_a
+        act = act & ~suspect[:, None]
+        return packed, sup, supb, act, suspect, jnp.any(act) & grew, i + 1
+
+    packed0 = jnp.broadcast_to(
+        (jnp.arange(V, dtype=jnp.int32) << L)[None, :], (B, V))
+    sup0 = jnp.zeros((B, O, V), jnp.int32)
+    supb0 = jnp.zeros((B, KB, V), jnp.int32)
+    act0 = defect.astype(bool)
+    suspect0 = jnp.zeros(B, bool)
+    state = (packed0, sup0, supb0, act0, suspect0,
+             jnp.any(act0), jnp.int32(0))
+    packed, sup, supb, act, suspect, _, _ = jax.lax.while_loop(
+        round_cond, round_body, state)
+
+    bmask = jnp.int32((1 << L) - 1)
+    broot = packed[:, bn] >> L
+    in_bc = (packed >> L) == broot[:, None]
+    bc_odd = jnp.sum(jnp.where(in_bc, defect, 0), axis=1) & 1
+    masked = jnp.where(defect.astype(bool), packed & bmask, 0)
+    tot = jax.lax.reduce(masked, jnp.int32(0), jax.lax.bitwise_xor, (1,))
+    tot = tot ^ jnp.where(bc_odd == 1, packed[:, bn] & bmask, 0)
+    labels = tuple((tot >> off) & mask
+                   for off, mask in zip(dg.lane_offsets, dg.lane_masks))
+    converged = ~jnp.any(act, axis=1) & ~suspect
+    return labels, converged
 
 
 def _capped_while(body, init, cap):
