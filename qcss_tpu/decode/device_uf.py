@@ -345,10 +345,12 @@ def decode_labels(dg: DeviceGraph, detectors):
         if (dg.prop_cap is None and dg.act_cap is None
                 and _pallas_available()):
             from qcss_tpu.decode.device_uf_pallas import (
-                decode_stencil_pallas,
+                decode_stencil_pallas_full, pick_tile,
             )
 
-            return decode_stencil_pallas(dg, detectors)
+            V = dg.num_nodes + 1
+            return decode_stencil_pallas_full(dg, detectors,
+                                              tile=pick_tile(V))
         return _decode_stencil(dg, detectors)
     if dg.pack_shift is not None:
         return _decode_packed(dg, detectors)

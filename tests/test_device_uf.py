@@ -151,3 +151,94 @@ def test_sharded_fused_pipeline():
     res = mem.fused_error_rate(rounds=3, batch=4096, seed=5)
     assert res["decoder"] == "device-dem"
     assert res["logical_fail"] < 0.01, res
+
+
+class TestPallasStencilKernels:
+    """Mosaic kernels (interpret mode on CPU) vs the XLA stencil kernel:
+    every variant must produce BIT-IDENTICAL labels — they implement the
+    same round/iteration schedule, only the execution substrate differs.
+    The parent-forest rake in the full kernel replaces the per-round
+    cluster-parity scatter and must reproduce its parities exactly."""
+
+    def _graph(self, d, rounds):
+        code = surface_code(d)
+        return spacetime_graph(
+            np.asarray(code.raw_parity_check_c2, np.uint8),
+            code.z_operator_matrix(), rounds=rounds)
+
+    @pytest.mark.parametrize("d", [3, 5])
+    def test_full_kernel_bit_identical(self, d):
+        from qcss_tpu.decode.device_uf import _decode_stencil, \
+            build_device_graph
+        from qcss_tpu.decode.device_uf_pallas import \
+            decode_stencil_pallas_full
+
+        g = self._graph(d, d)
+        dg = build_device_graph(g)
+        assert dg.stencil is not None
+        rng = np.random.default_rng(3)
+        dets = (rng.random((128, g.num_nodes)) < 0.03).astype(np.uint8)
+        labs_x, _ = _decode_stencil(dg, dets)
+        labs_f, conv = decode_stencil_pallas_full(dg, dets,
+                                                  interpret=True)
+        for lx, lf in zip(labs_x, labs_f):
+            np.testing.assert_array_equal(np.asarray(lx),
+                                          np.asarray(lf))
+        assert bool(np.all(np.asarray(conv)))
+
+    def test_full_kernel_dem_graph(self):
+        """Weighted circuit-level DEM graph (7 offsets): delta-stepped
+        growth + rake still bit-identical."""
+        from qcss_tpu.decode.dem import (circuit_level_graph,
+                                         extraction_gate_list)
+        from qcss_tpu.decode.device_uf import _decode_stencil, \
+            build_device_graph
+        from qcss_tpu.decode.device_uf_pallas import \
+            decode_stencil_pallas_full
+
+        code = surface_code(3)
+        raw = code.raw_parity_check_c2
+        g = circuit_level_graph(
+            raw, extraction_gate_list(code, raw), rounds=3,
+            p_gate2=2e-3, p_meas=1e-2, p_reset=0.0,
+            logicals=code.z_operator_matrix())
+        dg = build_device_graph(g)
+        assert dg.stencil is not None
+        rng = np.random.default_rng(5)
+        dets = (rng.random((128, g.num_nodes)) < 0.02).astype(np.uint8)
+        labs_x, _ = _decode_stencil(dg, dets)
+        labs_f, _ = decode_stencil_pallas_full(dg, dets, interpret=True)
+        np.testing.assert_array_equal(np.asarray(labs_x[0]),
+                                      np.asarray(labs_f[0]))
+
+    def test_weight_le_t_exactness(self):
+        """All weight <= t errors decode exactly through the full
+        kernel (code-capacity d=5)."""
+        from itertools import combinations
+
+        from qcss_tpu.decode.device_uf import build_device_graph
+        from qcss_tpu.decode.device_uf_pallas import \
+            decode_stencil_pallas_full
+
+        d = 5
+        code = surface_code(d)
+        h = np.asarray(code.raw_parity_check_c2, np.uint8)
+        lz = np.asarray(code.z_operator_matrix(), np.uint8)
+        g = _surface_graph(d)
+        dg = build_device_graph(g)
+        if dg.stencil is None:
+            pytest.skip("code-capacity graph not stencil-eligible")
+        n = h.shape[1]
+        t = (d - 1) // 2
+        errs = []
+        for w in range(0, t + 1):
+            for qs in combinations(range(n), w):
+                e = np.zeros(n, np.uint8)
+                e[list(qs)] = 1
+                errs.append(e)
+        errs = np.stack(errs)
+        syn = (errs @ h.T) & 1
+        par = ((errs @ lz.T) & 1)[:, 0]
+        labs, conv = decode_stencil_pallas_full(dg, syn, interpret=True)
+        np.testing.assert_array_equal(np.asarray(labs[0]) & 1, par)
+        assert bool(np.all(np.asarray(conv)))
