@@ -616,18 +616,27 @@ def pick_tile(V: int, budget_bytes: int = 16 << 20) -> int:
 
 
 def decode_stencil_pallas_full(dg, detectors, tile: int = 64,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               sort_shots: bool = True):
     """Whole-decode-in-one-kernel stencil union-find
     (`make_full_kernel`): detectors in, labels out, one pallas call.
     Same contract and bit-identical labels vs `_decode_stencil` /
     `decode_stencil_pallas_fused` — the parent-forest rake computes the
-    same cluster parities the scatter did."""
+    same cluster parities the scatter did.
+
+    ``sort_shots`` groups shots by defect count before tiling so that
+    easy tiles exit their round loop early instead of every tile paying
+    for its hardest shot; the unsort touches only per-shot scalars."""
     st = dg.stencil
     if st is None or dg.pack_shift is None:
         raise ValueError("pallas decode requires a stencil-eligible graph")
     dets = jnp.asarray(detectors)
     B0 = dets.shape[0]
     T = max(8, (min(tile, B0) // 8) * 8)
+    order = None
+    if sort_shots and B0 > T:
+        order = jnp.argsort(jnp.sum(dets.astype(jnp.int32), axis=1))
+        dets = jnp.take(dets, order, axis=0)
     if B0 % T:
         pad = T - B0 % T
         dets = jnp.concatenate(
@@ -652,7 +661,14 @@ def decode_stencil_pallas_full(dg, detectors, tile: int = 64,
     labels = tuple((tot >> off) & mask
                    for off, mask in zip(dg.lane_offsets, dg.lane_masks))
     converged = ~jnp.any(act != 0, axis=1)
-    return tuple(lab[:B0] for lab in labels), converged[:B0]
+    labels = tuple(lab[:B0] for lab in labels)
+    converged = converged[:B0]
+    if order is not None:
+        inv = jnp.zeros((B0,), jnp.int32).at[order].set(
+            jnp.arange(B0, dtype=jnp.int32))
+        labels = tuple(jnp.take(lab, inv, axis=0) for lab in labels)
+        converged = jnp.take(converged, inv, axis=0)
+    return labels, converged
 
 
 def decode_stencil_pallas_fused(dg, detectors, tile: int = 128,
