@@ -79,7 +79,8 @@ class DeviceStreamingDecoder:
             num_nodes=g.num_nodes, edges=g.edges, edge_qubit=g.edge_qubit,
             edge_obs=committed_obs.astype(np.uint32), n_qubits=g.n_qubits,
             edge_weight=g.edge_weight)
-        self._mid = build_device_graph(g_committed, extra_lanes=tuple(lanes))
+        self._mid = build_device_graph(g_committed, extra_lanes=tuple(lanes),
+                                       spill_lanes=True)
         self._mid_fn = jax.jit(partial(decode_labels, self._mid))
         self._final: dict[int, object] = {}
 

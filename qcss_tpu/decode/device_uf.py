@@ -124,6 +124,9 @@ class DeviceGraph(NamedTuple):
     prop_cap: int | None
     act_cap: int | None
     stencil: "StencilGraph | None" = None
+    #: original lane indices carried in the packed word (all lanes
+    #: unless spill_lanes moved some into stencil.chunks)
+    packed_lane_ids: tuple = ()
 
 
 class StencilGraph(NamedTuple):
@@ -146,16 +149,33 @@ class StencilGraph(NamedTuple):
     bmask: jax.Array            # [KB, V] bool
     bwt: jax.Array              # [KB, V] int32
     bobs: jax.Array             # [KB, V] int32, packed lanes
+    chunks: tuple = ()          # ChunkLanes for spilled label lanes
+
+
+class ChunkLanes(NamedTuple):
+    """Label lanes that did not fit in the packed word (lane spilling,
+    `build_device_graph(spill_lanes=True)`). The full-decode Mosaic
+    kernel resolves them AFTER convergence by XOR-spreading each chunk
+    down the adoption forest — the packed lanes equal forest-path XORs,
+    so chunk labels are bit-identical to a hypothetical wider packed
+    word. Up to 30 bits of spilled lanes per chunk."""
+
+    eobs: jax.Array             # [O, V] int32, this chunk's edge bits
+    bobs: jax.Array             # [KB, V] int32
+    lane_ids: tuple             # original lane indices in this chunk
+    offsets: tuple              # bit offset per lane within the chunk
+    masks: tuple
 
 
 _STENCIL_MAX_OFFSETS = 10
 _STENCIL_MAX_B = 4
 
 
-def _build_stencil(eu, ev, wt, bn, V, packed_full):
+def _build_stencil(eu, ev, wt, bn, V, packed_full, chunk_descs=()):
     """StencilGraph from the edge list, or None when the graph is not
-    lattice-shaped (see StencilGraph). ``packed_full`` [E+1] carries all
-    lanes packed per edge."""
+    lattice-shaped (see StencilGraph). ``packed_full`` [E+1] carries the
+    packed lanes per edge; ``chunk_descs`` is a sequence of
+    (chunk_full [E], lane_ids, offsets, masks) for spilled lanes."""
     E = eu.shape[0]
     internal = [e for e in range(E) if eu[e] != bn and ev[e] != bn]
     boundary = [e for e in range(E) if eu[e] == bn or ev[e] == bn]
@@ -197,6 +217,24 @@ def _build_stencil(eu, ev, wt, bn, V, packed_full):
         bobs[k, v] = packed_full[e]
     if not deltas:
         deltas = [1]  # shape stability; emask is all-False
+    chunks = []
+    for chunk_full, lane_ids, offsets, masks in chunk_descs:
+        ceobs = np.zeros((O, V), np.int64)
+        cbobs = np.zeros((KB, V), np.int64)
+        for e in internal:
+            ceobs[dindex[int(hi[e] - lo[e])], int(lo[e])] = chunk_full[e]
+        fill2 = np.zeros(V, np.int64)
+        for e in boundary:
+            v = int(lo[e]) if hi[e] == bn else int(hi[e])
+            cbobs[fill2[v], v] = chunk_full[e]
+            fill2[v] += 1
+        chunks.append(ChunkLanes(
+            eobs=jnp.asarray(ceobs.astype(np.int32)),
+            bobs=jnp.asarray(cbobs.astype(np.int32)),
+            lane_ids=tuple(lane_ids),
+            offsets=tuple(offsets),
+            masks=tuple(masks),
+        ))
     return StencilGraph(
         deltas=tuple(int(d) for d in deltas),
         emask=jnp.asarray(emask),
@@ -205,6 +243,7 @@ def _build_stencil(eu, ev, wt, bn, V, packed_full):
         bmask=jnp.asarray(bmask),
         bwt=jnp.asarray(bwt),
         bobs=jnp.asarray(bobs),
+        chunks=tuple(chunks),
     )
 
 
@@ -213,7 +252,8 @@ def build_device_graph(graph: MatchingGraph,
                        extra_lanes: tuple = (),
                        prop_cap: int | None = None,
                        act_cap: int | None = None,
-                       stencil: bool | None = None) -> DeviceGraph:
+                       stencil: bool | None = None,
+                       spill_lanes: bool = False) -> DeviceGraph:
     edges = np.asarray(graph.edges, np.int32)
     bn = graph.num_nodes  # virtual boundary node index
     V = bn + 1
@@ -279,9 +319,41 @@ def build_device_graph(graph: MatchingGraph,
     lane_masks = []
     packed_inc = packed_b = None
     stencil_graph = None
-    if vbits + sum(bits) <= 30:
+    packed_ids = list(range(len(lanes)))
+    chunk_descs = []
+    if spill_lanes and vbits + sum(bits) > 30:
+        # keep a prefix of lanes in the packed word (lane 0 — the
+        # primary observable — first), spill the rest into <=30-bit
+        # chunks the full-decode kernel resolves post-convergence
+        packed_ids = []
+        budget = 30 - vbits
+        for i, b_ in enumerate(bits):
+            if b_ <= budget:
+                packed_ids.append(i)
+                budget -= b_
+        spilled = [i for i in range(len(lanes)) if i not in packed_ids]
+        cur_ids, cur_off, off = [], [], 0
+        for i in spilled:
+            if off + bits[i] > 30:
+                chunk_descs.append((cur_ids, cur_off, off))
+                cur_ids, cur_off, off = [], [], 0
+            cur_ids.append(i)
+            cur_off.append(off)
+            off += bits[i]
+        if cur_ids:
+            chunk_descs.append((cur_ids, cur_off, off))
+        chunk_descs = [
+            (np.bitwise_or.reduce(
+                np.stack([lanes[i] << o for i, o in zip(ids, offs)]),
+                axis=0),
+             tuple(ids), tuple(offs),
+             tuple((1 << bits[i]) - 1 for i in ids))
+            for ids, offs, _ in chunk_descs
+        ]
+    if vbits + sum(bits[i] for i in packed_ids) <= 30:
+        pbits = [bits[i] for i in packed_ids]
         off = 0
-        for b_ in reversed(bits):  # lane 0 ends up in the highest lane bits
+        for b_ in reversed(pbits):  # lane 0 ends in the highest lane bits
             lane_offsets.append(off)
             lane_masks.append((1 << b_) - 1)
             off += b_
@@ -289,15 +361,24 @@ def build_device_graph(graph: MatchingGraph,
         lane_masks.reverse()
         pack_shift = off
         packed_full = np.zeros(E + 1, np.int64)
-        for lane, o in zip(lanes, lane_offsets):
-            packed_full[:E] |= lane << o
+        for i, o in zip(packed_ids, lane_offsets):
+            packed_full[:E] |= lanes[i] << o
         packed_inc = jnp.asarray(packed_full[inc_e].astype(np.int32))
         packed_b = jnp.asarray(packed_full[b_edges].astype(np.int32))
         if stencil is None or stencil:
             stencil_graph = _build_stencil(
-                eu, ev, wt, bn, V, packed_full[:E].astype(np.int32))
+                eu, ev, wt, bn, V, packed_full[:E].astype(np.int32),
+                chunk_descs)
             if stencil and stencil_graph is None:
                 raise ValueError("graph is not stencil-eligible")
+        if chunk_descs and stencil_graph is None:
+            # spilled lanes are only decodable through the stencil full
+            # kernel; a partial packed word would silently drop lanes in
+            # the packed kernel — fall back to the unpacked layout
+            pack_shift = None
+            lane_offsets, lane_masks = [], []
+            packed_inc = packed_b = None
+            packed_ids = list(range(len(lanes)))
     elif stencil:
         raise ValueError(
             "stencil kernel requires packable label lanes "
@@ -325,6 +406,7 @@ def build_device_graph(graph: MatchingGraph,
         prop_cap=prop_cap,
         act_cap=act_cap,
         stencil=stencil_graph,
+        packed_lane_ids=tuple(packed_ids),
     )
 
 
@@ -351,6 +433,10 @@ def decode_labels(dg: DeviceGraph, detectors):
             V = dg.num_nodes + 1
             return decode_stencil_pallas_full(dg, detectors,
                                               tile=pick_tile(V))
+        if dg.stencil.chunks:
+            # spilled lanes are resolved only by the Mosaic full kernel;
+            # off-TPU, the unpacked kernel decodes every lane directly
+            return _decode_unpacked(dg, detectors)
         return _decode_stencil(dg, detectors)
     if dg.pack_shift is not None:
         return _decode_packed(dg, detectors)

@@ -387,11 +387,21 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
     (the hub itself is pinned to -1 — its cluster is excluded from
     activity, exactly like the XLA kernels' `vids != broot` rule).
 
+    Spilled label lanes (``st.chunks``, see `device_uf.ChunkLanes`) are
+    resolved AFTER convergence: each chunk's per-edge bits XOR-spread
+    root-to-leaf down the same forest, giving every vertex its
+    forest-path chunk value — bit-identical to what a wider packed word
+    would have carried, since packed lanes equal forest-path XORs. The
+    hub's path value routes through its recorded boundary provider
+    (tracked at adoption time, so it is the true acyclic parent).
+
     Each batch tile runs its own outer round loop and stops when ITS
-    shots converge. run(defect) -> (packed [B,V], act [B,V] i32)."""
+    shots converge. run(defect) -> (packed [B,V], act [B,V] i32,
+    chunk_vals tuple of [B,V] i32)."""
     deltas = st.deltas
     KB = st.bmask.shape[0]
     O = len(deltas)
+    NC = len(st.chunks)
     BIG = 2**30
 
     emask_np = np.asarray(st.emask, np.int32)
@@ -400,17 +410,26 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
     bmask_np = np.asarray(st.bmask, np.int32)
     bwt_np = np.asarray(st.bwt, np.int32)
     bobs_np = np.asarray(st.bobs, np.int32)
+    cE_np = [np.asarray(c.eobs, np.int32) for c in st.chunks]
+    cB_np = [np.asarray(c.bobs, np.int32) for c in st.chunks]
 
     def kernel(*refs):
         defect_ref = refs[0]
-        table_refs = refs[1:1 + 3 * O + 3 * KB]
-        out_packed, out_act = refs[1 + 3 * O + 3 * KB:]
+        n_tab = 3 * O + 3 * KB + NC * (O + KB)
+        table_refs = refs[1:1 + n_tab]
+        out_packed, out_act = refs[1 + n_tab:3 + n_tab]
+        out_chunks = refs[3 + n_tab:]
         emask_t = [table_refs[o][:] == 1 for o in range(O)]
         ewt_t = [table_refs[O + o][:] for o in range(O)]
         eobs_t = [table_refs[2 * O + o][:] for o in range(O)]
         bmask_t = [table_refs[3 * O + k][:] == 1 for k in range(KB)]
         bwt_t = [table_refs[3 * O + KB + k][:] for k in range(KB)]
         bobs_t = [table_refs[3 * O + 2 * KB + k][:] for k in range(KB)]
+        base = 3 * O + 3 * KB
+        cE_t = [[table_refs[base + c * (O + KB) + o][:]
+                 for o in range(O)] for c in range(NC)]
+        cB_t = [[table_refs[base + c * (O + KB) + O + k][:]
+                 for k in range(KB)] for c in range(NC)]
 
         defect = defect_ref[:]
         vids = jax.lax.broadcasted_iota(jnp.int32, (T, V), 1)
@@ -421,7 +440,7 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
                            keepdims=True)
 
         def round_body(state):
-            (packed, sups, supbs, act, from0, _, i) = state
+            (packed, sups, supbs, act, from0, hubp0, _, i) = state
             comp = packed >> L
 
             # -- grow (delta-stepped), using last round's activity
@@ -462,7 +481,7 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
                     for k in range(KB)]
 
             def prop_body(pstate):
-                packed, from_, _ = pstate
+                packed, from_, hubp, _ = pstate
                 cands = []
                 codes = []
                 for o, d in enumerate(deltas):
@@ -493,15 +512,33 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
                 new = jnp.where(hub_col & adopted_b,
                                 jnp.broadcast_to(hub_cand, new.shape),
                                 new)
-                return (new, from_,
+                if NC:
+                    # record the hub's true provider (k*, v*) — needed
+                    # to route chunk path values through the hub
+                    best_v = jnp.full((T, 1), BIG, jnp.int32)
+                    best_k = jnp.zeros((T, 1), jnp.int32)
+                    found = jnp.zeros((T, 1), bool)
+                    for k in range(KB):
+                        m = satb[k] & ((packed ^ bobs_t[k]) == hub_cand)
+                        mv = jnp.min(jnp.where(m, vids, BIG), axis=1,
+                                     keepdims=True)
+                        hit = ~found & (mv < BIG)
+                        best_v = jnp.where(hit, mv, best_v)
+                        best_k = jnp.where(hit, k, best_k)
+                        found = found | hit
+                    hub_pv, hub_pk = hubp
+                    hub_pv = jnp.where(adopted_b, best_v, hub_pv)
+                    hub_pk = jnp.where(adopted_b, best_k, hub_pk)
+                    hubp = (hub_pv, hub_pk)
+                return (new, from_, hubp,
                         jnp.any(adopted) | jnp.any(adopted_b))
 
             # the adoption forest PERSISTS across rounds: a vertex that
             # adopted in an earlier round and kept its label this round
             # is still an interior tree node, not a root
-            packed, from_, _ = jax.lax.while_loop(
-                lambda s: s[2], prop_body,
-                (packed, from0, jnp.bool_(True)))
+            packed, from_, hubp, _ = jax.lax.while_loop(
+                lambda s: s[3], prop_body,
+                (packed, from0, hubp0, jnp.bool_(True)))
             # the hub never rakes or spreads — pin it to root status
             from_ = jnp.where(hub_col, -1, from_)
             comp = packed >> L
@@ -563,19 +600,65 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
                 (root_val, jnp.bool_(True)))
 
             cont = jnp.any(act != 0) & grew & (i + 1 < max_rounds)
-            return (packed, sups, supbs, act, from_, cont, i + 1)
+            return (packed, sups, supbs, act, from_, hubp, cont, i + 1)
 
         packed0 = (jax.lax.broadcasted_iota(jnp.int32, (T, V), 1)
                    << L)
         sups0 = tuple(jnp.zeros((T, V), jnp.int32) for _ in range(O))
         supbs0 = tuple(jnp.zeros((T, V), jnp.int32) for _ in range(KB))
+        hubp0 = (jnp.full((T, 1), -1, jnp.int32),
+                 jnp.zeros((T, 1), jnp.int32))
         state = (packed0, sups0, supbs0, defect,
-                 jnp.full((T, V), -1, jnp.int32),
+                 jnp.full((T, V), -1, jnp.int32), hubp0,
                  jnp.any(defect != 0), jnp.int32(0))
-        packed, _, _, act, _, _, _ = jax.lax.while_loop(
-            lambda s: s[5], round_body, state)
+        packed, _, _, act, from_, hubp, _, _ = jax.lax.while_loop(
+            lambda s: s[6], round_body, state)
         out_packed[:] = packed
         out_act[:] = act
+
+        # -- resolve spilled lane chunks: XOR-spread each chunk's edge
+        #    bits root-to-leaf down the final adoption forest
+        if NC:
+            hub_pv, hub_pk = hubp
+            hub_sel = vids == hub_pv          # [T, V], exactly one col
+            for c in range(NC):
+                up_tabs = [_shift_up(cE_t[c][o], d, 0)
+                           for o, d in enumerate(deltas)]
+                cb_sel = jnp.zeros((T, V), jnp.int32)
+                for k in range(KB):
+                    cb_sel = jnp.where(hub_pk == k,
+                                       jnp.broadcast_to(cB_t[c][k],
+                                                        (T, V)),
+                                       cb_sel)
+
+                def chunk_body(cstate, c=c, up_tabs=up_tabs,
+                               cb_sel=cb_sel):
+                    val, _ = cstate
+                    pv = jnp.zeros((T, V), jnp.int32)
+                    for o, d in enumerate(deltas):
+                        pv = jnp.where(from_ == o,
+                                       _shift_dn(val, d, 0)
+                                       ^ cE_t[c][o], pv)
+                        pv = jnp.where(from_ == O + o,
+                                       _shift_up(val, d, 0)
+                                       ^ up_tabs[o], pv)
+                    for k in range(KB):
+                        pv = jnp.where(from_ == 2 * O + k,
+                                       hub_of(val) ^ cB_t[c][k], pv)
+                    new = jnp.where(from_ >= 0, pv, 0)
+                    # the hub's own path value goes through its recorded
+                    # boundary provider (k*, v*)
+                    vhub = (jnp.sum(jnp.where(hub_sel, val ^ cb_sel, 0),
+                                    axis=1, keepdims=True))
+                    new = jnp.where(hub_col & (hub_pv >= 0),
+                                    jnp.broadcast_to(vhub, new.shape),
+                                    new)
+                    return new, jnp.any(new != val)
+
+                val, _ = jax.lax.while_loop(
+                    lambda s: s[1], chunk_body,
+                    (jnp.zeros((T, V), jnp.int32), jnp.bool_(True)))
+                out_chunks[c][:] = val
 
     row = pl.BlockSpec((T, V), lambda i: (i, 0))
     table = pl.BlockSpec((1, V), lambda i: (0, 0))
@@ -585,6 +668,11 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
                  + [jnp.asarray(bmask_np[k][None, :]) for k in range(KB)]
                  + [jnp.asarray(bwt_np[k][None, :]) for k in range(KB)]
                  + [jnp.asarray(bobs_np[k][None, :]) for k in range(KB)])
+    for c in range(NC):
+        tables_in.extend(jnp.asarray(cE_np[c][o][None, :])
+                         for o in range(O))
+        tables_in.extend(jnp.asarray(cB_np[c][k][None, :])
+                         for k in range(KB))
 
     def run(defect):
         B = defect.shape[0]
@@ -592,12 +680,13 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[row] + [table] * (3 * O + 3 * KB),
-            out_specs=[row, row],
-            out_shape=[jax.ShapeDtypeStruct((B, V), jnp.int32)] * 2,
+            in_specs=[row] + [table] * len(tables_in),
+            out_specs=[row] * (2 + NC),
+            out_shape=[jax.ShapeDtypeStruct((B, V), jnp.int32)]
+            * (2 + NC),
             interpret=interpret,
         )(defect, *tables_in)
-        return outs[0], outs[1]
+        return outs[0], outs[1], tuple(outs[2:])
 
     return run
 
@@ -649,7 +738,7 @@ def decode_stencil_pallas_full(dg, detectors, tile: int = 64,
                             interpret=interpret)
     defect = jnp.concatenate(
         [dets.astype(jnp.int32) & 1, jnp.zeros((B, 1), jnp.int32)], axis=1)
-    packed, act = step(defect)
+    packed, act, chunk_vals = step(defect)
 
     bmask_lanes = jnp.int32((1 << L) - 1)
     broot = packed[:, bn] >> L
@@ -658,8 +747,20 @@ def decode_stencil_pallas_full(dg, detectors, tile: int = 64,
     masked = jnp.where(defect.astype(bool), packed & bmask_lanes, 0)
     tot = jax.lax.reduce(masked, jnp.int32(0), jax.lax.bitwise_xor, (1,))
     tot = tot ^ jnp.where(bc_odd == 1, packed[:, bn] & bmask_lanes, 0)
-    labels = tuple((tot >> off) & mask
-                   for off, mask in zip(dg.lane_offsets, dg.lane_masks))
+    packed_ids = dg.packed_lane_ids or tuple(range(len(dg.lane_offsets)))
+    n_lanes = len(packed_ids) + sum(len(c.lane_ids) for c in st.chunks)
+    by_id: list = [None] * n_lanes
+    for lane_id, off, mask in zip(packed_ids, dg.lane_offsets,
+                                  dg.lane_masks):
+        by_id[lane_id] = (tot >> off) & mask
+    for c, val in zip(st.chunks, chunk_vals):
+        vmasked = jnp.where(defect.astype(bool), val, 0)
+        ctot = jax.lax.reduce(vmasked, jnp.int32(0),
+                              jax.lax.bitwise_xor, (1,))
+        ctot = ctot ^ jnp.where(bc_odd == 1, val[:, bn], 0)
+        for lane_id, off, mask in zip(c.lane_ids, c.offsets, c.masks):
+            by_id[lane_id] = (ctot >> off) & mask
+    labels = tuple(by_id)
     converged = ~jnp.any(act != 0, axis=1)
     labels = tuple(lab[:B0] for lab in labels)
     converged = converged[:B0]
@@ -681,6 +782,8 @@ def decode_stencil_pallas_fused(dg, detectors, tile: int = 128,
     st = dg.stencil
     if st is None or dg.pack_shift is None:
         raise ValueError("pallas decode requires a stencil-eligible graph")
+    if st.chunks:
+        raise ValueError("spilled lanes need decode_stencil_pallas_full")
     dets = jnp.asarray(detectors)
     B0 = dets.shape[0]
     T = max(8, (min(tile, B0) // 8) * 8)
@@ -751,6 +854,8 @@ def decode_stencil_pallas(dg, detectors, tile: int = 256,
     st = dg.stencil
     if st is None or dg.pack_shift is None:
         raise ValueError("pallas decode requires a stencil-eligible graph")
+    if st.chunks:
+        raise ValueError("spilled lanes need decode_stencil_pallas_full")
     dets = jnp.asarray(detectors)
     B0 = dets.shape[0]
     T = max(8, (min(tile, B0) // 8) * 8)

@@ -242,3 +242,32 @@ class TestPallasStencilKernels:
         labs, conv = decode_stencil_pallas_full(dg, syn, interpret=True)
         np.testing.assert_array_equal(np.asarray(labs[0]) & 1, par)
         assert bool(np.all(np.asarray(conv)))
+
+    def test_spilled_chunk_lane_bit_identical(self):
+        """Lane spilling (`spill_lanes=True`): a lane decoded from the
+        packed word and ITS DUPLICATE decoded via the chunk down-spread
+        must agree bit-for-bit in the same decode — the chunk spread
+        reconstructs exactly the forest-path XORs the packed word
+        carries."""
+        from qcss_tpu.decode.device_uf import build_device_graph
+        from qcss_tpu.decode.device_uf_pallas import \
+            decode_stencil_pallas_full
+        from qcss_tpu.decode.streaming import _window_graph
+
+        code = surface_code(5)
+        h = np.asarray(code.raw_parity_check_c2, np.uint8)
+        lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+        g, meta = _window_graph(h, lz, 8, True, None, None)
+        kind, sl = meta[:, 0], meta[:, 1]
+        carry = np.where((kind == 1) & (sl == 3),
+                         np.int64(1) << meta[:, 2], 0)
+        dg = build_device_graph(g, extra_lanes=(carry, carry),
+                                spill_lanes=True)
+        assert dg.packed_lane_ids == (0, 1)
+        assert dg.stencil.chunks[0].lane_ids == (2,)
+        rng = np.random.default_rng(9)
+        dets = (rng.random((128, g.num_nodes)) < 0.02).astype(np.uint8)
+        labs, conv = decode_stencil_pallas_full(dg, dets, interpret=True)
+        np.testing.assert_array_equal(np.asarray(labs[1]),
+                                      np.asarray(labs[2]))
+        assert bool(np.all(np.asarray(conv)))
