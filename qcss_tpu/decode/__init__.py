@@ -34,6 +34,7 @@ from qcss_tpu.decode.device_uf import DeviceUFDecoder, make_obs_decoder
 from qcss_tpu.decode.device_streaming import (
     DeviceStreamingDecoder,
     stream_memory_rate,
+    stream_memory_rate_dem,
 )
 from qcss_tpu.decode.dem2 import TwoSectorDEM, build_two_sector_dem
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
@@ -65,6 +66,7 @@ __all__ = [
     "make_obs_decoder",
     "DeviceStreamingDecoder",
     "stream_memory_rate",
+    "stream_memory_rate_dem",
     "TwoSectorDEM",
     "build_two_sector_dem",
     "MWPMDecoder",

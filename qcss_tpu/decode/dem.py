@@ -163,3 +163,78 @@ def extraction_gate_list(code, checks=None):
         for j in np.nonzero(checks[i])[0]:
             gates.append((int(j), int(i)))
     return gates
+
+
+def circuit_level_window_graph(h, extraction_gates, window: int,
+                               commit: int, p_gate2: float = 0.0,
+                               p_meas: float = 0.0, p_reset: float = 0.0,
+                               logicals=None):
+    """Mid-stream sliding-window DEM graph over ``window`` detector
+    slices (time-invariant — one graph serves every mid window).
+
+    Partition rule: an edge belongs to the window whose coordinate
+    system puts its EARLIEST detector in the commit region [0, commit)
+    — every stream edge is decided exactly once. Edges with early slice
+    < commit and late slice == commit are COMMITTED now (their
+    observable counts) and toggle the late-endpoint detector of the
+    next window (a carry defect) so the chain continues with full
+    context. Fault signatures extending past the window's last slice
+    truncate to open-future boundary edges — the unseen tail is
+    re-decoded by a later window via the carry. All crossing edges land
+    exactly on next-window slice 0 because every single-fault signature
+    in `_round_faults` spans <= 1 slice between endpoints (the reset
+    species starts at delta 1).
+
+    Returns (graph, committed_obs [E] uint32, carry_check [E] int32,
+    -1 = not crossing). Requires commit <= window - 2 so committed
+    edges are never truncated (their signatures end by slice commit)."""
+    if not 1 <= commit <= window - 2:
+        raise ValueError("need 1 <= commit <= window - 2 for DEM windows")
+    h = np.asarray(h, dtype=np.uint8) & 1
+    r, n = h.shape
+    obs = _column_obs_masks(np.asarray(logicals, dtype=np.uint8) & 1)
+    per_round = _round_faults(h, extraction_gates, p_gate2, p_meas,
+                              p_reset)
+
+    merged: dict[tuple, list] = {}
+    for t in range(window):
+        for sig, qubit, prob, _needs in per_round:
+            full = sorted((t + delta, c) for delta, c in sig)
+            visible = [(s, c) for s, c in full if s <= window - 1]
+            if not visible:
+                continue
+            early = visible[0][0]
+            committed = early < commit
+            obs_val = (int(obs[qubit]) if qubit >= 0 else 0)
+            carry = -1
+            if committed and len(visible) == 2 and visible[1][0] == commit:
+                carry = visible[1][1]
+            dets = tuple(s * r + c for s, c in visible)
+            cur = merged.get(dets)
+            if cur is None:
+                merged[dets] = [prob, obs_val if committed else 0,
+                                committed, carry]
+            else:
+                if committed and cur[2] and cur[1] != obs_val:
+                    raise ValueError(
+                        f"window signature {dets} maps to conflicting "
+                        "logical effects; code distance < 3?")
+                cur[0] += prob
+    edges, eobs, carries, probs = [], [], [], []
+    for dets, (prob, obs_val, _committed, carry) in merged.items():
+        if len(dets) > 2:
+            raise ValueError(f"non-matchable window signature {dets}")
+        edges.append((dets[0], dets[1] if len(dets) == 2 else -1))
+        eobs.append(obs_val)
+        carries.append(carry)
+        probs.append(min(prob, 0.499))
+    graph = MatchingGraph(
+        num_nodes=window * r,
+        edges=np.asarray(edges, dtype=np.int32).reshape(-1, 2),
+        edge_qubit=np.zeros(len(edges), dtype=np.int32),
+        edge_obs=np.asarray(eobs, dtype=np.uint32),
+        n_qubits=n,
+        edge_weight=weights_from_probs(probs),
+    )
+    return graph, np.asarray(eobs, np.uint32), np.asarray(carries,
+                                                         np.int32)

@@ -65,16 +65,73 @@ class DeviceStreamingDecoder:
         kind, sl = meta[:, 0], meta[:, 1]
         committed_obs = np.where(
             (kind == 0) & (sl < commit), g.edge_obs & 1, 0).astype(np.int64)
-        # carry bits split across ceil(r/30) lanes of <= 30 bits each
+        carry_check = np.where((kind == 1) & (sl == commit - 1),
+                               meta[:, 2], -1).astype(np.int32)
+        self._setup(g, committed_obs, carry_check)
+
+        def final_builder(slices):
+            return _window_graph(self.h, self._logicals, slices, False,
+                                 *self._probs)[0]
+
+        self._final_builder = final_builder
+        self._final: dict[int, object] = {}
+
+    @classmethod
+    def from_dem(cls, h, logicals, extraction_gates=None, *,
+                 window: int = 8, commit: int = 4,
+                 p_gate2: float = 0.0, p_meas: float = 0.0,
+                 p_reset: float = 0.0):
+        """Circuit-level streaming: sliding windows over the exact
+        single-fault DEM of the extraction circuit (diagonal hook edges
+        and all — `dem.circuit_level_window_graph`). The commit rule is
+        unchanged: crossing edges all land on next-window slice 0, so
+        the same carry-defect lanes drive the window stepping."""
+        from qcss_tpu.decode.dem import (circuit_level_graph,
+                                         circuit_level_window_graph)
+
+        self = object.__new__(cls)
+        self.h = np.asarray(h, dtype=np.uint8) & 1
+        self.r = self.h.shape[0]
+        self.window = window
+        self.commit = commit
+        self._logicals = np.asarray(logicals, dtype=np.uint8) & 1
+        if self._logicals.shape[0] != 1:
+            raise ValueError("device streaming supports one observable")
+        if extraction_gates is None:
+            gates = []
+            for i in range(self.h.shape[0]):
+                for j in np.nonzero(self.h[i])[0]:
+                    gates.append((int(j), int(i)))
+            extraction_gates = gates
+        g, committed_obs, carry_check = circuit_level_window_graph(
+            self.h, extraction_gates, window, commit,
+            p_gate2=p_gate2, p_meas=p_meas, p_reset=p_reset,
+            logicals=self._logicals)
+        self._setup(g, committed_obs.astype(np.int64), carry_check)
+
+        def final_builder(slices):
+            return circuit_level_graph(
+                self.h, extraction_gates, rounds=slices - 1,
+                p_gate2=p_gate2, p_meas=p_meas, p_reset=p_reset,
+                logicals=self._logicals)
+
+        self._final_builder = final_builder
+        self._final = {}
+        return self
+
+    def _setup(self, g, committed_obs, carry_check):
+        """Build the mid-window device graph: lane 0 = committed-region
+        obs; carry bits (crossing edges' next-window checks) split
+        across ceil(r/30) lanes of <= 30 bits each (spilled to chunk
+        tables on TPU when they exceed the packed word)."""
         self._n_carry = -(-self.r // 30)
         lanes = []
         for li in range(self._n_carry):
             lo, hi = 30 * li, min(30 * (li + 1), self.r)
-            in_lane = (kind == 1) & (sl == commit - 1) & (
-                meta[:, 2] >= lo) & (meta[:, 2] < hi)
+            in_lane = (carry_check >= lo) & (carry_check < hi)
             lanes.append(np.where(
-                in_lane, np.int64(1) << (meta[:, 2] - lo), 0))
-        # lane 0 = committed-region obs (not the full obs); rest = carry
+                in_lane,
+                np.int64(1) << np.maximum(carry_check - lo, 0), 0))
         g_committed = g.__class__(
             num_nodes=g.num_nodes, edges=g.edges, edge_qubit=g.edge_qubit,
             edge_obs=committed_obs.astype(np.uint32), n_qubits=g.n_qubits,
@@ -82,13 +139,11 @@ class DeviceStreamingDecoder:
         self._mid = build_device_graph(g_committed, extra_lanes=tuple(lanes),
                                        spill_lanes=True)
         self._mid_fn = jax.jit(partial(decode_labels, self._mid))
-        self._final: dict[int, object] = {}
 
     def _final_fn(self, slices: int):
         fn = self._final.get(slices)
         if fn is None:
-            g, _ = _window_graph(self.h, self._logicals, slices, False,
-                                 *self._probs)
+            g = self._final_builder(slices)
             fn = jax.jit(partial(decode_labels, build_device_graph(g)))
             self._final[slices] = fn
         return fn
@@ -215,6 +270,100 @@ def stream_memory_rate(h, logicals, p, q, *, rounds: int, batch: int,
     if not bool(jnp.all(conv)):
         raise RuntimeError("growth cap hit")
     par = gf2_jax.mod2_matmul(cum, lz.T)[:, 0]
+    fails = int(jnp.sum((obs & 1).astype(jnp.int32) ^ par.astype(jnp.int32)))
+    return {
+        "logical_fail": fails / batch,
+        "rounds": rounds,
+        "samples": batch,
+        "window": window,
+        "commit": commit,
+    }
+
+
+def stream_memory_rate_dem(code, noise, *, rounds: int, batch: int,
+                           window: int = 8, commit: int = 4,
+                           seed: int = 0) -> dict[str, float]:
+    """Unbounded-round CIRCUIT-LEVEL Z-memory, sampled AND decoded on
+    device with O(window) state: Pauli-frame sampling of the real
+    extraction circuit (same physics and per-round key split as
+    `experiments.memory._memory_circuit_frames`) interleaved with
+    sliding-window decodes on the exact single-fault DEM
+    (`DeviceStreamingDecoder.from_dem`). The DEM covers the
+    p_gate2/p_meas/p_reset species; idle noise, if enabled, is sampled
+    but not modeled in the decoder's graph."""
+    from qcss_tpu.decode.dem import extraction_gate_list
+    from qcss_tpu.experiments import memory as M
+    from qcss_tpu.ops import gf2_jax
+    from qcss_tpu.sim import frame as fr
+
+    raw = np.asarray(code.raw_parity_check_c2, np.uint8) & 1
+    lz = jnp.asarray(np.asarray(code.z_operator_matrix(), np.uint8) & 1)
+    r = raw.shape[0]
+    n = code.n
+    gates = extraction_gate_list(code, raw)
+    dec = DeviceStreamingDecoder.from_dem(
+        raw, code.z_operator_matrix(), gates, window=window,
+        commit=commit, p_gate2=noise.p_gate2, p_meas=noise.p_meas,
+        p_reset=noise.p_reset)
+    W, C = window, commit
+    if rounds < W:
+        raise ValueError("need rounds >= window")
+    ext = tuple(map(jnp.asarray, M.z_extraction_circuit(
+        code, checks=raw).to_arrays()))
+    comp = fr.maybe_compile(ext, n + r)
+    anc = jnp.arange(n, n + r, dtype=jnp.int32)
+    data = jnp.arange(n, dtype=jnp.int32)
+    raw_j = jnp.asarray(raw, jnp.uint8)
+
+    @partial(jax.jit, static_argnames=("m",))
+    def sample_chunk(f, prev_syn, key, m):
+        def body(carry, k):
+            f, prev = carry
+            k1, _k2, k3, k4 = jax.random.split(k, 4)
+            if comp is not None:
+                f = fr.run_compiled_noisy(f, comp, noise, k1)
+            else:
+                f = fr.run_arrays_noisy(f, *ext, noise, k1)
+            f, syn = fr.measure_deviations(f, anc, k3, noise.p_meas)
+            f = fr.reset_qubits(f, anc, k4)
+            return (f, syn), syn ^ prev
+        keys = jax.random.split(key, m)
+        (f, prev_syn), dets = jax.lax.scan(body, (f, prev_syn), keys)
+        return f, prev_syn, jnp.moveaxis(dets, 0, 1)  # [B, m, r]
+
+    window_step = jax.jit(dec.window_step)
+
+    key = jax.random.key(seed)
+    f = fr.zero_frames(batch, n + r)
+    prev = jnp.zeros((batch, r), jnp.uint8)
+    obs = jnp.zeros(batch, jnp.int32)
+    carry = jnp.zeros((batch, r), jnp.uint8)
+
+    key, k0 = jax.random.split(key)
+    f, prev, buf = sample_chunk(f, prev, k0, W)
+    sampled = W
+    while sampled < rounds:
+        m = min(C, rounds - sampled)
+        if m < C:
+            break  # tail handled by the final window below
+        obs, carry, conv = window_step(buf, carry, obs)
+        key, kc = jax.random.split(key)
+        f, prev, fresh = sample_chunk(f, prev, kc, C)
+        buf = jnp.concatenate([buf[:, C:], fresh], axis=1)
+        sampled += C
+    tail = rounds - sampled
+    if tail:
+        key, kt = jax.random.split(key)
+        f, prev, fresh = sample_chunk(f, prev, kt, tail)
+        buf = jnp.concatenate([buf, fresh], axis=1)
+    # perfect final readout of the data deviations
+    _, word = fr.measure_deviations(f, data)
+    final_slice = (gf2_jax.syndromes_dense(word, raw_j) ^ prev)[:, None, :]
+    buf = jnp.concatenate([buf, final_slice], axis=1)
+    obs, conv = dec.final_step(buf, carry, obs, int(buf.shape[1]))
+    if not bool(jnp.all(conv)):
+        raise RuntimeError("growth cap hit")
+    par = gf2_jax.mod2_matmul(word, lz.T)[:, 0]
     fails = int(jnp.sum((obs & 1).astype(jnp.int32) ^ par.astype(jnp.int32)))
     return {
         "logical_fail": fails / batch,

@@ -430,9 +430,11 @@ def decode_labels(dg: DeviceGraph, detectors):
                 decode_stencil_pallas_full, pick_tile,
             )
 
-            V = dg.num_nodes + 1
-            return decode_stencil_pallas_full(dg, detectors,
-                                              tile=pick_tile(V))
+            st = dg.stencil
+            tile = pick_tile(dg.num_nodes + 1, O=len(st.deltas),
+                             KB=int(st.bmask.shape[0]),
+                             NC=len(st.chunks))
+            return decode_stencil_pallas_full(dg, detectors, tile=tile)
         if dg.stencil.chunks:
             # spilled lanes are resolved only by the Mosaic full kernel;
             # off-TPU, the unpacked kernel decodes every lane directly

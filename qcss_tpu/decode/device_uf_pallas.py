@@ -691,14 +691,18 @@ def make_full_kernel(st, L, bn, V, T, max_rounds, interpret=False):
     return run
 
 
-def pick_tile(V: int, budget_bytes: int = 16 << 20) -> int:
+def pick_tile(V: int, O: int = 4, KB: int = 2, NC: int = 0,
+              budget_bytes: int = 14 << 20) -> int:
     """Largest batch tile whose whole-decode VMEM footprint fits the
-    Mosaic scoped-vmem budget. ~40 live [T, V] i32 arrays at the fused
-    kernel's peak (state + per-offset temporaries + double buffering);
-    measured: V=721 OOMs at T=128 and fits at T=64, V=193 fits at
-    T=128."""
-    t = budget_bytes // (V * 4 * 64)
-    for tile in (128, 64, 32, 16, 8):
+    Mosaic scoped-vmem budget. Peak live [T, V] i32 arrays fit
+    8 + 8*O + 4*KB + 3*NC (state + per-offset temporaries + double
+    buffering) — calibrated against the compiler's scoped-vmem numbers:
+    (V=721, O=4, KB=2): 48 arrays, OOM at T=128, fits T=64;
+    (V=481, O=7, KB=1, NC=2): 74 arrays = 18.41M at T=128;
+    (V=193, O=4, KB=3, NC=1): 55 arrays, fits T=128."""
+    arrays = 8 + 8 * O + 4 * KB + 3 * NC
+    t = budget_bytes // (V * 4 * arrays)
+    for tile in (128, 96, 64, 48, 32, 16, 8):
         if t >= tile:
             return tile
     return 8

@@ -86,3 +86,67 @@ def test_wide_code_multi_lane_carry():
     assert agree > 0.9, agree
     fail_d = np.mean((obs_d & 1) != par)
     assert fail_d < 0.2, fail_d
+
+
+def test_dem_streaming_matches_whole_history():
+    """Circuit-level sliding windows (`DeviceStreamingDecoder.from_dem`)
+    must be statistically interchangeable with whole-history device
+    decoding of the same DEM-sampled shots. The commit rule carries over
+    unchanged because every DEM fault signature spans <= 1 slice between
+    endpoints — crossing edges all land on next-window slice 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from qcss_tpu.decode.dem import (circuit_level_graph,
+                                     extraction_gate_list)
+    from qcss_tpu.decode.device_uf import DeviceUFDecoder
+    from qcss_tpu.experiments import memory as M
+    from qcss_tpu.ops import gf2_jax
+    from qcss_tpu.sim import frame as fr
+    from qcss_tpu.sim.noise import NoiseModel
+
+    d, R, B = 3, 20, 512
+    code = rotated_surface(d)
+    raw = code.raw_parity_check_c2
+    logicals = code.z_operator_matrix()
+    noise = NoiseModel(p_gate2=3e-3, p_meas=1.5e-2)
+    gates = extraction_gate_list(code, raw)
+    graph = circuit_level_graph(raw, gates, R, p_gate2=noise.p_gate2,
+                                p_meas=noise.p_meas, logicals=logicals)
+    ext = tuple(map(jnp.asarray, M.z_extraction_circuit(
+        code, checks=raw).to_arrays()))
+    comp = fr.maybe_compile(ext, code.n + raw.shape[0])
+    syns, word = M._memory_circuit_frames(
+        jax.random.key(7), B, R, code, noise, ext, n_anc=raw.shape[0],
+        extract_comp=comp)
+    raw_j = jnp.asarray(raw, jnp.uint8)
+    from qcss_tpu.decode.spacetime import detector_history
+    final = gf2_jax.syndromes_dense(word, raw_j)
+    dets = np.asarray(detector_history(syns, final))
+    par = (np.asarray(word) @ np.asarray(logicals[0])) & 1
+
+    _, obs_wh = DeviceUFDecoder(graph).decode_batch(dets)
+    wh = np.asarray(obs_wh) & 1
+    dec = DeviceStreamingDecoder.from_dem(
+        raw, logicals, gates, window=8, commit=4,
+        p_gate2=noise.p_gate2, p_meas=noise.p_meas)
+    st = np.asarray(dec.decode_stream(
+        dets.reshape(B, R + 1, raw.shape[0]))) & 1
+    fail_wh = np.mean(wh != par)
+    fail_st = np.mean(st != par)
+    assert abs(fail_wh - fail_st) < 0.02, (fail_wh, fail_st)
+    assert np.mean(wh == st) > 0.97
+
+
+def test_dem_stream_memory_rate_smoke():
+    """Fused circuit-level streaming harness: sample (frames) + windowed
+    DEM decode, O(window) state; failure rate in the whole-history
+    ballpark at d=3."""
+    from qcss_tpu.decode.device_streaming import stream_memory_rate_dem
+    from qcss_tpu.sim.noise import NoiseModel
+
+    code = rotated_surface(3)
+    res = stream_memory_rate_dem(
+        code, NoiseModel(p_gate2=3e-3, p_meas=1.5e-2),
+        rounds=12, batch=512, window=8, commit=4, seed=5)
+    assert 0.0 <= res["logical_fail"] < 0.05, res
