@@ -1,0 +1,134 @@
+"""BP(+OSD) qLDPC decoder benchmark.
+
+Measures the device belief-propagation decoder (`decode.bp`) on the
+bivariate-bicycle memories it exists for: code-capacity throughput and
+accuracy per code, and the phenomenological spacetime Tanner decode
+(R = d rounds with measurement noise). The reference has no qLDPC path
+at all (its decoder is the emitted syndrome-table scan, reference:
+css_code.py:649-685, exponential in checks and k=1-only), so these rows
+are beyond-parity capability; the baseline of note is the host OSD-0
+fallback fraction — the device handles the bulk of the batch.
+
+Prints JSON lines:
+  {"bench": "bp_code_capacity", "code": .., "p": .., "shots_per_sec": ..,
+   "word_fail": .., "bp_converged": ..}
+  {"bench": "bp_spacetime", "code": .., "rounds": .., ...}
+
+TPU timing discipline (CLAUDE.md): host-fence every rep, double warm-up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcss_tpu.codes import families
+from qcss_tpu.decode.bp import BPDecoder, spacetime_tanner
+from qcss_tpu.ops import gf2_jax
+
+CODES = {
+    "bb72": families.bb72,
+    "bb90": families.bb90,
+    "bb144": families.bb144,
+    "bb288": families.bb288,
+}
+
+
+def _time_decode(dec: BPDecoder, syn: np.ndarray, reps: int) -> float:
+    """Median decode seconds over `reps`, device part host-fenced."""
+    syn_j = jnp.asarray(syn, jnp.uint8)
+    for _ in range(2):  # double warm-up (tunnel staleness, CLAUDE.md)
+        e, conv, _ = dec._run(syn_j)
+        int(jnp.sum(e.astype(jnp.int32))), int(jnp.sum(conv))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        e, conv, _ = dec._run(syn_j)
+        int(jnp.sum(e.astype(jnp.int32))) + int(jnp.sum(conv))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_code_capacity(name: str, p: float, batch: int, iters: int,
+                        reps: int, seed: int) -> dict:
+    code = CODES[name]()
+    h2 = code.redundant_parity_check_c2
+    lz = code.z_operator_matrix()
+    rng = np.random.default_rng(seed)
+    errs = (rng.random((batch, code.n)) < 2.0 * p / 3.0).astype(np.uint8)
+    syn = (errs @ h2.T) & 1
+    dec = BPDecoder(h2, 2.0 * p / 3.0, logicals=lz, iters=iters)
+    sec = _time_decode(dec, syn, reps)
+    flips, conv = dec.decode_obs(syn)
+    true_flip = (errs.astype(np.int64) @ lz.T.astype(np.int64)) & 1
+    fail = (flips ^ true_flip).any(axis=1)
+    return {
+        "bench": "bp_code_capacity", "code": name,
+        "n": code.n, "k": code.k, "p": p, "batch": batch, "iters": iters,
+        "shots_per_sec": round(batch / sec, 1),
+        "x_fail": float(fail.mean()),
+        "bp_converged": float(np.asarray(conv).mean()),
+    }
+
+
+def bench_spacetime(name: str, rounds: int, p: float, q: float, batch: int,
+                    iters: int, reps: int, seed: int) -> dict:
+    code = CODES[name]()
+    h2 = code.redundant_parity_check_c2
+    tan, priors, obs, _ = spacetime_tanner(
+        h2, rounds, p, q, logicals=code.z_operator_matrix())
+    dec = BPDecoder(tan, priors, logicals=obs, iters=iters)
+    rng = np.random.default_rng(seed)
+    ev = (rng.random((batch, tan.shape[1])) < priors[None, :]).astype(np.uint8)
+    syn = (ev @ tan.T) & 1
+    sec = _time_decode(dec, syn, reps)
+    flips, conv = dec.decode_obs(syn)
+    true_flip = (ev.astype(np.int64) @ obs.T.astype(np.int64)) & 1
+    fail = (flips ^ true_flip).any(axis=1)
+    return {
+        "bench": "bp_spacetime", "code": name, "rounds": rounds,
+        "p": p, "q": q, "batch": batch, "iters": iters,
+        "detectors": int(tan.shape[0]), "variables": int(tan.shape[1]),
+        "shots_per_sec": round(batch / sec, 1),
+        "word_fail": float(fail.mean()),
+        "bp_converged": float(np.asarray(conv).mean()),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--codes", default="bb72,bb144")
+    ap.add_argument("--p", type=float, default=0.003)
+    ap.add_argument("--q", type=float, default=0.003)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--spacetime", action="store_true",
+                    help="also run the R=d phenomenological Tanner decode")
+    ap.add_argument("--rounds", type=int, default=0,
+                    help="spacetime rounds (default: the code's distance)")
+    args = ap.parse_args()
+    dists = {"bb72": 6, "bb90": 10, "bb144": 12, "bb288": 18}
+    for name in args.codes.split(","):
+        print(json.dumps(bench_code_capacity(
+            name, args.p, args.batch, args.iters, args.reps, args.seed)),
+            flush=True)
+        if args.spacetime:
+            rounds = args.rounds or dists[name]
+            print(json.dumps(bench_spacetime(
+                name, rounds, args.p, args.q, args.batch, args.iters,
+                args.reps, args.seed)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,16 +89,24 @@ class CSSCode(QECC):
         # locality, which matching decoders (`decode.uf`) rely on.
         raw_1 = h_1.copy()
         raw_2 = h_2.copy()
+        # Net input-order -> internal-order qubit permutation: internal
+        # column c corresponds to input column column_perm[c]. Lets callers
+        # map auxiliary per-qubit data (e.g. a redundant qLDPC check set)
+        # into the code's internal qubit order.
+        perm = np.arange(n_1)
         h_1, swaps = gf2.normalize_parity_check(h_1, offset=0)
         for i, j in swaps:
             gf2.swap_columns(h_2, i, j)
             gf2.swap_columns(raw_1, i, j)
             gf2.swap_columns(raw_2, i, j)
+            perm[i], perm[j] = perm[j], perm[i]
         h_2, swaps = gf2.normalize_parity_check(h_2, offset=r_1)
         for i, j in swaps:
             gf2.swap_columns(h_1, i, j)
             gf2.swap_columns(raw_1, i, j)
             gf2.swap_columns(raw_2, i, j)
+            perm[i], perm[j] = perm[j], perm[i]
+        self.column_perm = perm
 
         self._n = n_1
         self._k = n_1 - r_1 - r_2

@@ -243,3 +243,117 @@ def toric(d: int, **kwargs) -> CSSCode:
     kwargs.setdefault("max_table_weight", 0)
     kwargs["require_k1"] = False
     return CSSCode(h_x, h_z, **kwargs)
+
+
+def _attach_redundant_checks(code: CSSCode, h_x_full, h_z_full) -> CSSCode:
+    """Attach the FULL (rank-deficient) check sets in the code's internal
+    qubit order. BP decoding wants every check — redundant rows add free
+    information — while the CSSCode constructor requires independent rows
+    for standard-form reduction."""
+    perm = code.column_perm
+    code.redundant_parity_check_c1 = np.ascontiguousarray(h_x_full[:, perm])
+    code.redundant_parity_check_c2 = np.ascontiguousarray(h_z_full[:, perm])
+    return code
+
+
+def _from_redundant_checks(h_x, h_z, d: int | None, **kwargs) -> CSSCode:
+    """Build a CSSCode from possibly rank-deficient check sets, keeping the
+    full redundant sets on the instance (see `_attach_redundant_checks`)."""
+    from qcss_tpu.ops import gf2
+
+    h_x_ind = h_x[gf2.row_basis(h_x)]
+    h_z_ind = h_z[gf2.row_basis(h_z)]
+    kwargs.setdefault("t", (d - 1) // 2 if d is not None else 0)
+    kwargs.setdefault("max_table_weight", 0)
+    kwargs["require_k1"] = False
+    code = CSSCode(h_x_ind, h_z_ind, **kwargs)
+    return _attach_redundant_checks(code, h_x, h_z)
+
+
+def bivariate_bicycle(l: int, m: int, a_terms, b_terms, *,
+                      distance: int | None = None, **kwargs) -> CSSCode:
+    """Bivariate bicycle (BB) qLDPC code over Z_l x Z_m (Bravyi et al.,
+    Nature 627, 778 (2024)): data qubits are two lm-blocks, checks are
+
+        H_X = [A | B],   H_Z = [B^T | A^T],
+
+    with A, B sums of monomials x^i y^j (x = S_l ⊗ I_m, y = I_l ⊗ S_m
+    cyclic shifts). A and B commute, so H_X · H_Z^T = AB + BA = 0 and the
+    CSS duality holds for ANY term choice. Terms are (i, j) exponent
+    pairs. No reference analogue — the reference ships no code
+    constructors at all (SURVEY.md §2.5) and is limited to k=1; BB codes
+    are k>1 memory/decoding codes for the BP(+OSD) path (`decode.bp`):
+    weight-6 checks are not matchable, so UF/MWPM do not apply.
+
+    Each check sector has lm rows of rank lm - k/2; the full redundant
+    sets are kept as `redundant_parity_check_c1/c2` (internal qubit
+    order) for BP decoding and syndrome extraction."""
+
+    def shift_mat(size: int, s: int) -> np.ndarray:
+        return np.eye(size, dtype=np.uint8)[:, (np.arange(size) + s) % size]
+
+    def poly(terms) -> np.ndarray:
+        out = np.zeros((l * m, l * m), dtype=np.uint8)
+        for (i, j) in terms:
+            out ^= np.kron(shift_mat(l, i), shift_mat(m, j))
+        return out
+
+    a = poly(a_terms)
+    b = poly(b_terms)
+    h_x = np.concatenate([a, b], axis=1)
+    h_z = np.concatenate([b.T, a.T], axis=1)
+    return _from_redundant_checks(h_x, h_z, distance, **kwargs)
+
+
+def bb72(**kwargs) -> CSSCode:
+    """[[72, 12, 6]] bivariate bicycle code (Bravyi et al. 2024, Table 3):
+    l=6, m=6, A = x^3 + y + y^2, B = y^3 + x + x^2."""
+    return bivariate_bicycle(6, 6, [(3, 0), (0, 1), (0, 2)],
+                             [(0, 3), (1, 0), (2, 0)], distance=6, **kwargs)
+
+
+def bb90(**kwargs) -> CSSCode:
+    """[[90, 8, 10]] bivariate bicycle code: l=15, m=3,
+    A = x^9 + y + y^2, B = 1 + x^2 + x^7."""
+    return bivariate_bicycle(15, 3, [(9, 0), (0, 1), (0, 2)],
+                             [(0, 0), (2, 0), (7, 0)], distance=10, **kwargs)
+
+
+def bb144(**kwargs) -> CSSCode:
+    """[[144, 12, 12]] bivariate bicycle code ("gross code"): l=12, m=6,
+    A = x^3 + y + y^2, B = y^3 + x + x^2."""
+    return bivariate_bicycle(12, 6, [(3, 0), (0, 1), (0, 2)],
+                             [(0, 3), (1, 0), (2, 0)], distance=12, **kwargs)
+
+
+def bb288(**kwargs) -> CSSCode:
+    """[[288, 12, 18]] bivariate bicycle code: l=12, m=12,
+    A = x^3 + y^2 + y^7, B = y^3 + x + x^2."""
+    return bivariate_bicycle(12, 12, [(3, 0), (0, 2), (0, 7)],
+                             [(0, 3), (1, 0), (2, 0)], distance=18, **kwargs)
+
+
+def hypergraph_product(h_a, h_b, *, distance: int | None = None,
+                       **kwargs) -> CSSCode:
+    """Hypergraph-product code of two classical parity checks
+    (Tillich & Zémor 2009): for H_a [r_a, n_a], H_b [r_b, n_b],
+
+        H_X = [H_a ⊗ I_{n_b} | I_{r_a} ⊗ H_b^T]
+        H_Z = [I_{n_a} ⊗ H_b | H_a^T ⊗ I_{r_b}]
+
+    on n = n_a n_b + r_a r_b qubits with k = k_a k_b + k_a^T k_b^T.
+    Duality holds structurally: H_X H_Z^T = H_a ⊗ H_b^T + H_a ⊗ H_b^T = 0.
+    The toric code is the hypergraph product of two cyclic repetition
+    codes; products of good classical LDPC codes give constant-rate qLDPC
+    memories for the BP(+OSD) decoder."""
+    h_a = np.asarray(h_a, dtype=np.uint8) & 1
+    h_b = np.asarray(h_b, dtype=np.uint8) & 1
+    r_a, n_a = h_a.shape
+    r_b, n_b = h_b.shape
+    h_x = np.concatenate([
+        np.kron(h_a, np.eye(n_b, dtype=np.uint8)),
+        np.kron(np.eye(r_a, dtype=np.uint8), h_b.T)], axis=1)
+    h_z = np.concatenate([
+        np.kron(np.eye(n_a, dtype=np.uint8), h_b),
+        np.kron(h_a.T, np.eye(r_b, dtype=np.uint8))], axis=1)
+    return _from_redundant_checks(h_x, h_z, distance, **kwargs)

@@ -37,6 +37,11 @@ from qcss_tpu.decode.device_streaming import (
     stream_memory_rate_dem,
 )
 from qcss_tpu.decode.dem2 import TwoSectorDEM, build_two_sector_dem
+from qcss_tpu.decode.bp import (
+    BPDecoder,
+    bp_logical_error_rate,
+    spacetime_tanner,
+)
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
@@ -69,6 +74,9 @@ __all__ = [
     "stream_memory_rate_dem",
     "TwoSectorDEM",
     "build_two_sector_dem",
+    "BPDecoder",
+    "bp_logical_error_rate",
+    "spacetime_tanner",
     "MWPMDecoder",
     "MWPMOracle",
     "conditional_weights",

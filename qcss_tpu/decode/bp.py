@@ -1,0 +1,329 @@
+"""Batched belief propagation (+ ordered statistics) ON DEVICE — the
+qLDPC decoder.
+
+The matching decoders (`decode.uf`, `decode.mwpm`) require every error
+mechanism to flip at most two checks; LUT decoding (`decode.lut`) is
+exponential in the check count. Neither covers modern qLDPC memories —
+bivariate-bicycle and hypergraph-product codes (`codes.families.bb72`
+etc.), whose weight-6 checks overlap three-fold on every qubit — where
+the industry-standard decoder is BP+OSD. The reference has no analogue
+(its only decoder is the emitted syndrome-table scan, reference:
+css_code.py:649-685, exponential in checks and limited to k=1 codes).
+
+TPU-native formulation
+----------------------
+
+BP is reshaped from the classic sparse message-passing loop into dense
+batched tensor algebra so the MXU/VPU do all the work:
+
+* messages live in a CHECK-MAJOR padded layout ``[B, r, Dc]`` (Dc = max
+  check degree, masked padding) — check updates (min/argmin/sign-parity)
+  are tiny last-axis reductions;
+* variable-side totals are ONE dense matmul per iteration:
+  ``T = lambda + M.reshape(B, r*Dc) @ S`` with S the 0/1 slot-to-variable
+  incidence — a segment-sum expressed as an MXU matmul (scatter-adds
+  serialize on TPU, CLAUDE.md's device-decoder rules);
+* variable-to-check messages are one static gather ``T[:, chk_var] - M``
+  (static-index gathers are the only fast gather on TPU).
+
+The check update is normalized min-sum (factor ``alpha``) with the exact
+min1/min2/argmin exclusion trick; per-shot estimates FREEZE at their
+first syndrome-satisfying iteration (running further can leave it), and
+the batch exits early once every shot has converged via
+``lax.while_loop``. Non-converged shots fall back to host OSD-0 (ordered
+statistics over the final LLRs: most-suspect columns first, one GF(2)
+elimination — Panteleev & Kalachev 2021's BP+OSD in its order-0 form),
+so the device handles the bulk of the batch and the host only the tail,
+preserving the only-failures-cross-the-boundary inversion at operating
+noise.
+
+Works on any binary check matrix: code-capacity (H = a code's redundant
+check set), phenomenological spacetime Tanner graphs
+(`spacetime_tanner`), or externally built detector-error models.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = jnp.float32(1e30)
+
+
+def _check_major_layout(h: np.ndarray):
+    """[r, n] 0/1 matrix -> (chk_var [r, Dc] int32, mask [r, Dc] bool)."""
+    r, n = h.shape
+    deg = h.sum(axis=1).astype(np.int64)
+    dc = int(deg.max())
+    chk_var = np.zeros((r, dc), dtype=np.int32)
+    mask = np.zeros((r, dc), dtype=bool)
+    for c in range(r):
+        sup = np.nonzero(h[c])[0]
+        chk_var[c, : sup.size] = sup
+        mask[c, : sup.size] = True
+    return chk_var, mask
+
+
+class BPDecoder:
+    """Batched normalized-min-sum BP with optional host OSD-0 fallback.
+
+    Parameters
+    ----------
+    h : [r, n] binary check matrix (redundant rows welcome — they help).
+    priors : scalar or [n] prior error probability per variable, in (0, .5).
+    logicals : optional [k, n] binary observable rows; enables
+        `decode_obs`.
+    iters : max BP iterations (the while_loop exits early when every
+        shot in the batch has satisfied its syndrome).
+    alpha : min-sum normalization factor.
+    osd : apply host OSD-0 to non-converged shots in `decode_batch` /
+        `decode_obs` (the device part is unchanged; OSD touches only the
+        tail that BP left unconverged).
+    """
+
+    def __init__(self, h, priors, *, logicals=None, iters: int = 64,
+                 alpha: float = 0.8, osd: bool = True):
+        self.h = np.ascontiguousarray(np.asarray(h, dtype=np.uint8) & 1)
+        self.r, self.n = self.h.shape
+        priors = np.broadcast_to(np.asarray(priors, np.float64), (self.n,))
+        if np.any(priors <= 0.0) or np.any(priors >= 0.5):
+            raise ValueError("priors must lie in (0, 0.5)")
+        self.priors = priors.copy()
+        self.iters = int(iters)
+        self.alpha = float(alpha)
+        self.osd = bool(osd)
+        self.logicals = (None if logicals is None else
+                         np.asarray(logicals, dtype=np.uint8) & 1)
+
+        chk_var, mask = _check_major_layout(self.h)
+        dc = chk_var.shape[1]
+        # Slot -> variable incidence for the matmul segment-sum.
+        scat = np.zeros((self.r * dc, self.n), dtype=np.float32)
+        scat[np.arange(self.r * dc), chk_var.reshape(-1)] = mask.reshape(
+            -1).astype(np.float32)
+        self._chk_var = jnp.asarray(chk_var)
+        self._mask = jnp.asarray(mask)
+        self._scat = jnp.asarray(scat)
+        self._lam = jnp.asarray(
+            np.log((1.0 - priors) / priors), dtype=jnp.float32)
+        self._run = jax.jit(self._bp_run)
+
+    # -- device kernel ---------------------------------------------------
+
+    def _bp_run(self, synd):
+        """synd [B, r] uint8 -> (e_hat [B, n] uint8, conv [B] bool,
+        soft [B, n] f32 final LLR totals for OSD)."""
+        B = synd.shape[0]
+        r, n, dc = self.r, self.n, self._chk_var.shape[1]
+        synd_i = synd.astype(jnp.int32)
+        mask = self._mask
+        chk_var = self._chk_var
+        lam = self._lam
+        slot = jnp.arange(dc, dtype=jnp.int32)
+
+        def totals(m):
+            return lam[None, :] + m.reshape(B, r * dc) @ self._scat
+
+        def check_parities(e):
+            inc = jnp.take(e, chk_var.reshape(-1), axis=1).reshape(B, r, dc)
+            return (jnp.where(mask[None], inc, 0).sum(axis=2) & 1)
+
+        def body(state):
+            m, e_fr, conv, soft, i = state
+            t = totals(m)                                   # [B, n]
+            nmsg = jnp.take(t, chk_var.reshape(-1), axis=1).reshape(
+                B, r, dc) - m                               # [B, r, dc]
+            mag = jnp.where(mask[None], jnp.abs(nmsg), _BIG)
+            neg = jnp.where(mask[None], (nmsg < 0).astype(jnp.int32), 0)
+            par = (neg.sum(axis=2) + synd_i) & 1            # [B, r]
+            sgn = (par[:, :, None] ^ neg) != 0              # True -> negative
+            min1 = mag.min(axis=2)
+            am = mag.argmin(axis=2).astype(jnp.int32)
+            min2 = jnp.where(slot[None, None, :] == am[:, :, None],
+                             _BIG, mag).min(axis=2)
+            val = jnp.where(slot[None, None, :] == am[:, :, None],
+                            min2[:, :, None], min1[:, :, None])
+            m_new = jnp.where(mask[None],
+                              jnp.float32(self.alpha)
+                              * jnp.where(sgn, -val, val), 0.0)
+            t_new = totals(m_new)
+            e = (t_new < 0).astype(jnp.int32)
+            ok = jnp.all(check_parities(e) == synd_i, axis=1)
+            newly = ok & ~conv
+            e_fr = jnp.where(newly[:, None], e, e_fr)
+            soft = jnp.where(newly[:, None], t_new, soft)
+            return m_new, e_fr, conv | ok, soft, i + 1
+
+        def cond(state):
+            _, _, conv, _, i = state
+            return (i < self.iters) & ~jnp.all(conv)
+
+        m0 = jnp.zeros((B, r, dc), jnp.float32)
+        e0 = jnp.zeros((B, n), jnp.int32)
+        conv0 = jnp.zeros((B,), bool)
+        m, e_fr, conv, soft, _ = jax.lax.while_loop(
+            cond, body, (m0, e0, conv0, lam[None, :] * jnp.ones((B, n)),
+                         jnp.int32(0)))
+        # Non-converged shots report their final hard decision + LLRs.
+        t = totals(m)
+        e_fr = jnp.where(conv[:, None], e_fr, (t < 0).astype(jnp.int32))
+        soft = jnp.where(conv[:, None], soft, t)
+        return e_fr.astype(jnp.uint8), conv, soft
+
+    # -- host OSD-0 -------------------------------------------------------
+
+    def _osd0(self, synd: np.ndarray, soft: np.ndarray) -> np.ndarray:
+        """Order-0 ordered-statistics decode: sort columns most-suspect
+        first (ascending LLR), GF(2)-eliminate to the first independent
+        column set, solve with all other variables at 0. Exact given the
+        ordering; O(r^2 n / 64) per shot on bit-packed rows."""
+        out = np.zeros((synd.shape[0], self.n), dtype=np.uint8)
+        words = (self.n + 1 + 63) // 64
+        for bi in range(synd.shape[0]):
+            order = np.argsort(soft[bi], kind="stable")
+            bits = np.concatenate(
+                [self.h[:, order], synd[bi][:, None]], axis=1)
+            bits = np.pad(bits, ((0, 0), (0, words * 64 - bits.shape[1])))
+            aug = np.ascontiguousarray(
+                np.packbits(bits, axis=1, bitorder="little")).view(np.uint64)
+            piv_rows: list[int] = []
+            piv_cols: list[int] = []
+            row = 0
+            for c in range(self.n):
+                w, b = divmod(c, 64)
+                colbit = (aug[row:, w] >> np.uint64(b)) & np.uint64(1)
+                nz = np.nonzero(colbit)[0]
+                if nz.size == 0:
+                    continue
+                pr = row + int(nz[0])
+                if pr != row:
+                    aug[[row, pr]] = aug[[pr, row]]
+                sel = ((aug[:, w] >> np.uint64(b)) & np.uint64(1)).astype(bool)
+                sel[row] = False
+                aug[sel] ^= aug[row]
+                piv_rows.append(row)
+                piv_cols.append(c)
+                row += 1
+                if row == self.r:
+                    break
+            sw, sb = divmod(self.n, 64)
+            e_ord = np.zeros(self.n, dtype=np.uint8)
+            for pr, pc in zip(piv_rows, piv_cols):
+                e_ord[pc] = (aug[pr, sw] >> np.uint64(sb)) & np.uint64(1)
+            out[bi, order] = e_ord
+        return out
+
+    # -- public API --------------------------------------------------------
+
+    def decode_batch(self, synd):
+        """[B, r] syndromes -> ([B, n] uint8 error estimates,
+        [B] bool BP-converged mask). With `osd=True` non-converged shots
+        are replaced by their OSD-0 solution (which always satisfies the
+        syndrome), and the converged mask still reports BP's own reach."""
+        synd = jnp.asarray(synd, jnp.uint8)
+        e_hat, conv, soft = self._run(synd)
+        if not self.osd:
+            return np.asarray(e_hat), np.asarray(conv)
+        conv_np = np.asarray(conv)
+        e_np = np.array(e_hat)  # writable copy — OSD patches the tail in place
+        if not conv_np.all():
+            idx = np.nonzero(~conv_np)[0]
+            e_np[idx] = self._osd0(np.asarray(synd)[idx],
+                                   np.asarray(soft)[idx])
+        return e_np, conv_np
+
+    def decode_obs(self, synd):
+        """[B, r] syndromes -> ([B, k] uint8 observable flips, conv)."""
+        if self.logicals is None:
+            raise ValueError("decoder built without logicals")
+        e_hat, conv = self.decode_batch(synd)
+        return (e_hat.astype(np.int64)
+                @ self.logicals.T.astype(np.int64)) & 1, conv
+
+
+def spacetime_tanner(h, rounds: int, p_data: float, p_meas: float,
+                     logicals=None):
+    """Phenomenological spacetime Tanner graph for BP decoding.
+
+    Matches the physics of `streaming.sample_phenomenological_stream` /
+    `uf.spacetime_graph`: `rounds` noisy extraction rounds (fresh IID
+    data errors at rate ``p_data`` before each, measurement flips at rate
+    ``p_meas``), one final data layer, then a perfect readout slice.
+    Detector (t, c) = syndrome-slice difference; in Tanner form
+
+        D[t] = H · e_t  ^  m_t  ^  m_{t-1}
+
+    with variables e_t (t = 0..rounds, the last the pre-readout layer)
+    and m_t (t = 0..rounds-1). Returns (tanner [R', N'] uint8,
+    priors [N'], obs [k, N'] or None, n_data_vars) with the observable
+    rows acting on every data layer (the decoded flip of L · cumulative
+    error)."""
+    h = np.asarray(h, dtype=np.uint8) & 1
+    r, n = h.shape
+    t_layers = rounds + 1
+    n_data = t_layers * n
+    n_vars = n_data + rounds * r
+    rows = t_layers * r
+    tan = np.zeros((rows, n_vars), dtype=np.uint8)
+    priors = np.empty(n_vars, dtype=np.float64)
+    priors[:n_data] = p_data
+    priors[n_data:] = p_meas
+    for t in range(t_layers):
+        tan[t * r:(t + 1) * r, t * n:(t + 1) * n] = h
+        if t < rounds:  # m_t in D[t]
+            tan[t * r:(t + 1) * r, n_data + t * r:n_data + (t + 1) * r] = (
+                np.eye(r, dtype=np.uint8))
+        if t > 0:       # m_{t-1} in D[t]
+            tan[t * r:(t + 1) * r,
+                n_data + (t - 1) * r:n_data + t * r] = np.eye(
+                    r, dtype=np.uint8)
+    obs = None
+    if logicals is not None:
+        lg = np.asarray(logicals, dtype=np.uint8) & 1
+        obs = np.zeros((lg.shape[0], n_vars), dtype=np.uint8)
+        for t in range(t_layers):
+            obs[:, t * n:(t + 1) * n] = lg
+    return tan, priors, obs, n_data
+
+
+def bp_logical_error_rate(code, p, *, batch: int, seed: int = 0,
+                          iters: int = 64, alpha: float = 0.8,
+                          osd: bool = True) -> dict[str, float]:
+    """Code-capacity Monte-Carlo with BP(+OSD) decoding of both Pauli
+    sectors — `montecarlo.logical_error_rate`'s conventions (X errors
+    checked by C2/Z-type rows against logical Z̄; Z errors by C1/X-type
+    rows against X̄) for codes the LUT cannot reach. Uses the redundant
+    check sets when the code carries them (qLDPC constructors)."""
+    from qcss_tpu.decode.montecarlo import sample_depolarizing
+    from qcss_tpu.ops import gf2_jax
+
+    h1 = getattr(code, "redundant_parity_check_c1", code.parity_check_c1)
+    h2 = getattr(code, "redundant_parity_check_c2", code.parity_check_c2)
+    prior = 2.0 * p / 3.0  # depolarizing: P(X or Y) per qubit
+    dec_x = BPDecoder(h2, prior, logicals=code.z_operator_matrix(),
+                      iters=iters, alpha=alpha, osd=osd)
+    dec_z = BPDecoder(h1, prior, logicals=code.x_operator_matrix(),
+                      iters=iters, alpha=alpha, osd=osd)
+    key = jax.random.key(seed)
+    x_err, z_err = sample_depolarizing(key, batch, code.n, p)
+    syn_x = gf2_jax.syndromes_dense(x_err, jnp.asarray(h2))
+    syn_z = gf2_jax.syndromes_dense(z_err, jnp.asarray(h1))
+    flips_x, conv_x = dec_x.decode_obs(syn_x)
+    flips_z, conv_z = dec_z.decode_obs(syn_z)
+    err_flip_x = (np.asarray(x_err, np.int64)
+                  @ code.z_operator_matrix().T.astype(np.int64)) & 1
+    err_flip_z = (np.asarray(z_err, np.int64)
+                  @ code.x_operator_matrix().T.astype(np.int64)) & 1
+    x_fail = (flips_x ^ err_flip_x).any(axis=1)
+    z_fail = (flips_z ^ err_flip_z).any(axis=1)
+    return {
+        "x_fail": float(x_fail.mean()),
+        "z_fail": float(z_fail.mean()),
+        "word_fail": float((x_fail | z_fail).mean()),
+        "bp_converged": float((np.asarray(conv_x)
+                               & np.asarray(conv_z)).mean()),
+        "samples": batch,
+    }

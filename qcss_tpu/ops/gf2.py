@@ -53,6 +53,30 @@ def rank(mat) -> int:
     return int(np.count_nonzero(reduced.any(axis=1)))
 
 
+def row_basis(mat) -> np.ndarray:
+    """Indices of a maximal linearly independent subset of rows over GF(2).
+
+    Greedy in row order (the first row of every dependent group is kept),
+    so for a redundant check matrix the selected subset preserves the
+    original row semantics. Used by qLDPC constructors whose natural check
+    sets are rank-deficient (e.g. bivariate-bicycle codes, where each
+    sector's lm checks have rank lm - k/2)."""
+    m = _as_gf2(mat)
+    rows, cols = m.shape
+    work = np.zeros((0, cols), dtype=np.uint8)
+    kept: list[int] = []
+    for i in range(rows):
+        v = m[i].copy()
+        for w in work:
+            piv = int(np.argmax(w))
+            if w[piv] and v[piv]:
+                v ^= w
+        if v.any():
+            kept.append(i)
+            work = np.vstack([work, v])
+    return np.asarray(kept, dtype=np.int64)
+
+
 def nullspace(mat) -> np.ndarray:
     """Basis for the right nullspace over GF(2), one vector per row.
 
