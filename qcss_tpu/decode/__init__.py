@@ -40,6 +40,7 @@ from qcss_tpu.decode.dem2 import TwoSectorDEM, build_two_sector_dem
 from qcss_tpu.decode.bp import (
     BPDecoder,
     bp_logical_error_rate,
+    bp_phenomenological_error_rate,
     spacetime_tanner,
 )
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
@@ -76,6 +77,7 @@ __all__ = [
     "build_two_sector_dem",
     "BPDecoder",
     "bp_logical_error_rate",
+    "bp_phenomenological_error_rate",
     "spacetime_tanner",
     "MWPMDecoder",
     "MWPMOracle",

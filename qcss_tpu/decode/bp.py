@@ -289,6 +289,44 @@ def spacetime_tanner(h, rounds: int, p_data: float, p_meas: float,
     return tan, priors, obs, n_data
 
 
+def bp_phenomenological_error_rate(code, rounds: int, p: float, q: float, *,
+                                   batch: int, seed: int = 0,
+                                   iters: int = 64, alpha: float = 0.8,
+                                   osd: bool = True) -> dict[str, float]:
+    """X-sector phenomenological memory with spacetime BP(+OSD) decoding.
+
+    Samples detector histories with `streaming.sample_phenomenological_stream`
+    (IID data-X layers at ``p``, measurement flips at ``q``, perfect final
+    readout) against the code's Z checks, decodes the full history on the
+    spacetime Tanner graph, and scores against the true logical parities.
+    This is the qLDPC counterpart of `uf.uf_phenomenological_error_rate`
+    for codes whose checks are not matchable (BB / hypergraph-product
+    families)."""
+    from qcss_tpu.decode.streaming import sample_phenomenological_stream
+
+    # prefer the full redundant set (qLDPC constructors), else the raw
+    # pre-reduction rows — the standard-form RREF rows are high-weight
+    # and ruin the Tanner graph's sparsity
+    h2 = getattr(code, "redundant_parity_check_c2", None)
+    if h2 is None:
+        h2 = code.raw_parity_check_c2
+    lz = code.z_operator_matrix()
+    tan, priors, obs, _ = spacetime_tanner(h2, rounds, p, q, logicals=lz)
+    dec = BPDecoder(tan, priors, logicals=obs, iters=iters, alpha=alpha,
+                    osd=osd)
+    dets, par = sample_phenomenological_stream(
+        jax.random.key(seed), p, q, batch, rounds, h2, lz)
+    syn = np.asarray(dets, np.uint8).reshape(batch, -1)
+    flips, conv = dec.decode_obs(syn)
+    fail = (flips ^ np.asarray(par, np.uint8)).any(axis=1)
+    return {
+        "x_fail": float(fail.mean()),
+        "bp_converged": float(np.asarray(conv).mean()),
+        "samples": batch,
+        "rounds": rounds,
+    }
+
+
 def bp_logical_error_rate(code, p, *, batch: int, seed: int = 0,
                           iters: int = 64, alpha: float = 0.8,
                           osd: bool = True) -> dict[str, float]:

@@ -18,6 +18,7 @@ from qcss_tpu.codes import families
 from qcss_tpu.decode.bp import (
     BPDecoder,
     bp_logical_error_rate,
+    bp_phenomenological_error_rate,
     spacetime_tanner,
 )
 from qcss_tpu.ops import gf2
@@ -130,6 +131,27 @@ def test_spacetime_tanner_decode():
     # raw per-round flip chance is ~2% over 4 layers; decoded must be well
     # below single-qubit exposure
     assert fail < 0.04
+
+
+def test_phenomenological_bp_surface_matches_uf_physics():
+    """Same sampler, same seed, two decoders: spacetime BP must land in
+    the same regime as spacetime union-find on the d=3 surface code
+    (measured 1.66% vs 2.0% at p=q=1e-2)."""
+    from qcss_tpu.decode.uf import uf_phenomenological_error_rate
+
+    code = families.rotated_surface(3)
+    bp = bp_phenomenological_error_rate(code, 3, 0.01, 0.01,
+                                        batch=2048, seed=0)
+    uf = uf_phenomenological_error_rate(code, 0.01, rounds=3,
+                                        samples=2048, batch=2048, seed=0)
+    assert bp["x_fail"] < 1.8 * uf["logical_fail"] + 0.01
+
+
+def test_phenomenological_bp_bb72():
+    res = bp_phenomenological_error_rate(families.bb72(), 4, 0.004, 0.004,
+                                         batch=1024, seed=1)
+    assert res["x_fail"] < 0.01
+    assert res["bp_converged"] > 0.95
 
 
 def test_priors_validation():
