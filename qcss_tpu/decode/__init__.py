@@ -43,6 +43,11 @@ from qcss_tpu.decode.bp import (
     bp_phenomenological_error_rate,
     spacetime_tanner,
 )
+from qcss_tpu.decode.bp_dem import (
+    CircuitTanner,
+    build_circuit_tanner,
+    circuit_bp_decoder,
+)
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
@@ -79,6 +84,9 @@ __all__ = [
     "bp_logical_error_rate",
     "bp_phenomenological_error_rate",
     "spacetime_tanner",
+    "CircuitTanner",
+    "build_circuit_tanner",
+    "circuit_bp_decoder",
     "MWPMDecoder",
     "MWPMOracle",
     "conditional_weights",

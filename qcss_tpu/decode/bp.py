@@ -82,10 +82,17 @@ class BPDecoder:
     osd : apply host OSD-0 to non-converged shots in `decode_batch` /
         `decode_obs` (the device part is unchanged; OSD touches only the
         tail that BP left unconverged).
+    layout : 'auto' (default), 'dense', or 'gather' — how variable totals
+        are computed ('dense': one MXU matmul against the 0/1 slot
+        incidence; 'gather': per-variable static gathers, the layout for
+        circuit-level Tanner graphs whose dense incidence would not fit).
+        'auto' switches to 'gather' past ~64M incidence entries. The two
+        layouts differ only in f32 summation order.
     """
 
     def __init__(self, h, priors, *, logicals=None, iters: int = 64,
-                 alpha: float = 0.8, osd: bool = True):
+                 alpha: float = 0.8, osd: bool = True,
+                 layout: str = "auto"):
         self.h = np.ascontiguousarray(np.asarray(h, dtype=np.uint8) & 1)
         self.r, self.n = self.h.shape
         priors = np.broadcast_to(np.asarray(priors, np.float64), (self.n,))
@@ -100,13 +107,39 @@ class BPDecoder:
 
         chk_var, mask = _check_major_layout(self.h)
         dc = chk_var.shape[1]
-        # Slot -> variable incidence for the matmul segment-sum.
-        scat = np.zeros((self.r * dc, self.n), dtype=np.float32)
-        scat[np.arange(self.r * dc), chk_var.reshape(-1)] = mask.reshape(
-            -1).astype(np.float32)
         self._chk_var = jnp.asarray(chk_var)
         self._mask = jnp.asarray(mask)
-        self._scat = jnp.asarray(scat)
+        # Variable-side totals: for small graphs ONE dense matmul (slot ->
+        # variable 0/1 incidence ridden by the MXU); past ~64M incidence
+        # entries (circuit-level Tanner graphs: tens of thousands of fault
+        # variables) the dense matrix is quadratically wasteful, so switch
+        # to the transposed layout — per-variable static gathers over the
+        # flattened message table (Dv = max variable degree stays small:
+        # a fault touches few detectors even when a detector sees many
+        # faults).
+        if layout not in ("auto", "dense", "gather"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self._use_gather = (layout == "gather" or (
+            layout == "auto" and self.r * dc * self.n > (1 << 26)))
+        if self._use_gather:
+            var_slots: list[list[int]] = [[] for _ in range(self.n)]
+            flat_vars = chk_var.reshape(-1)
+            flat_mask = mask.reshape(-1)
+            for sl in np.nonzero(flat_mask)[0]:
+                var_slots[int(flat_vars[sl])].append(int(sl))
+            dv = max(1, max(len(s) for s in var_slots))
+            vs = np.zeros((self.n, dv), dtype=np.int32)
+            vm = np.zeros((self.n, dv), dtype=bool)
+            for v, slots in enumerate(var_slots):
+                vs[v, : len(slots)] = slots
+                vm[v, : len(slots)] = True
+            self._var_slot = jnp.asarray(vs)
+            self._var_mask = jnp.asarray(vm)
+        else:
+            scat = np.zeros((self.r * dc, self.n), dtype=np.float32)
+            scat[np.arange(self.r * dc), chk_var.reshape(-1)] = mask.reshape(
+                -1).astype(np.float32)
+            self._scat = jnp.asarray(scat)
         self._lam = jnp.asarray(
             np.log((1.0 - priors) / priors), dtype=jnp.float32)
         self._run = jax.jit(self._bp_run)
@@ -124,8 +157,20 @@ class BPDecoder:
         lam = self._lam
         slot = jnp.arange(dc, dtype=jnp.int32)
 
-        def totals(m):
-            return lam[None, :] + m.reshape(B, r * dc) @ self._scat
+        if self._use_gather:
+            var_slot = self._var_slot
+            var_mask = self._var_mask
+            dv = var_slot.shape[1]
+
+            def totals(m):
+                g = jnp.take(m.reshape(B, r * dc), var_slot.reshape(-1),
+                             axis=1).reshape(B, n, dv)
+                return lam[None, :] + jnp.where(var_mask[None], g, 0.0).sum(
+                    axis=2)
+        else:
+
+            def totals(m):
+                return lam[None, :] + m.reshape(B, r * dc) @ self._scat
 
         def check_parities(e):
             inc = jnp.take(e, chk_var.reshape(-1), axis=1).reshape(B, r, dc)

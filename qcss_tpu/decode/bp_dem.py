@@ -1,0 +1,119 @@
+"""Circuit-level detector-fault Tanner graphs for BP decoding.
+
+`decode.dem` / `decode.dem2` turn the extraction circuit's single-fault
+enumeration into MATCHING graphs, which forces every compound fault
+(an ancilla hook fanning into several data qubits — 3+ detectors) to be
+decomposed into elementary two-detector edges, losing the correlation
+between the pieces. Matchable codes tolerate that; qLDPC codes are not
+matchable at all. This module keeps each fault mechanism as ONE Tanner
+variable with its exact detector signature and its exact multi-logical
+observable effect, and hands the graph to `decode.bp.BPDecoder` — the
+standard circuit-level BP(+OSD) formulation for bivariate-bicycle /
+hypergraph-product memories.
+
+Fault enumeration, propagation, and round-boundary bookkeeping are shared
+with `decode.dem2` (`_RoundCircuit`, `_fault_species`, `_events`): one
+mechanized single-fault pass per species, detector events synthesized per
+occurrence round with the experiment length in hand. Distinct mechanisms
+with identical (detectors, observables) signature merge into one variable
+with XOR-combined probability.
+
+The reference has no circuit-level decoding of any kind — its decoder
+trusts one noisy extraction round (reference: css_code.py:649-685)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from qcss_tpu.decode.dem2 import _RoundCircuit, _events, _fault_species
+
+
+@dataclass(frozen=True)
+class CircuitTanner:
+    """Detector-fault incidence of one sector of the memory experiment.
+
+    checks : [D, F] uint8 — detector d fires when fault f occurs.
+    priors : [F] float64 fault probabilities (merged).
+    obs : [k, F] uint8 — logical j flips when fault f occurs.
+    """
+
+    checks: np.ndarray
+    priors: np.ndarray
+    obs: np.ndarray
+
+    @property
+    def n_detectors(self) -> int:
+        return self.checks.shape[0]
+
+    @property
+    def n_faults(self) -> int:
+        return self.checks.shape[1]
+
+
+def build_circuit_tanner(code, rounds: int, noise, *, sector: str = "z",
+                         hz=None, hx=None) -> CircuitTanner:
+    """Exact circuit-level Tanner graph of the two-sector memory schedule
+    (`experiments.memory_xz`'s circuits: Z-check CNOT fan-in then
+    H-sandwiched X checks, every round, perfect final readout).
+
+    sector='z' decodes X data errors from the Z-check detector stream
+    (the Z-basis memory observable); sector='x' the mirror. For qLDPC
+    codes pass the FULL redundant check sets via hz/hx (defaults:
+    `redundant_parity_check_c*` when the code has them, else the raw
+    pre-reduction rows)."""
+    if sector not in ("z", "x"):
+        raise ValueError("sector must be 'z' or 'x'")
+    if hz is None:
+        hz = getattr(code, "redundant_parity_check_c2",
+                     code.raw_parity_check_c2)
+    if hx is None:
+        hx = getattr(code, "redundant_parity_check_c1",
+                     code.raw_parity_check_c1)
+    circ = _RoundCircuit(code, hz=hz, hx=hx)
+    comps, _ = _fault_species(circ, noise)
+    r_c = circ.rz if sector == "z" else circ.rx
+    k = (circ.lz if sector == "z" else circ.lx).shape[0]
+
+    # merge identical (detectors, observable) signatures: the variable
+    # fires if an ODD number of its mechanisms fired
+    merged: dict[tuple, float] = {}
+    for t in range(rounds):
+        for key, info, oz, ox, prob in comps:
+            obs = oz if sector == "z" else ox
+            dets = _events(info[sector], t, rounds, r_c)
+            if not dets:
+                # detector-free faults carry no syndrome information; an
+                # obs-carrying one would be an undetectable logical error,
+                # impossible for single faults below distance
+                continue
+            mk = (dets, obs)
+            old = merged.get(mk, 0.0)
+            merged[mk] = old * (1.0 - prob) + prob * (1.0 - old)
+
+    n_det = (rounds + 1) * r_c
+    n_f = len(merged)
+    checks = np.zeros((n_det, n_f), dtype=np.uint8)
+    priors = np.empty(n_f, dtype=np.float64)
+    obs = np.zeros((k, n_f), dtype=np.uint8)
+    for f, ((dets, ob), prob) in enumerate(sorted(merged.items())):
+        checks[list(dets), f] = 1
+        priors[f] = prob
+        for j in range(k):
+            obs[j, f] = (ob >> j) & 1
+    return CircuitTanner(checks=checks, priors=priors, obs=obs)
+
+
+def circuit_bp_decoder(code, rounds: int, noise, *, sector: str = "z",
+                       iters: int = 64, alpha: float = 0.8,
+                       osd: bool = True, hz=None, hx=None):
+    """BPDecoder over the circuit-level Tanner graph; `decode_obs` maps
+    `[B, (rounds+1)*r_c]` flattened detector histories to `[B, k]`
+    observable flips."""
+    from qcss_tpu.decode.bp import BPDecoder
+
+    tan = build_circuit_tanner(code, rounds, noise, sector=sector,
+                               hz=hz, hx=hx)
+    return BPDecoder(tan.checks, np.clip(tan.priors, 1e-12, 0.499),
+                     logicals=tan.obs, iters=iters, alpha=alpha, osd=osd)

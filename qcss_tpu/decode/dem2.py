@@ -66,9 +66,14 @@ class _RoundCircuit:
     then X extraction (H-sandwich ancillas), matching
     `experiments.memory`'s circuits."""
 
-    def __init__(self, code):
-        hz = np.asarray(code.raw_parity_check_c2, np.uint8) & 1
-        hx = np.asarray(code.raw_parity_check_c1, np.uint8) & 1
+    def __init__(self, code, hz=None, hx=None):
+        # explicit check-set overrides let qLDPC callers extract the FULL
+        # redundant sets (what hardware measures); default matches
+        # `experiments.memory_xz`'s raw-check circuits
+        hz = np.asarray(
+            code.raw_parity_check_c2 if hz is None else hz, np.uint8) & 1
+        hx = np.asarray(
+            code.raw_parity_check_c1 if hx is None else hx, np.uint8) & 1
         n = hz.shape[1]
         rz, rx = hz.shape[0], hx.shape[0]
         self.n = n
@@ -140,8 +145,15 @@ def _analyze(circ: _RoundCircuit, start_op: int, x0, z0):
             # steady state must be reached by the horizon's last round
             assert ((_HORIZON - 1) in fl) == p, (sector, c, fl, p)
             info[sector][int(c)] = (fl, p)
-    obs_z = int((res_x @ circ.lz[0]) % 2)
-    obs_x = int((res_z @ circ.lx[0]) % 2)
+    # observable effects as BITMASKS over the code's k logicals (bit j =
+    # logical j flipped); for k=1 this is the plain 0/1 the matching
+    # graphs consume, and qLDPC Tanner builders read all k bits
+    obs_z = int(np.bitwise_xor.reduce(
+        (1 << np.arange(circ.lz.shape[0])) * ((circ.lz @ res_x) % 2),
+        initial=0))
+    obs_x = int(np.bitwise_xor.reduce(
+        (1 << np.arange(circ.lx.shape[0])) * ((circ.lx @ res_z) % 2),
+        initial=0))
     return info, obs_z, obs_x
 
 

@@ -8,10 +8,12 @@ from qcss_tpu.experiments.memory import (
     z_memory_experiment,
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
 
 __all__ = [
     "memory_experiment",
     "xz_memory_experiment",
+    "qldpc_memory_experiment",
     "x_extraction_circuit",
     "x_memory_experiment",
     "z_extraction_circuit",

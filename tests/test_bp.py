@@ -154,6 +154,70 @@ def test_phenomenological_bp_bb72():
     assert res["bp_converged"] > 0.95
 
 
+def test_dense_and_gather_layouts_agree_on_convergence():
+    """Both total-computation layouts must reach the same convergence set
+    and produce syndrome-satisfying estimates (solutions may differ by
+    degenerate choices: f32 summation order)."""
+    code = families.bb72()
+    h2 = code.redundant_parity_check_c2
+    rng = np.random.default_rng(3)
+    errs = (rng.random((256, code.n)) < 0.01).astype(np.uint8)
+    syn = (errs @ h2.T) & 1
+    for layout in ("dense", "gather"):
+        e, conv = BPDecoder(h2, 0.01, layout=layout, osd=False).decode_batch(
+            syn)
+        sat = (((e.astype(np.int64) @ h2.T) & 1) == syn).all(axis=1)
+        assert sat[conv].all()  # converged means syndrome-satisfying
+        assert conv.mean() > 0.95
+
+
+class TestCircuitLevel:
+    """Circuit-level detector-fault Tanner graphs (`decode.bp_dem`)."""
+
+    def test_tanner_structure_surface(self):
+        from qcss_tpu.decode.bp_dem import build_circuit_tanner
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.rotated_surface(3)
+        rounds = 3
+        tan = build_circuit_tanner(code, rounds, NoiseModel(
+            p_gate2=2e-3, p_meas=5e-3), sector="z")
+        r_c = code.raw_parity_check_c2.shape[0]
+        assert tan.n_detectors == (rounds + 1) * r_c
+        assert tan.obs.shape == (1, tan.n_faults)
+        assert (tan.checks.sum(axis=0) >= 1).all()  # no detector-free cols
+        assert ((tan.priors > 0) & (tan.priors < 0.5)).all()
+
+    def test_surface_circuit_bp_beats_matching(self):
+        """Same shots, same physics: exact compound-fault Tanner BP must
+        be at least as accurate as the edge-decomposed matching pipeline
+        (measured 4.7x lower word-fail at d=3, p_gate2=2e-3)."""
+        from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
+        from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        noise = NoiseModel(p_gate2=2e-3, p_meas=5e-3)
+        code = families.rotated_surface(3)
+        bp = qldpc_memory_experiment(code, rounds=3, noise=noise,
+                                     batch=2048, seed=0)
+        uf = xz_memory_experiment(code, rounds=3, noise=noise,
+                                  batch=2048, seed=0)
+        assert bp["word_fail"] <= uf["word_fail"]
+        assert bp["bp_converged_z"] > 0.97
+
+    def test_bb72_circuit_memory(self):
+        from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        res = qldpc_memory_experiment(
+            families.bb72(), rounds=2, noise=NoiseModel(
+                p_gate2=1e-3, p_meas=1e-3),
+            batch=256, seed=0, sectors="z")
+        assert res["x_fail"] < 0.05
+        assert res["faults_z"] > 500
+        assert res["bp_converged_z"] > 0.9
+
+
 def test_priors_validation():
     with pytest.raises(ValueError):
         BPDecoder(np.eye(3, dtype=np.uint8), 0.6)
