@@ -104,6 +104,34 @@ def bench_spacetime(name: str, rounds: int, p: float, q: float, batch: int,
     }
 
 
+def bench_stream(name: str, rounds: int, p: float, q: float, batch: int,
+                 window: int, commit: int, iters: int, seed: int) -> dict:
+    """Sliding-window BP streaming: end-to-end (sample + decode) rate."""
+    from qcss_tpu.decode.bp_streaming import BPStreamingDecoder
+    from qcss_tpu.decode.streaming import sample_phenomenological_stream
+
+    code = CODES[name]()
+    h2 = code.redundant_parity_check_c2
+    lz = code.z_operator_matrix()
+    dec = BPStreamingDecoder(h2, lz, p, q, window=window, commit=commit,
+                             iters=iters)
+    dets, par = sample_phenomenological_stream(
+        jax.random.key(seed), p, q, batch, rounds, h2, lz)
+    dets = np.asarray(dets, np.uint8)
+    dec.decode_stream(dets[: max(8, batch // 8)])  # warm the window kernels
+    t0 = time.perf_counter()
+    flips, conv = dec.decode_stream(dets)
+    sec = time.perf_counter() - t0
+    fail = (flips ^ np.asarray(par, np.uint8)).any(axis=1)
+    return {
+        "bench": "bp_stream", "code": name, "rounds": rounds,
+        "p": p, "q": q, "batch": batch, "window": window, "commit": commit,
+        "round_shots_per_sec": round(batch * rounds / sec, 1),
+        "x_fail": float(fail.mean()),
+        "all_windows_converged": float(np.asarray(conv).mean()),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--codes", default="bb72,bb144")
@@ -115,6 +143,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--spacetime", action="store_true",
                     help="also run the R=d phenomenological Tanner decode")
+    ap.add_argument("--stream", type=int, default=0, metavar="R",
+                    help="also run R-round sliding-window BP streaming")
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--commit", type=int, default=4)
     ap.add_argument("--rounds", type=int, default=0,
                     help="spacetime rounds (default: the code's distance)")
     args = ap.parse_args()
@@ -128,6 +160,11 @@ def main() -> None:
             print(json.dumps(bench_spacetime(
                 name, rounds, args.p, args.q, args.batch, args.iters,
                 args.reps, args.seed)), flush=True)
+        if args.stream:
+            print(json.dumps(bench_stream(
+                name, args.stream, args.p, args.q, args.batch,
+                args.window, args.commit, args.iters, args.seed)),
+                flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ from qcss_tpu.decode.bp_dem import (
     build_circuit_tanner,
     circuit_bp_decoder,
 )
+from qcss_tpu.decode.bp_streaming import BPStreamingDecoder
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
@@ -87,6 +88,7 @@ __all__ = [
     "CircuitTanner",
     "build_circuit_tanner",
     "circuit_bp_decoder",
+    "BPStreamingDecoder",
     "MWPMDecoder",
     "MWPMOracle",
     "conditional_weights",

@@ -289,6 +289,31 @@ class BPDecoder:
                 @ self.logicals.T.astype(np.int64)) & 1, conv
 
 
+def open_window_tanner(h, window: int, p_data: float, p_meas: float):
+    """Tanner graph of `window` NOISY detector slices with no terminal
+    readout — the mid-stream building block for `bp_streaming`. Variables
+    are e_t (fresh data errors before slice t) then m_t (measurement
+    flips), t = 0..window-1, with D[t] = H·e_t ^ m_t ^ m_{t-1} and the
+    boundary m_{-1} handled by the caller (XORed out of slice 0 as the
+    committed carry). Returns (tanner [window*r, window*(n+r)] uint8,
+    priors)."""
+    h = np.asarray(h, dtype=np.uint8) & 1
+    r, n = h.shape
+    n_data = window * n
+    n_vars = n_data + window * r
+    tan = np.zeros((window * r, n_vars), dtype=np.uint8)
+    priors = np.empty(n_vars, dtype=np.float64)
+    priors[:n_data] = p_data
+    priors[n_data:] = p_meas
+    eye = np.eye(r, dtype=np.uint8)
+    for t in range(window):
+        tan[t * r:(t + 1) * r, t * n:(t + 1) * n] = h
+        tan[t * r:(t + 1) * r, n_data + t * r:n_data + (t + 1) * r] = eye
+        if t > 0:
+            tan[t * r:(t + 1) * r, n_data + (t - 1) * r:n_data + t * r] = eye
+    return tan, priors
+
+
 def spacetime_tanner(h, rounds: int, p_data: float, p_meas: float,
                      logicals=None):
     """Phenomenological spacetime Tanner graph for BP decoding.

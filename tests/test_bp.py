@@ -218,6 +218,43 @@ class TestCircuitLevel:
         assert res["bp_converged_z"] > 0.9
 
 
+class TestStreamingBP:
+    """Sliding-window BP (`decode.bp_streaming`) vs whole-history BP."""
+
+    def test_matches_whole_history(self):
+        import jax
+
+        from qcss_tpu.decode.bp_streaming import BPStreamingDecoder
+        from qcss_tpu.decode.streaming import sample_phenomenological_stream
+
+        code = families.bb72()
+        h2 = code.redundant_parity_check_c2
+        lz = code.z_operator_matrix()
+        rounds, p, batch = 10, 0.006, 128
+        dets, par = sample_phenomenological_stream(
+            jax.random.key(1), p, p, batch, rounds, h2, lz)
+        dets, par = np.asarray(dets, np.uint8), np.asarray(par, np.uint8)
+        tan, priors, obs, _ = spacetime_tanner(h2, rounds, p, p, logicals=lz)
+        whole, _ = BPDecoder(tan, priors, logicals=obs,
+                             iters=48).decode_obs(dets.reshape(batch, -1))
+        stream, _ = BPStreamingDecoder(
+            h2, lz, p, p, window=6, commit=3,
+            iters=48).decode_stream(dets)
+        agree = (stream == whole).all(axis=1).mean()
+        assert agree > 0.97
+        # and both must actually decode: failure well below raw exposure
+        assert (stream ^ par).any(axis=1).mean() < 0.1
+
+    def test_window_contract(self):
+        from qcss_tpu.decode.bp_streaming import BPStreamingDecoder
+
+        code = families.bb72()
+        with pytest.raises(ValueError):
+            BPStreamingDecoder(code.redundant_parity_check_c2,
+                               code.z_operator_matrix(), 0.01, 0.01,
+                               window=3, commit=3)
+
+
 def test_priors_validation():
     with pytest.raises(ValueError):
         BPDecoder(np.eye(3, dtype=np.uint8), 0.6)
