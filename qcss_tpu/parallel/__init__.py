@@ -11,6 +11,7 @@ and failure counts are combined with a single `psum`.
 from qcss_tpu.parallel.mesh import (
     ShardedFrameMemory,
     make_mesh,
+    sharded_bp_memory,
     sharded_ftqc_run,
     sharded_logical_error_rate,
     sharded_mc_step,
@@ -19,6 +20,7 @@ from qcss_tpu.parallel.mesh import (
 __all__ = [
     "ShardedFrameMemory",
     "make_mesh",
+    "sharded_bp_memory",
     "sharded_ftqc_run",
     "sharded_logical_error_rate",
     "sharded_mc_step",

@@ -306,6 +306,85 @@ class ShardedFrameMemory:
         }
 
 
+_BP_MEMORY_CACHE: dict = {}
+
+
+def sharded_bp_memory(code, mesh: Mesh, *, rounds: int, p: float, q: float,
+                      batch: int, seed: int = 0, iters: int = 32,
+                      alpha: float = 0.8) -> dict[str, float]:
+    """Mesh-parallel phenomenological qLDPC memory, fully fused on device.
+
+    The qLDPC counterpart of `ShardedFrameMemory.fused_error_rate`: each
+    device samples its shard of the detector stream
+    (`streaming.sample_phenomenological_stream`, a `lax.scan` over rounds)
+    and decodes the whole history with spacetime belief propagation
+    (`decode.bp.BPDecoder`) *inside* the `shard_map`; observable flips are
+    scored on device against the true logical parities and only the psummed
+    failure / non-converged counts cross the host boundary. BP here is the
+    device-only kernel (no host OSD tail — non-converged shots score their
+    final hard decision), so the whole pipeline is one XLA program; the
+    reported ``bp_unconverged`` fraction bounds how much an OSD pass could
+    still recover.
+
+    The sample axis is embarrassingly parallel (the reference's only
+    batching is the QVM numshots loop, reference: test/test_fidelity.py:67);
+    check/Tanner tables are small and replicated.
+    """
+    from qcss_tpu.decode.bp import BPDecoder, spacetime_tanner
+    from qcss_tpu.decode.streaming import sample_phenomenological_stream
+
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+
+    h2 = getattr(code, "redundant_parity_check_c2", None)
+    if h2 is None:
+        h2 = code.raw_parity_check_c2
+    h2 = np.asarray(h2, np.uint8)
+    lz = np.asarray(code.z_operator_matrix(), np.uint8)
+    ck = (id(code), mesh, local, rounds, float(p), float(q), iters,
+          float(alpha))
+    fn = _BP_MEMORY_CACHE.get(ck)
+    if fn is None:
+        tan, priors, obs, _ = spacetime_tanner(h2, rounds, p, q, logicals=lz)
+        dec = BPDecoder(tan, priors, logicals=obs, iters=iters, alpha=alpha,
+                        osd=False)
+        obs_t = jnp.asarray(obs.T, jnp.int32)
+        h2_j = jnp.asarray(h2)
+        lz_j = jnp.asarray(lz)
+
+        # check_vma=False: the stream sampler's zero carries turn
+        # device-varying after the first folded-key draw (same pattern as
+        # sharded_ftqc_run).
+        @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+                 check_vma=False)
+        def step(k):
+            my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            dets, par = sample_phenomenological_stream(
+                my_key, p, q, local, rounds, h2_j, lz_j)
+            syn = dets.reshape(local, -1).astype(jnp.uint8)
+            e_hat, conv, _ = dec._bp_run(syn)
+            flips = (e_hat.astype(jnp.int32) @ obs_t) & 1
+            fail = (flips ^ par.astype(jnp.int32)).any(axis=1)
+            return (
+                jax.lax.psum(jnp.sum(fail.astype(jnp.int32)), axis),
+                jax.lax.psum(jnp.sum(1 - conv.astype(jnp.int32)), axis),
+            )
+
+        fn = jax.jit(step)
+        _BP_MEMORY_CACHE[ck] = fn
+    fails, unconv = fn(jax.random.key(seed))
+    return {
+        "x_fail": int(fails) / batch,
+        "bp_unconverged": int(unconv) / batch,
+        "rounds": rounds,
+        "samples": batch,
+        "decoder": "device-bp",
+    }
+
+
 def sharded_logical_error_rate(
     code,
     p,

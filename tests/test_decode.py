@@ -204,6 +204,25 @@ class TestParallel:
         assert out["residual_syndrome"] == 0.0
         assert abs(out["logical_fail"] - ref["logical_fail"]) < 0.02
 
+    def test_sharded_bp_memory(self):
+        """The fused qLDPC BP memory pipeline sharded over the mesh: the
+        per-device sample+spacetime-BP program runs, psums counts, and
+        lands within MC tolerance of the single-device decode at the same
+        operating point."""
+        from qcss_tpu.codes import families
+        from qcss_tpu.decode.bp import bp_phenomenological_error_rate
+        from qcss_tpu.parallel import make_mesh, sharded_bp_memory
+
+        code = families.bb72()
+        out = sharded_bp_memory(code, make_mesh(), rounds=3, p=3e-3, q=3e-3,
+                                batch=8 * 64, seed=1, iters=24)
+        assert out["decoder"] == "device-bp"
+        assert 0.0 <= out["x_fail"] <= 0.1
+        assert out["bp_unconverged"] <= 0.05
+        ref = bp_phenomenological_error_rate(code, 3, 3e-3, 3e-3,
+                                             batch=512, seed=2, iters=24)
+        assert abs(out["x_fail"] - ref["x_fail"]) < 0.03
+
     def test_sharded_rate_close_to_single_device(self, steane):
         from qcss_tpu.parallel import make_mesh, sharded_logical_error_rate
 
