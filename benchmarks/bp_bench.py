@@ -132,6 +132,25 @@ def bench_stream(name: str, rounds: int, p: float, q: float, batch: int,
     }
 
 
+def bench_circuit_stream(name: str, rounds: int, p: float, batch: int,
+                         window: int, commit: int, iters: int,
+                         seed: int) -> dict:
+    """Circuit-level sliding-window BP: end-to-end (two-sector extraction
+    sampling + windowed decode) rate under uniform circuit noise p."""
+    from qcss_tpu.experiments.memory_qldpc import qldpc_stream_memory_rate
+    from qcss_tpu.sim.noise import NoiseModel
+
+    code = CODES[name]()
+    noise = NoiseModel(p_gate2=p, p_gate1=p, p_meas=p, p_reset=p)
+    out = qldpc_stream_memory_rate(code, noise, rounds=rounds, batch=batch,
+                                   window=window, commit=commit,
+                                   iters=iters, seed=seed)
+    out["bench"] = "bp_circuit_stream"
+    out["code"] = name
+    out["p"] = p
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--codes", default="bb72,bb144")
@@ -145,6 +164,10 @@ def main() -> None:
                     help="also run the R=d phenomenological Tanner decode")
     ap.add_argument("--stream", type=int, default=0, metavar="R",
                     help="also run R-round sliding-window BP streaming")
+    ap.add_argument("--circuit-stream", type=int, default=0, metavar="R",
+                    help="also run R-round CIRCUIT-LEVEL sliding-window BP "
+                    "(two-sector sampling + window decodes, uniform "
+                    "circuit noise --p)")
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--commit", type=int, default=4)
     ap.add_argument("--rounds", type=int, default=0,
@@ -163,6 +186,11 @@ def main() -> None:
         if args.stream:
             print(json.dumps(bench_stream(
                 name, args.stream, args.p, args.q, args.batch,
+                args.window, args.commit, args.iters, args.seed)),
+                flush=True)
+        if args.circuit_stream:
+            print(json.dumps(bench_circuit_stream(
+                name, args.circuit_stream, args.p, args.batch,
                 args.window, args.commit, args.iters, args.seed)),
                 flush=True)
 

@@ -48,7 +48,10 @@ from qcss_tpu.decode.bp_dem import (
     build_circuit_tanner,
     circuit_bp_decoder,
 )
-from qcss_tpu.decode.bp_streaming import BPStreamingDecoder
+from qcss_tpu.decode.bp_streaming import (
+    BPStreamingDecoder,
+    CircuitBPStreamingDecoder,
+)
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
@@ -89,6 +92,7 @@ __all__ = [
     "build_circuit_tanner",
     "circuit_bp_decoder",
     "BPStreamingDecoder",
+    "CircuitBPStreamingDecoder",
     "MWPMDecoder",
     "MWPMOracle",
     "conditional_weights",

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from qcss_tpu.decode.dem2 import _RoundCircuit, _events, _fault_species
+from qcss_tpu.decode.dem2 import _HORIZON, _RoundCircuit, _events, _fault_species
 
 
 @dataclass(frozen=True)
@@ -103,6 +103,127 @@ def build_circuit_tanner(code, rounds: int, noise, *, sector: str = "z",
         for j in range(k):
             obs[j, f] = (ob >> j) & 1
     return CircuitTanner(checks=checks, priors=priors, obs=obs)
+
+
+@dataclass(frozen=True)
+class WindowCircuitTanner:
+    """Open-future sliding-window slice of the circuit-level Tanner graph.
+
+    The mid-stream building block for `bp_streaming.CircuitBPStreamingDecoder`
+    — `window` detector layers with NO terminal perfect-readout slice, every
+    fault of rounds [0, window) as a variable with its open-stream detector
+    signature (persistent residual errors telescope: their measurement-flip
+    train produces one boundary event and nothing further until a perfect
+    readout, which mid-stream never comes).
+
+    checks : [window*r_c, F] uint8 in-window incidence.
+    priors : [F] merged fault probabilities.
+    obs : [k, F] uint8 observable flips — populated ONLY for committed
+        faults (rounds < commit); lookahead faults are re-decoded by the
+        next window and contribute 0 here.
+    carry : [(window-commit)*r_c, F] uint8 — committed faults' detector
+        toggles at layers >= commit, which the streaming loop XORs out of
+        the already-observed lookahead region of the NEXT window.
+    committed : [F] bool fault-round < commit.
+    """
+
+    checks: np.ndarray
+    priors: np.ndarray
+    obs: np.ndarray
+    carry: np.ndarray
+    committed: np.ndarray
+
+
+def _open_stream_toggles(info_sector: dict, t: int) -> tuple:
+    """Detector toggles of a fault at round t in an UNBOUNDED stream.
+
+    Mirrors `dem2._events` in the rounds->infinity limit: every recorded
+    measurement-flip round rh toggles detector layers (t+rh, t+rh+1); a
+    persistent residual error's flip train continues forever, telescoping
+    to a single extra toggle at t+_HORIZON (which cancels the trailing end
+    of the rh = _HORIZON-1 pair) and NO final-slice event — consecutive
+    flips cancel and the perfect readout never arrives mid-stream."""
+    par: dict[tuple[int, int], int] = {}
+
+    def toggle(layer, c):
+        k = (layer, c)
+        par[k] = par.get(k, 0) ^ 1
+
+    for c, (fl, persistent) in info_sector.items():
+        for rh in fl:
+            toggle(t + rh, c)
+            toggle(t + rh + 1, c)
+        if persistent:
+            toggle(t + _HORIZON, c)
+    return tuple(sorted(k for k, v in par.items() if v))
+
+
+def open_window_circuit_tanner(code, window: int, commit: int, noise, *,
+                               sector: str = "z", hz=None,
+                               hx=None) -> WindowCircuitTanner:
+    """Window Tanner graph over `window` mid-stream detector layers of the
+    two-sector extraction schedule, with commit bookkeeping.
+
+    Requires ``window >= commit + _HORIZON`` so every committed fault's
+    signature is fully observed by the window that commits it (commit
+    quality equals whole-history locally) and its carry lands inside the
+    next window. Round 0 of the true experiment has bulk signatures
+    (detectors never reach negative layers), so the same graph serves the
+    first window with a zero carry."""
+    if sector not in ("z", "x"):
+        raise ValueError("sector must be 'z' or 'x'")
+    if window < commit + _HORIZON:
+        raise ValueError(
+            f"need window >= commit + {_HORIZON} (fault-signature horizon); "
+            f"got window={window}, commit={commit}")
+    if hz is None:
+        hz = getattr(code, "redundant_parity_check_c2",
+                     code.raw_parity_check_c2)
+    if hx is None:
+        hx = getattr(code, "redundant_parity_check_c1",
+                     code.raw_parity_check_c1)
+    circ = _RoundCircuit(code, hz=hz, hx=hx)
+    comps, _ = _fault_species(circ, noise)
+    r_c = circ.rz if sector == "z" else circ.rx
+    k = (circ.lz if sector == "z" else circ.lx).shape[0]
+
+    # merge identical decode-relevant signatures: committed faults must
+    # also agree on (carry, obs) — those drive the streaming outputs;
+    # lookahead faults only constrain this window's syndrome
+    merged: dict[tuple, float] = {}
+    for t in range(window):
+        for key, info, oz, ox, prob in comps:
+            togg = _open_stream_toggles(info[sector], t)
+            in_dets = tuple(l * r_c + c for l, c in togg if l < window)
+            if not in_dets:
+                continue
+            com = t < commit
+            if com:
+                ob = oz if sector == "z" else ox
+                car = tuple((l - commit) * r_c + c for l, c in togg
+                            if l >= commit)
+            else:
+                ob, car = 0, ()
+            mk = (com, in_dets, car, ob)
+            old = merged.get(mk, 0.0)
+            merged[mk] = old * (1.0 - prob) + prob * (1.0 - old)
+
+    n_f = len(merged)
+    checks = np.zeros((window * r_c, n_f), dtype=np.uint8)
+    priors = np.empty(n_f, dtype=np.float64)
+    obs = np.zeros((k, n_f), dtype=np.uint8)
+    carry = np.zeros(((window - commit) * r_c, n_f), dtype=np.uint8)
+    committed = np.zeros(n_f, dtype=bool)
+    for f, ((com, dets, car, ob), prob) in enumerate(sorted(merged.items())):
+        checks[list(dets), f] = 1
+        priors[f] = prob
+        committed[f] = com
+        if car:
+            carry[list(car), f] = 1
+        for j in range(k):
+            obs[j, f] = (ob >> j) & 1
+    return WindowCircuitTanner(checks=checks, priors=priors, obs=obs,
+                               carry=carry, committed=committed)
 
 
 def circuit_bp_decoder(code, rounds: int, noise, *, sector: str = "z",

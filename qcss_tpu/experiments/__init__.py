@@ -8,12 +8,16 @@ from qcss_tpu.experiments.memory import (
     z_memory_experiment,
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
-from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
+from qcss_tpu.experiments.memory_qldpc import (
+    qldpc_memory_experiment,
+    qldpc_stream_memory_rate,
+)
 
 __all__ = [
     "memory_experiment",
     "xz_memory_experiment",
     "qldpc_memory_experiment",
+    "qldpc_stream_memory_rate",
     "x_extraction_circuit",
     "x_memory_experiment",
     "z_extraction_circuit",

@@ -97,3 +97,123 @@ def qldpc_memory_experiment(code, *, rounds: int,
             "bp_converged_x": float(np.asarray(conv_x).mean()),
         })
     return out
+
+
+def qldpc_stream_memory_rate(code, noise: noise_mod.NoiseModel, *,
+                             rounds: int, batch: int, window: int = 8,
+                             commit: int = 4, iters: int = 48,
+                             alpha: float = 0.8, osd: bool = True,
+                             seed: int = 0) -> dict[str, float]:
+    """Unbounded-round CIRCUIT-LEVEL qLDPC Z-memory with O(window) state:
+    chunked frame sampling of the two-sector extraction schedule
+    interleaved with sliding-window circuit-level BP decodes
+    (`decode.bp_streaming.CircuitBPStreamingDecoder`). The qLDPC
+    counterpart of `decode.device_streaming.stream_memory_rate_dem` —
+    total memory is O(window), so `rounds` can be arbitrarily large.
+
+    Each chunk samples `commit` rounds on device (lax.scan over the real
+    two-sector circuit, identical physics and key consumption to
+    `qldpc_memory_experiment`); the decoder window slides behind the
+    sampler. Returns the X-logical failure rate over all k logicals and
+    the end-to-end round-shots/s."""
+    import time
+
+    from qcss_tpu.decode.bp_streaming import CircuitBPStreamingDecoder
+
+    hz = np.asarray(getattr(code, "redundant_parity_check_c2",
+                            code.raw_parity_check_c2), np.uint8) & 1
+    hx = np.asarray(getattr(code, "redundant_parity_check_c1",
+                            code.raw_parity_check_c1), np.uint8) & 1
+    rz, rx = hz.shape[0], hx.shape[0]
+    lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+    n = code.n
+    W, C = window, commit
+    if rounds < W:
+        raise ValueError("need rounds >= window")
+
+    z_arrays = tuple(map(jnp.asarray, z_extraction_circuit(
+        code, checks=hz).to_arrays()))
+    x_arrays = tuple(map(jnp.asarray, x_extraction_circuit(
+        code, anc_offset=n + rz, checks=hx).to_arrays()))
+    nq = n + rz + rx
+    z_comp = fr.maybe_compile(z_arrays, nq)
+    x_comp = fr.maybe_compile(x_arrays, nq)
+    zanc = jnp.arange(n, n + rz, dtype=jnp.int32)
+    xanc = jnp.arange(n + rz, nq, dtype=jnp.int32)
+    data = jnp.arange(n, dtype=jnp.int32)
+    hz_j = jnp.asarray(hz)
+
+    dec = CircuitBPStreamingDecoder(code, noise, sector="z", window=W,
+                                    commit=C, iters=iters, alpha=alpha,
+                                    osd=osd, hz=hz, hx=hx)
+
+    @partial(jax.jit, static_argnames=("m",))
+    def sample_chunk(f, prev_syn, key, m):
+        """m two-sector rounds; emits z-detector increments [B, m, rz]."""
+        def body(carry, k):
+            f, prev = carry
+            kz, kzm, kzr, kx, kxm, kxr = jax.random.split(k, 6)
+            if z_comp is not None:
+                f = fr.run_compiled_noisy(f, z_comp, noise, kz)
+            else:
+                f = fr.run_arrays_noisy(f, *z_arrays, noise, kz)
+            f, syn = fr.measure_deviations(f, zanc, kzm, noise.p_meas)
+            f = fr.reset_qubits(f, zanc, kzr, noise.p_reset)
+            if x_comp is not None:
+                f = fr.run_compiled_noisy(f, x_comp, noise, kx)
+            else:
+                f = fr.run_arrays_noisy(f, *x_arrays, noise, kx)
+            f, _ = fr.measure_deviations(f, xanc, kxm, noise.p_meas)
+            f = fr.reset_qubits(f, xanc, kxr, noise.p_reset)
+            return (f, syn), syn ^ prev
+        keys = jax.random.split(key, m)
+        (f, prev_syn), dets = jax.lax.scan(body, (f, prev_syn), keys)
+        return f, prev_syn, jnp.moveaxis(dets, 0, 1)  # [B, m, rz]
+
+    key = jax.random.key(seed)
+    f = fr.zero_frames(batch, nq)
+    prev = jnp.zeros((batch, rz), jnp.uint8)
+    flips = np.zeros((batch, lz.shape[0]), np.uint8)
+    carry = np.zeros((batch, W * rz), np.uint8)
+    conv_all = np.ones(batch, bool)
+
+    t0 = time.perf_counter()
+    key, k0 = jax.random.split(key)
+    f, prev, buf = sample_chunk(f, prev, k0, W)
+    buf = np.asarray(buf, np.uint8)
+    sampled, s0 = W, 0  # rounds sampled / layers committed; buf = [s0, sampled)
+    while rounds + 1 - s0 > W:
+        delta, carry, conv = dec.window_step(buf[:, :W], carry)
+        flips ^= delta
+        conv_all &= conv
+        s0 += C
+        m = min(C, rounds - sampled)
+        if m:
+            key, kc = jax.random.split(key)
+            f, prev, fresh = sample_chunk(f, prev, kc, m)
+            buf = np.concatenate([buf[:, C:], np.asarray(fresh, np.uint8)],
+                                 axis=1)
+            sampled += m
+        else:
+            buf = buf[:, C:]
+    # perfect final readout of the data deviations
+    x_err = np.asarray(fr.measure_deviations(f, data)[1], np.uint8)
+    final_slice = ((x_err.astype(np.int64) @ hz.T) & 1).astype(np.uint8)
+    final_slice ^= np.asarray(prev, np.uint8)
+    buf = np.concatenate([buf, final_slice[:, None, :]], axis=1)
+    fl, conv = dec.final_step(buf, carry)
+    flips = (flips ^ fl).astype(np.uint8)
+    conv_all &= conv
+    elapsed = time.perf_counter() - t0
+
+    par = (x_err.astype(np.int64) @ lz.T) & 1
+    xf = (flips ^ par).any(axis=1)
+    return {
+        "x_fail": float(xf.mean()),
+        "bp_all_windows_converged": float(conv_all.mean()),
+        "round_shots_per_sec": batch * rounds / elapsed,
+        "rounds": rounds,
+        "samples": batch,
+        "window": W,
+        "commit": C,
+    }

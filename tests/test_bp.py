@@ -9,6 +9,7 @@ code, the OSD fallback always satisfies the syndrome, and the spacetime
 Tanner decode suppresses phenomenological noise.
 """
 
+import os
 from itertools import combinations
 
 import numpy as np
@@ -253,6 +254,141 @@ class TestStreamingBP:
             BPStreamingDecoder(code.redundant_parity_check_c2,
                                code.z_operator_matrix(), 0.01, 0.01,
                                window=3, commit=3)
+
+
+def _sample_circuit_dets(code, noise, rounds, batch, seed, hz, hx):
+    """Two-sector circuit-level Z-detector stream ([B, R+1, rz]) plus the
+    true logical-X parities, via the frame sampler (the exact machinery of
+    `experiments.memory_qldpc`)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from qcss_tpu.decode.spacetime import detector_history
+    from qcss_tpu.experiments.memory import (
+        x_extraction_circuit,
+        z_extraction_circuit,
+    )
+    from qcss_tpu.experiments.memory_xz import _sample_two_sector
+    from qcss_tpu.sim import frame as fr
+
+    rz, rx = hz.shape[0], hx.shape[0]
+    n = code.n
+    z_arrays = tuple(map(jnp.asarray, z_extraction_circuit(
+        code, checks=hz).to_arrays()))
+    x_arrays = tuple(map(jnp.asarray, x_extraction_circuit(
+        code, anc_offset=n + rz, checks=hx).to_arrays()))
+    nq = n + rz + rx
+    fn = jax.jit(
+        partial(_sample_two_sector, code=code, noise=noise,
+                z_arrays=z_arrays, x_arrays=x_arrays,
+                z_comp=fr.maybe_compile(z_arrays, nq),
+                x_comp=fr.maybe_compile(x_arrays, nq), rz=rz, rx=rx),
+        static_argnames=("batch", "rounds"))
+    syns_z, _, x_err, _ = fn(jax.random.key(seed), batch, rounds)
+    syns_z, x_err = np.asarray(syns_z), np.asarray(x_err)
+    final_z = ((x_err.astype(np.int64) @ hz.T) & 1).astype(np.uint8)
+    dets = detector_history(syns_z, final_z).reshape(batch, rounds + 1, rz)
+    lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+    par = ((x_err.astype(np.int64) @ lz.T) & 1).astype(np.uint8)
+    return dets, par
+
+
+class TestCircuitStreamingBP:
+    """Circuit-level sliding-window BP (`CircuitBPStreamingDecoder`) vs
+    whole-history `circuit_bp_decoder` on identical frame-sampled shots."""
+
+    def test_matches_whole_history_steane(self):
+        from qcss_tpu.decode.bp_dem import circuit_bp_decoder
+        from qcss_tpu.decode.bp_streaming import CircuitBPStreamingDecoder
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.steane()
+        noise = NoiseModel(p_gate2=2e-3, p_meas=5e-3)
+        hz = np.asarray(code.raw_parity_check_c2, np.uint8) & 1
+        hx = np.asarray(code.raw_parity_check_c1, np.uint8) & 1
+        rounds, batch = 12, 192
+        dets, par = _sample_circuit_dets(code, noise, rounds, batch, 0,
+                                         hz, hx)
+        whole, _ = circuit_bp_decoder(
+            code, rounds, noise, sector="z",
+            iters=48).decode_obs(dets.reshape(batch, -1))
+        dec = CircuitBPStreamingDecoder(code, noise, sector="z", window=8,
+                                        commit=4, iters=48)
+        stream, _ = dec.decode_stream(dets)
+        agree = (stream == whole).all(axis=1).mean()
+        assert agree > 0.97
+        fail_s = (stream ^ par).any(axis=1).mean()
+        fail_w = (whole ^ par).any(axis=1).mean()
+        assert abs(fail_s - fail_w) < 0.03
+
+    def test_committed_faults_fully_observed(self):
+        """Window-graph invariants: every committed fault's signature fits
+        inside the window (so the committing decode sees all of it), carry
+        columns are committed-only, and the horizon contract is enforced."""
+        from qcss_tpu.decode.bp_dem import open_window_circuit_tanner
+        from qcss_tpu.decode.dem2 import _HORIZON
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.steane()
+        noise = NoiseModel(p_gate2=1e-3, p_meas=2e-3, p_reset=1e-3)
+        wt = open_window_circuit_tanner(code, 6, 2, noise, sector="z")
+        assert (wt.carry[:, ~wt.committed] == 0).all()
+        assert (wt.obs[:, ~wt.committed] == 0).all()
+        assert (wt.checks.sum(axis=0) >= 1).all()
+        # carry toggles live strictly below commit + horizon
+        r_c = wt.checks.shape[0] // 6
+        layers = np.nonzero(wt.carry.any(axis=1))[0] // r_c
+        assert layers.size and layers.max() < _HORIZON
+        with pytest.raises(ValueError):
+            open_window_circuit_tanner(code, 2 + _HORIZON - 1, 2, noise)
+
+    def test_stream_rate_end_to_end(self):
+        """Unbounded-R pipeline: chunked two-sector sampling interleaved
+        with window decodes, statistically matching the whole-history
+        experiment at the same operating point."""
+        from qcss_tpu.experiments.memory_qldpc import (
+            qldpc_memory_experiment,
+            qldpc_stream_memory_rate,
+        )
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.steane()
+        noise = NoiseModel(p_gate2=2e-3, p_meas=5e-3)
+        out = qldpc_stream_memory_rate(code, noise, rounds=20, batch=256,
+                                       window=8, commit=4, iters=48, seed=3)
+        assert out["round_shots_per_sec"] > 0
+        ref = qldpc_memory_experiment(code, rounds=20, noise=noise,
+                                      batch=256, seed=5, iters=48,
+                                      sectors="z")
+        assert abs(out["x_fail"] - ref["x_fail"]) < 0.08
+
+    @pytest.mark.skipif(
+        not os.environ.get("QCSS_SLOW_TESTS"),
+        reason="bb72 circuit-level stream (~6 min CPU); set QCSS_SLOW_TESTS=1",
+    )
+    def test_matches_whole_history_bb72(self):
+        from qcss_tpu.decode.bp_dem import circuit_bp_decoder
+        from qcss_tpu.decode.bp_streaming import CircuitBPStreamingDecoder
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.bb72()
+        noise = NoiseModel(p_gate2=1e-3, p_gate1=1e-3, p_meas=1e-3,
+                           p_reset=1e-3)
+        hz = np.asarray(code.redundant_parity_check_c2, np.uint8) & 1
+        hx = np.asarray(code.redundant_parity_check_c1, np.uint8) & 1
+        rounds, batch = 18, 128
+        dets, par = _sample_circuit_dets(code, noise, rounds, batch, 0,
+                                         hz, hx)
+        whole, _ = circuit_bp_decoder(
+            code, rounds, noise, sector="z", iters=64, hz=hz,
+            hx=hx).decode_obs(dets.reshape(batch, -1))
+        dec = CircuitBPStreamingDecoder(code, noise, sector="z", window=8,
+                                        commit=4, iters=64, hz=hz, hx=hx)
+        stream, _ = dec.decode_stream(dets)
+        assert (stream == whole).all(axis=1).mean() > 0.97
+        assert (stream ^ par).any(axis=1).mean() <= (
+            (whole ^ par).any(axis=1).mean() + 0.03)
 
 
 def test_priors_validation():
