@@ -46,7 +46,9 @@ from qcss_tpu.decode.bp import (
 from qcss_tpu.decode.bp_dem import (
     CircuitTanner,
     build_circuit_tanner,
+    build_joint_circuit_tanner,
     circuit_bp_decoder,
+    joint_circuit_bp_decoder,
 )
 from qcss_tpu.decode.bp_streaming import (
     BPStreamingDecoder,
@@ -90,7 +92,9 @@ __all__ = [
     "spacetime_tanner",
     "CircuitTanner",
     "build_circuit_tanner",
+    "build_joint_circuit_tanner",
     "circuit_bp_decoder",
+    "joint_circuit_bp_decoder",
     "BPStreamingDecoder",
     "CircuitBPStreamingDecoder",
     "MWPMDecoder",

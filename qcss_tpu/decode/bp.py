@@ -146,15 +146,17 @@ class BPDecoder:
 
     # -- device kernel ---------------------------------------------------
 
-    def _bp_run(self, synd):
+    def _bp_run(self, synd, lam=None):
         """synd [B, r] uint8 -> (e_hat [B, n] uint8, conv [B] bool,
-        soft [B, n] f32 final LLR totals for OSD)."""
+        soft [B, n] f32 final LLR totals for OSD). `lam` optionally
+        overrides the prior LLRs PER SHOT ([B, n] f32) — the hook for
+        correlated two-pass decoding."""
         B = synd.shape[0]
         r, n, dc = self.r, self.n, self._chk_var.shape[1]
         synd_i = synd.astype(jnp.int32)
         mask = self._mask
         chk_var = self._chk_var
-        lam = self._lam
+        lam = self._lam[None, :] if lam is None else lam
         slot = jnp.arange(dc, dtype=jnp.int32)
 
         if self._use_gather:
@@ -165,12 +167,11 @@ class BPDecoder:
             def totals(m):
                 g = jnp.take(m.reshape(B, r * dc), var_slot.reshape(-1),
                              axis=1).reshape(B, n, dv)
-                return lam[None, :] + jnp.where(var_mask[None], g, 0.0).sum(
-                    axis=2)
+                return lam + jnp.where(var_mask[None], g, 0.0).sum(axis=2)
         else:
 
             def totals(m):
-                return lam[None, :] + m.reshape(B, r * dc) @ self._scat
+                return lam + m.reshape(B, r * dc) @ self._scat
 
         def check_parities(e):
             inc = jnp.take(e, chk_var.reshape(-1), axis=1).reshape(B, r, dc)
@@ -210,7 +211,8 @@ class BPDecoder:
         e0 = jnp.zeros((B, n), jnp.int32)
         conv0 = jnp.zeros((B,), bool)
         m, e_fr, conv, soft, _ = jax.lax.while_loop(
-            cond, body, (m0, e0, conv0, lam[None, :] * jnp.ones((B, n)),
+            cond, body, (m0, e0, conv0,
+                         jnp.broadcast_to(lam, (B, n)).astype(jnp.float32),
                          jnp.int32(0)))
         # Non-converged shots report their final hard decision + LLRs.
         t = totals(m)
@@ -263,13 +265,21 @@ class BPDecoder:
 
     # -- public API --------------------------------------------------------
 
-    def decode_batch(self, synd):
+    def decode_batch(self, synd, priors=None):
         """[B, r] syndromes -> ([B, n] uint8 error estimates,
         [B] bool BP-converged mask). With `osd=True` non-converged shots
         are replaced by their OSD-0 solution (which always satisfies the
-        syndrome), and the converged mask still reports BP's own reach."""
+        syndrome), and the converged mask still reports BP's own reach.
+        `priors` optionally overrides the per-variable error priors PER
+        SHOT ([B, n], in (0, 0.5)) — correlated second passes condition
+        them on a first pass's estimates."""
         synd = jnp.asarray(synd, jnp.uint8)
-        e_hat, conv, soft = self._run(synd)
+        if priors is None:
+            e_hat, conv, soft = self._run(synd)
+        else:
+            pb = np.clip(np.asarray(priors, np.float64), 1e-12, 0.499)
+            lam = jnp.asarray(np.log((1.0 - pb) / pb), jnp.float32)
+            e_hat, conv, soft = self._run(synd, lam)
         if not self.osd:
             return np.asarray(e_hat), np.asarray(conv)
         conv_np = np.asarray(conv)
@@ -280,11 +290,11 @@ class BPDecoder:
                                    np.asarray(soft)[idx])
         return e_np, conv_np
 
-    def decode_obs(self, synd):
+    def decode_obs(self, synd, priors=None):
         """[B, r] syndromes -> ([B, k] uint8 observable flips, conv)."""
         if self.logicals is None:
             raise ValueError("decoder built without logicals")
-        e_hat, conv = self.decode_batch(synd)
+        e_hat, conv = self.decode_batch(synd, priors)
         return (e_hat.astype(np.int64)
                 @ self.logicals.T.astype(np.int64)) & 1, conv
 

@@ -34,11 +34,27 @@ def qldpc_memory_experiment(code, *, rounds: int,
                             noise: noise_mod.NoiseModel,
                             batch: int = 1 << 12, seed: int = 0,
                             iters: int = 64, alpha: float = 0.8,
-                            osd: bool = True,
-                            sectors: str = "both") -> dict[str, float]:
+                            osd: bool = True, sectors: str = "both",
+                            joint: bool = False, alpha_joint: float = 0.6,
+                            correlated: bool = False) -> dict[str, float]:
     """Run the two-sector circuit-level memory and decode each sector
     with circuit-level BP. `sectors='z'` decodes X errors only (faster;
-    the Z-basis memory), `'both'` adds Z errors and word failure."""
+    the Z-basis memory), `'both'` adds Z errors and word failure.
+
+    `joint=True` additionally decodes the STACKED two-sector detector
+    history with ONE BP over the joint Tanner graph
+    (`bp_dem.build_joint_circuit_tanner`) in which Y-type faults are
+    single variables exciting both sectors — the exact form of the
+    correlation `decode.dem2`'s matching pipeline approximates with
+    two-pass reweighting. Reports `*_joint` alongside the independent
+    numbers on the SAME shots.
+
+    `correlated=True` additionally runs the two-PASS version (the BP
+    analogue of `experiments.memory_xz`'s correlated matching): the
+    x-sector decode keeps the per-sector graph but conditions each
+    Z-component's prior on whether the z-sector pass decided its
+    same-location X-component fired (`bp_dem.two_pass_pair_indices`,
+    per-shot priors). Reports `z_fail_corr` / `word_fail_corr`."""
     hz = np.asarray(getattr(code, "redundant_parity_check_c2",
                             code.raw_parity_check_c2), np.uint8) & 1
     hx = np.asarray(getattr(code, "redundant_parity_check_c1",
@@ -95,6 +111,58 @@ def qldpc_memory_experiment(code, *, rounds: int,
             "z_fail": float(zf.mean()),
             "word_fail": float((xf | zf).mean()),
             "bp_converged_x": float(np.asarray(conv_x).mean()),
+        })
+    if joint:
+        from qcss_tpu.decode.bp_dem import joint_circuit_bp_decoder
+
+        if sectors != "both":
+            raise ValueError("joint decoding needs sectors='both'")
+        dec_j = joint_circuit_bp_decoder(code, rounds, noise, iters=iters,
+                                         alpha=alpha_joint, osd=osd,
+                                         hz=hz, hx=hx)
+        dets_j = np.concatenate(
+            [dets_z.reshape(batch, -1), dets_x.reshape(batch, -1)], axis=1)
+        flips_j, conv_j = dec_j.decode_obs(dets_j)
+        kz = lz.shape[0]
+        xf_j = (flips_j[:, :kz] ^ par_x).any(axis=1)
+        zf_j = (flips_j[:, kz:] ^ par_z).any(axis=1)
+        out.update({
+            "x_fail_joint": float(xf_j.mean()),
+            "z_fail_joint": float(zf_j.mean()),
+            "word_fail_joint": float((xf_j | zf_j).mean()),
+            "bp_converged_joint": float(np.asarray(conv_j).mean()),
+            "faults_joint": dec_j.n,
+        })
+    if correlated:
+        from qcss_tpu.decode.bp import BPDecoder
+        from qcss_tpu.decode.bp_dem import two_pass_pair_indices
+
+        if sectors != "both":
+            raise ValueError("correlated decoding needs sectors='both'")
+        tz, tx, vx, vz, cond = two_pass_pair_indices(code, rounds, noise,
+                                                     hz=hz, hx=hx)
+        dz = BPDecoder(tz.checks, np.clip(tz.priors, 1e-12, 0.499),
+                       logicals=tz.obs, iters=iters, alpha=alpha, osd=osd)
+        e_x, _ = dz.decode_batch(dets_z.reshape(batch, -1))
+        # condition each Z-component's prior on its same-location
+        # X-component having fired in the first pass
+        pb = np.tile(np.clip(tx.priors, 1e-12, 0.499), (batch, 1))
+        if vx.size:
+            sel = e_x[:, vx].astype(bool)                     # [B, P]
+            upd = np.zeros((tx.priors.size, batch))
+            np.maximum.at(upd, vz,
+                          np.where(sel, cond[None, :], 0.0).T)
+            pb = np.maximum(pb, np.clip(upd.T, 0.0, 0.499))
+        dxc = BPDecoder(tx.checks, np.clip(tx.priors, 1e-12, 0.499),
+                        logicals=tx.obs, iters=iters, alpha=alpha, osd=osd)
+        flips_zc, conv_c = dxc.decode_obs(dets_x.reshape(batch, -1),
+                                          priors=pb)
+        zf_c = (flips_zc ^ par_z).any(axis=1)
+        out.update({
+            "z_fail_corr": float(zf_c.mean()),
+            "word_fail_corr": float((xf | zf_c).mean()),
+            "bp_converged_corr": float(np.asarray(conv_c).mean()),
+            "pairs": int(vx.size),
         })
     return out
 
