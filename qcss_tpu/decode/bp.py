@@ -226,7 +226,15 @@ class BPDecoder:
         """Order-0 ordered-statistics decode: sort columns most-suspect
         first (ascending LLR), GF(2)-eliminate to the first independent
         column set, solve with all other variables at 0. Exact given the
-        ordering; O(r^2 n / 64) per shot on bit-packed rows."""
+        ordering; O(r^2 n / 64) per shot on bit-packed rows. Runs the
+        native kernel (`native/osd_decoder.cc`, bit-identical, ~100x)
+        when the toolchain is available; the loop below is the
+        pure-Python fallback and the reference semantics."""
+        from qcss_tpu import native
+
+        res = native.osd0_batch_native(self.h, synd, soft)
+        if res is not None:
+            return res
         out = np.zeros((synd.shape[0], self.n), dtype=np.uint8)
         words = (self.n + 1 + 63) // 64
         for bi in range(synd.shape[0]):

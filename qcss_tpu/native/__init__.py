@@ -22,6 +22,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "syndrome_table.cc"),
     os.path.join(os.path.dirname(__file__), "uf_decoder.cc"),
     os.path.join(os.path.dirname(__file__), "mwpm_decoder.cc"),
+    os.path.join(os.path.dirname(__file__), "osd_decoder.cc"),
 ]
 _LIB_NAME = "libqcss.so"
 _lib = None
@@ -106,6 +107,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_void_p, u8p, ctypes.c_int64,
         ctypes.c_void_p,  # corrections (nullable)
         u32p, ctypes.c_int32,
+    ]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.qcss_osd0_batch.restype = ctypes.c_int32
+    lib.qcss_osd0_batch.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32,
+        u8p, f32p, ctypes.c_int64, u8p, ctypes.c_int32,
     ]
     return lib
 
@@ -288,6 +295,34 @@ def mwpm_create_native(
     if not ptr:
         return None
     return MwpmNativeHandle(lib, ptr, num_nodes, n_qubits)
+
+
+def osd0_batch_native(h: np.ndarray, synd: np.ndarray, soft: np.ndarray,
+                      n_threads: int | None = None):
+    """Batched OSD-0 (see `osd_decoder.cc`): h [r, n], synd [B, r],
+    soft [B, n] float32 LLR totals -> [B, n] uint8 estimates, or None if
+    the native library is unavailable. Bit-identical to
+    `decode.bp.BPDecoder._osd0`'s Python loop."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(h, dtype=np.uint8) & 1
+    synd = np.ascontiguousarray(synd, dtype=np.uint8)
+    soft = np.ascontiguousarray(soft, dtype=np.float32)
+    r, n = h.shape
+    batch = synd.shape[0]
+    if synd.shape != (batch, r) or soft.shape != (batch, n):
+        raise ValueError("shape mismatch")
+    out = np.zeros((batch, n), dtype=np.uint8)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.qcss_osd0_batch(h.reshape(-1), np.int32(r), np.int32(n),
+                             synd.reshape(-1), soft.reshape(-1),
+                             np.int64(batch), out.reshape(-1),
+                             np.int32(n_threads))
+    if rc != 0:
+        return None
+    return out
 
 
 def rref_native(mat: np.ndarray):

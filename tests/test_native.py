@@ -98,3 +98,43 @@ class TestFallback:
         t2, tab2 = gf2.syndrome_table(h)
         assert t1 == t2
         assert set(tab1) == set(tab2)
+
+
+@requires_native
+class TestNativeOsd:
+    def test_bit_identical_to_python_osd0(self):
+        """The C++ OSD-0 kernel must reproduce BPDecoder._osd0's Python
+        loop bit-for-bit (same stable column ordering, same pivot set) on
+        a regime with a real unconverged tail."""
+        import jax
+        import jax.numpy as jnp
+
+        from qcss_tpu import native
+        from qcss_tpu.codes import families
+        from qcss_tpu.decode.bp import BPDecoder, spacetime_tanner
+
+        code = families.bb72()
+        h2 = code.redundant_parity_check_c2
+        tan, priors, _, _ = spacetime_tanner(h2, 4, 0.02, 0.02)
+        dec = BPDecoder(tan, priors, iters=4, osd=False)
+        rng = np.random.default_rng(0)
+        ev = (rng.random((128, tan.shape[1])) < priors[None, :]).astype(
+            np.uint8)
+        syn = ((ev @ tan.T) & 1).astype(np.uint8)
+        _, conv, soft = dec._run(jnp.asarray(syn))
+        idx = np.nonzero(~np.asarray(conv))[0][:24]
+        assert idx.size >= 8, "regime too easy for an OSD test"
+        s_sub = syn[idx]
+        soft_sub = np.asarray(soft)[idx]
+        nat = native.osd0_batch_native(dec.h, s_sub, soft_sub)
+        assert nat is not None
+        import qcss_tpu.native as N
+
+        orig = N.osd0_batch_native
+        N.osd0_batch_native = lambda *a, **k: None
+        try:
+            py = dec._osd0(s_sub, soft_sub)
+        finally:
+            N.osd0_batch_native = orig
+        assert (nat == py).all()
+        assert (((nat.astype(np.int64) @ dec.h.T) & 1) == s_sub).all()
