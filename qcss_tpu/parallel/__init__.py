@@ -15,6 +15,7 @@ from qcss_tpu.parallel.mesh import (
     sharded_ftqc_run,
     sharded_logical_error_rate,
     sharded_mc_step,
+    sharded_qldpc_circuit_memory,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "sharded_ftqc_run",
     "sharded_logical_error_rate",
     "sharded_mc_step",
+    "sharded_qldpc_circuit_memory",
 ]

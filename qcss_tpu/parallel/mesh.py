@@ -385,6 +385,96 @@ def sharded_bp_memory(code, mesh: Mesh, *, rounds: int, p: float, q: float,
     }
 
 
+def sharded_qldpc_circuit_memory(code, mesh: Mesh, *, rounds: int, noise,
+                                 batch: int, seed: int = 0, iters: int = 48,
+                                 alpha: float = 0.8) -> dict[str, float]:
+    """Mesh-parallel CIRCUIT-LEVEL qLDPC memory, fully fused on device.
+
+    The circuit-noise counterpart of `sharded_bp_memory`: every device
+    frame-samples its shard of the two-sector extraction schedule
+    (`experiments.memory_xz._sample_two_sector` — the real circuits, real
+    per-location noise), assembles the z-sector detector history, and
+    decodes it with BP over the exact detector-fault Tanner graph
+    (`decode.bp_dem.build_circuit_tanner`) *inside* the `shard_map`; one
+    `psum` of failure / non-converged counts crosses the host boundary.
+    Device-only BP (no OSD tail): ``bp_unconverged`` bounds what a host
+    OSD pass could still recover."""
+    from functools import partial as _partial
+
+    from qcss_tpu.decode.bp import BPDecoder
+    from qcss_tpu.decode.bp_dem import build_circuit_tanner
+    from qcss_tpu.decode.spacetime import detector_history
+    from qcss_tpu.experiments.memory import (
+        x_extraction_circuit,
+        z_extraction_circuit,
+    )
+    from qcss_tpu.experiments.memory_xz import _sample_two_sector
+    from qcss_tpu.sim import frame as fr
+
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+
+    hz = np.asarray(getattr(code, "redundant_parity_check_c2",
+                            code.raw_parity_check_c2), np.uint8) & 1
+    hx = np.asarray(getattr(code, "redundant_parity_check_c1",
+                            code.raw_parity_check_c1), np.uint8) & 1
+    lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+    ck = (id(code), mesh, local, rounds, noise.static_key()
+          if hasattr(noise, "static_key") else id(noise), iters,
+          float(alpha))
+    fn = _BP_MEMORY_CACHE.get(ck)
+    if fn is None:
+        tan = build_circuit_tanner(code, rounds, noise, sector="z",
+                                   hz=hz, hx=hx)
+        dec = BPDecoder(tan.checks, np.clip(tan.priors, 1e-12, 0.499),
+                        iters=iters, alpha=alpha, osd=False)
+        obs_t = jnp.asarray(tan.obs.T, jnp.int32)
+        rz, rx = hz.shape[0], hx.shape[0]
+        n = code.n
+        z_arrays = tuple(map(jnp.asarray, z_extraction_circuit(
+            code, checks=hz).to_arrays()))
+        x_arrays = tuple(map(jnp.asarray, x_extraction_circuit(
+            code, anc_offset=n + rz, checks=hx).to_arrays()))
+        nq = n + rz + rx
+        sample = _partial(_sample_two_sector, code=code, noise=noise,
+                          z_arrays=z_arrays, x_arrays=x_arrays,
+                          z_comp=fr.maybe_compile(z_arrays, nq),
+                          x_comp=fr.maybe_compile(x_arrays, nq),
+                          rz=rz, rx=rx)
+        hz_t = jnp.asarray(hz.T, jnp.int32)
+        lz_t = jnp.asarray(lz.T, jnp.int32)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+                 check_vma=False)
+        def step(k):
+            my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            syns_z, _, x_err, _ = sample(my_key, local, rounds)
+            final_z = ((x_err.astype(jnp.int32) @ hz_t) & 1).astype(jnp.uint8)
+            dets = detector_history(syns_z, final_z).astype(jnp.uint8)
+            e_hat, conv, _ = dec._bp_run(dets.reshape(local, -1))
+            flips = (e_hat.astype(jnp.int32) @ obs_t) & 1
+            par = (x_err.astype(jnp.int32) @ lz_t) & 1
+            fail = (flips ^ par).any(axis=1)
+            return (
+                jax.lax.psum(jnp.sum(fail.astype(jnp.int32)), axis),
+                jax.lax.psum(jnp.sum(1 - conv.astype(jnp.int32)), axis),
+            )
+
+        fn = jax.jit(step)
+        _BP_MEMORY_CACHE[ck] = fn
+    fails, unconv = fn(jax.random.key(seed))
+    return {
+        "x_fail": int(fails) / batch,
+        "bp_unconverged": int(unconv) / batch,
+        "rounds": rounds,
+        "samples": batch,
+        "decoder": "device-circuit-bp",
+    }
+
+
 def sharded_logical_error_rate(
     code,
     p,

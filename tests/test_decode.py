@@ -223,6 +223,27 @@ class TestParallel:
                                              batch=512, seed=2, iters=24)
         assert abs(out["x_fail"] - ref["x_fail"]) < 0.03
 
+    def test_sharded_qldpc_circuit_memory(self):
+        """Circuit-level qLDPC pipeline fused on the mesh: frame-sampled
+        two-sector circuits + detector-fault-Tanner BP inside shard_map,
+        within MC tolerance of the host experiment at the same point."""
+        from qcss_tpu.codes import families
+        from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
+        from qcss_tpu.parallel import make_mesh, sharded_qldpc_circuit_memory
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.bb72()
+        noise = NoiseModel(p_gate2=1e-3, p_meas=1e-3)
+        out = sharded_qldpc_circuit_memory(code, make_mesh(), rounds=2,
+                                           noise=noise, batch=8 * 32,
+                                           seed=1, iters=24)
+        assert out["decoder"] == "device-circuit-bp"
+        assert 0.0 <= out["x_fail"] <= 0.1
+        ref = qldpc_memory_experiment(code, rounds=2, noise=noise,
+                                      batch=256, seed=2, iters=24,
+                                      sectors="z")
+        assert abs(out["x_fail"] - ref["x_fail"]) < 0.05
+
     def test_sharded_rate_close_to_single_device(self, steane):
         from qcss_tpu.parallel import make_mesh, sharded_logical_error_rate
 
