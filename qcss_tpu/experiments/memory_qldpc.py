@@ -171,7 +171,8 @@ def qldpc_stream_memory_rate(code, noise: noise_mod.NoiseModel, *,
                              rounds: int, batch: int, window: int = 8,
                              commit: int = 4, iters: int = 48,
                              alpha: float = 0.8, osd: bool = True,
-                             seed: int = 0) -> dict[str, float]:
+                             seed: int = 0,
+                             sectors: str = "z") -> dict[str, float]:
     """Unbounded-round CIRCUIT-LEVEL qLDPC Z-memory with O(window) state:
     chunked frame sampling of the two-sector extraction schedule
     interleaved with sliding-window circuit-level BP decodes
@@ -183,7 +184,9 @@ def qldpc_stream_memory_rate(code, noise: noise_mod.NoiseModel, *,
     two-sector circuit, identical physics and key consumption to
     `qldpc_memory_experiment`); the decoder window slides behind the
     sampler. Returns the X-logical failure rate over all k logicals and
-    the end-to-end round-shots/s."""
+    the end-to-end round-shots/s; `sectors='both'` also streams the
+    x-sector detector history through a second window decoder and
+    reports `z_fail` / `word_fail`."""
     import time
 
     from qcss_tpu.decode.bp_streaming import CircuitBPStreamingDecoder
@@ -214,12 +217,18 @@ def qldpc_stream_memory_rate(code, noise: noise_mod.NoiseModel, *,
     dec = CircuitBPStreamingDecoder(code, noise, sector="z", window=W,
                                     commit=C, iters=iters, alpha=alpha,
                                     osd=osd, hz=hz, hx=hx)
+    dec_x = None
+    if sectors == "both":
+        dec_x = CircuitBPStreamingDecoder(code, noise, sector="x", window=W,
+                                          commit=C, iters=iters, alpha=alpha,
+                                          osd=osd, hz=hz, hx=hx)
 
     @partial(jax.jit, static_argnames=("m",))
     def sample_chunk(f, prev_syn, key, m):
-        """m two-sector rounds; emits z-detector increments [B, m, rz]."""
+        """m two-sector rounds; emits both sectors' detector increments
+        ([B, m, rz], [B, m, rx])."""
         def body(carry, k):
-            f, prev = carry
+            f, prev_z, prev_x = carry
             kz, kzm, kzr, kx, kxm, kxr = jax.random.split(k, 6)
             if z_comp is not None:
                 f = fr.run_compiled_noisy(f, z_comp, noise, kz)
@@ -231,52 +240,72 @@ def qldpc_stream_memory_rate(code, noise: noise_mod.NoiseModel, *,
                 f = fr.run_compiled_noisy(f, x_comp, noise, kx)
             else:
                 f = fr.run_arrays_noisy(f, *x_arrays, noise, kx)
-            f, _ = fr.measure_deviations(f, xanc, kxm, noise.p_meas)
+            f, syn_x = fr.measure_deviations(f, xanc, kxm, noise.p_meas)
             f = fr.reset_qubits(f, xanc, kxr, noise.p_reset)
-            return (f, syn), syn ^ prev
+            return (f, syn, syn_x), (syn ^ prev_z, syn_x ^ prev_x)
         keys = jax.random.split(key, m)
-        (f, prev_syn), dets = jax.lax.scan(body, (f, prev_syn), keys)
-        return f, prev_syn, jnp.moveaxis(dets, 0, 1)  # [B, m, rz]
+        (f, pz, px), (dz, dx) = jax.lax.scan(body, (f, *prev_syn), keys)
+        return f, (pz, px), (jnp.moveaxis(dz, 0, 1), jnp.moveaxis(dx, 0, 1))
 
+    lx = np.asarray(code.x_operator_matrix(), np.uint8) & 1
     key = jax.random.key(seed)
     f = fr.zero_frames(batch, nq)
-    prev = jnp.zeros((batch, rz), jnp.uint8)
+    prev = (jnp.zeros((batch, rz), jnp.uint8),
+            jnp.zeros((batch, rx), jnp.uint8))
     flips = np.zeros((batch, lz.shape[0]), np.uint8)
     carry = np.zeros((batch, W * rz), np.uint8)
+    flips_x = np.zeros((batch, lx.shape[0]), np.uint8)
+    carry_x = np.zeros((batch, W * rx), np.uint8)
     conv_all = np.ones(batch, bool)
 
     t0 = time.perf_counter()
     key, k0 = jax.random.split(key)
-    f, prev, buf = sample_chunk(f, prev, k0, W)
+    f, prev, (buf, buf_x) = sample_chunk(f, prev, k0, W)
     buf = np.asarray(buf, np.uint8)
+    buf_x = np.asarray(buf_x, np.uint8)
     sampled, s0 = W, 0  # rounds sampled / layers committed; buf = [s0, sampled)
     while rounds + 1 - s0 > W:
         delta, carry, conv = dec.window_step(buf[:, :W], carry)
         flips ^= delta
         conv_all &= conv
+        if dec_x is not None:
+            delta, carry_x, conv = dec_x.window_step(buf_x[:, :W], carry_x)
+            flips_x ^= delta
+            conv_all &= conv
         s0 += C
         m = min(C, rounds - sampled)
         if m:
             key, kc = jax.random.split(key)
             f, prev, fresh = sample_chunk(f, prev, kc, m)
-            buf = np.concatenate([buf[:, C:], np.asarray(fresh, np.uint8)],
-                                 axis=1)
+            buf = np.concatenate([buf[:, C:],
+                                  np.asarray(fresh[0], np.uint8)], axis=1)
+            buf_x = np.concatenate([buf_x[:, C:],
+                                    np.asarray(fresh[1], np.uint8)], axis=1)
             sampled += m
         else:
             buf = buf[:, C:]
+            buf_x = buf_x[:, C:]
     # perfect final readout of the data deviations
-    x_err = np.asarray(fr.measure_deviations(f, data)[1], np.uint8)
+    x_err = np.asarray(f.x, np.uint8)[:, :n]
     final_slice = ((x_err.astype(np.int64) @ hz.T) & 1).astype(np.uint8)
-    final_slice ^= np.asarray(prev, np.uint8)
+    final_slice ^= np.asarray(prev[0], np.uint8)
     buf = np.concatenate([buf, final_slice[:, None, :]], axis=1)
     fl, conv = dec.final_step(buf, carry)
     flips = (flips ^ fl).astype(np.uint8)
     conv_all &= conv
+    if dec_x is not None:
+        z_err = np.asarray(f.z, np.uint8)[:, :n]
+        final_x = ((z_err.astype(np.int64) @ hx.T) & 1).astype(np.uint8)
+        final_x ^= np.asarray(prev[1], np.uint8)
+        buf_x = np.concatenate([buf_x, final_x[:, None, :]], axis=1)
+        fl, conv = dec_x.final_step(buf_x, carry_x)
+        flips_x = (flips_x ^ fl).astype(np.uint8)
+        conv_all &= conv
     elapsed = time.perf_counter() - t0
 
     par = (x_err.astype(np.int64) @ lz.T) & 1
     xf = (flips ^ par).any(axis=1)
-    return {
+    out = {
         "x_fail": float(xf.mean()),
         "bp_all_windows_converged": float(conv_all.mean()),
         "round_shots_per_sec": batch * rounds / elapsed,
@@ -285,3 +314,9 @@ def qldpc_stream_memory_rate(code, noise: noise_mod.NoiseModel, *,
         "window": W,
         "commit": C,
     }
+    if dec_x is not None:
+        par_z = (z_err.astype(np.int64) @ lx.T) & 1
+        zf = (flips_x ^ par_z).any(axis=1)
+        out["z_fail"] = float(zf.mean())
+        out["word_fail"] = float((xf | zf).mean())
+    return out

@@ -454,6 +454,17 @@ class TestCircuitStreamingBP:
                                       sectors="z")
         assert abs(out["x_fail"] - ref["x_fail"]) < 0.08
 
+    def test_stream_rate_both_sectors(self):
+        from qcss_tpu.experiments.memory_qldpc import qldpc_stream_memory_rate
+        from qcss_tpu.sim.noise import NoiseModel
+
+        out = qldpc_stream_memory_rate(
+            families.steane(), NoiseModel(p_gate2=1e-3, p_meas=2e-3),
+            rounds=10, batch=128, window=8, commit=4, iters=32, seed=0,
+            sectors="both")
+        assert 0.0 <= out["word_fail"] <= 0.5
+        assert out["word_fail"] >= max(out["x_fail"], out["z_fail"])
+
     @pytest.mark.skipif(
         not os.environ.get("QCSS_SLOW_TESTS"),
         reason="bb72 circuit-level stream (~6 min CPU); set QCSS_SLOW_TESTS=1",
