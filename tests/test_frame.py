@@ -112,51 +112,55 @@ class TestSingleFaultVsDEM:
                                    p_reset=0.0)
         assert len(dem_faults) == 4 * len(gates)
 
-        def run_with_injection(fault_round, gate_k, x_data, x_anc):
-            """Noiseless frame run with one X fault injected right after
-            gate gate_k of round fault_round; returns detector history."""
-            f = fr.zero_frames(1, n + r)
-            syns = []
-            for t in range(rounds):
-                for g in range(len(ops)):
-                    f = fr.propagate_arrays(
-                        f, ops[g:g + 1], q0[g:g + 1], q1[g:g + 1])
-                    if t == fault_round and g == gate_k:
-                        j, c = gates[g]
-                        xf = np.zeros((1, 2), np.uint8)
-                        xf[0, 0] = x_data
-                        xf[0, 1] = x_anc
-                        f = fr.inject_flips(
-                            f, jnp.asarray([j, n + c], jnp.int32),
-                            jnp.asarray(xf), jnp.zeros_like(jnp.asarray(xf)))
-                f, syn = fr.measure_deviations(f, anc)
-                f = fr.reset_qubits(f, anc)
-                syns.append(np.asarray(syn)[0])
-            _, word = fr.measure_deviations(f, data)
-            final = (np.asarray(word)[0] @ h.T) & 1
-            dets = [syns[0]]
-            for t in range(1, rounds):
-                dets.append(syns[t] ^ syns[t - 1])
-            dets.append(final ^ syns[rounds - 1])
-            return np.concatenate(dets)  # [(rounds+1) * r]
-
+        # ALL (gate, pattern) cases as one frame batch — sample b carries
+        # its own injection mask, XORed in right after its gate of the
+        # fault round. (The original one-case-at-a-time loop dispatched
+        # ~5,000 batch-1 device ops and was the slowest test in the suite.)
         fault_round = 1
-        checked = 0
+        cases = []
+        inj = np.zeros((len(ops), 3 * len(gates), n + r), np.uint8)
         for k in range(len(gates)):
+            j, c = gates[k]
+            for xd, xa in ((1, 0), (0, 1), (1, 1)):
+                b = len(cases)
+                if xd:
+                    inj[k, b, j] = 1
+                if xa:
+                    inj[k, b, n + c] = 1
+                cases.append((k, xd, xa))
+        inj_j = jnp.asarray(inj)
+
+        f = fr.zero_frames(len(cases), n + r)
+        syns = []
+        for t in range(rounds):
+            for g in range(len(ops)):
+                f = fr.propagate_arrays(
+                    f, ops[g:g + 1], q0[g:g + 1], q1[g:g + 1])
+                if t == fault_round:
+                    f = fr.Frames(f.x ^ inj_j[g], f.z)
+            f, syn = fr.measure_deviations(f, anc)
+            f = fr.reset_qubits(f, anc)
+            syns.append(np.asarray(syn))
+        _, word = fr.measure_deviations(f, data)
+        final = (np.asarray(word) @ h.T) & 1
+        det_slices = [syns[0]]
+        for t in range(1, rounds):
+            det_slices.append(syns[t] ^ syns[t - 1])
+        det_slices.append(final ^ syns[rounds - 1])
+        all_dets = np.concatenate(det_slices, axis=1)  # [B, (rounds+1)*r]
+
+        checked = 0
+        for b, (k, xd, xa) in enumerate(cases):
             sig_data = set(dem_faults[4 * k][0])
             sig_anc = set(dem_faults[4 * k + 1][0])
-            for (xd, xa), expect in (
-                ((1, 0), sig_data),
-                ((0, 1), sig_anc),
-                ((1, 1), sig_data ^ sig_anc),  # X⊗X = XOR of components
-            ):
-                dets = run_with_injection(fault_round, k, xd, xa)
-                fired = tuple(sorted(
-                    (int(i // r) - fault_round, int(i % r))
-                    for i in np.nonzero(dets)[0]
-                ))
-                assert fired == tuple(sorted(expect)), (k, (xd, xa), fired)
-                checked += 1
+            expect = {(1, 0): sig_data, (0, 1): sig_anc,
+                      (1, 1): sig_data ^ sig_anc}[(xd, xa)]
+            fired = tuple(sorted(
+                (int(i // r) - fault_round, int(i % r))
+                for i in np.nonzero(all_dets[b])[0]
+            ))
+            assert fired == tuple(sorted(expect)), (k, (xd, xa), fired)
+            checked += 1
         assert checked == 3 * len(gates)
 
 
