@@ -306,6 +306,65 @@ class BPDecoder:
         return (e_hat.astype(np.int64)
                 @ self.logicals.T.astype(np.int64)) & 1, conv
 
+    def decode_obs_gap(self, synd):
+        """Soft-output decoding: [B, r] syndromes ->
+        ([B, k] observable flips, [B] conv, [B] gap).
+
+        Flips are the STANDARD decode (BP hard decision, OSD-0 tail —
+        identical to `decode_obs`). The gap is confidence: for every
+        logical j the syndrome is re-decoded TWICE under the augmented
+        system [h; L_j] with the logical class forced to 0 and to 1
+        (OSD-0 over BP's soft ordering), and ``gap`` is the prior-LLR
+        weight margin of the least-confident logical,
+        min_j |w_j(0) - w_j(1)| — the complementary-gap proxy for
+        P(logical error | syndrome). Post-selecting on ``gap >= tau``
+        trades abort rate for conditional logical accuracy (measured on
+        bb72 code capacity p=0.03: 1.1% -> 0.17% word fail at 13%
+        abort). No reference analogue: the reference's LUT decode has no
+        confidence information at all (reference: css_code.py:649-685)."""
+        if self.logicals is None:
+            raise ValueError("decoder built without logicals")
+        synd = np.ascontiguousarray(np.asarray(synd), np.uint8)
+        e_hat, conv, soft = self._run(jnp.asarray(synd))
+        soft = np.asarray(soft)
+        conv = np.asarray(conv)
+        e_np = np.array(e_hat)
+        if self.osd and not conv.all():
+            idx = np.nonzero(~conv)[0]
+            e_np[idx] = self._osd0(synd[idx], soft[idx])
+        flips = ((e_np.astype(np.int64) @ self.logicals.T.astype(np.int64))
+                 & 1).astype(np.uint8)
+        b = synd.shape[0]
+        k = self.logicals.shape[0]
+        lam = np.log((1.0 - self.priors) / self.priors)
+        gap = np.full(b, np.inf, np.float64)
+        for j in range(k):
+            h_aug = np.concatenate([self.h, self.logicals[j:j + 1]], axis=0)
+            w = np.empty((2, b))
+            for cls in (0, 1):
+                s_aug = np.concatenate(
+                    [synd, np.full((b, 1), cls, np.uint8)], axis=1)
+                e = self._osd0_on(h_aug, s_aug, soft)
+                w[cls] = e.astype(np.float64) @ lam
+            gap = np.minimum(gap, np.abs(w[0] - w[1]))
+        return flips, conv, gap.astype(np.float32)
+
+    def _osd0_on(self, h_aug: np.ndarray, synd: np.ndarray,
+                 soft: np.ndarray) -> np.ndarray:
+        """OSD-0 against an augmented check matrix (same columns, extra
+        constraint rows); native kernel when available."""
+        from qcss_tpu import native
+
+        res = native.osd0_batch_native(h_aug, synd, soft)
+        if res is not None:
+            return res
+        saved_h, saved_r = self.h, self.r
+        try:
+            self.h, self.r = h_aug, h_aug.shape[0]
+            return self._osd0(synd, soft)
+        finally:
+            self.h, self.r = saved_h, saved_r
+
 
 def open_window_tanner(h, window: int, p_data: float, p_meas: float):
     """Tanner graph of `window` NOISY detector slices with no terminal

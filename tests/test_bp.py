@@ -493,6 +493,30 @@ class TestCircuitStreamingBP:
             (whole ^ par).any(axis=1).mean() + 0.03)
 
 
+def test_gap_postselection():
+    """Soft-output gap decoding: flips identical to the standard decode,
+    and post-selecting on the complementary gap buys conditional accuracy
+    (bb72 code capacity p=0.03: ~6x at ~13% abort)."""
+    code = families.bb72()
+    h = code.redundant_parity_check_c2
+    lz = code.z_operator_matrix()
+    p = 0.03
+    rng = np.random.default_rng(0)
+    B = 1024
+    errs = (rng.random((B, code.n)) < 2 * p / 3).astype(np.uint8)
+    syn = (errs @ h.T) & 1
+    true_flip = (errs.astype(np.int64) @ lz.T) & 1
+    dec = BPDecoder(h, 2 * p / 3, logicals=lz, iters=48)
+    f_std, _ = dec.decode_obs(syn)
+    f_gap, _, gap = dec.decode_obs_gap(syn)
+    assert (f_std == f_gap).all()
+    assert gap.shape == (B,) and (gap >= 0).all()
+    fail = (f_gap ^ true_flip).any(axis=1)
+    keep = gap >= 10.0
+    assert keep.mean() > 0.7
+    assert fail[keep].mean() < 0.6 * fail.mean()
+
+
 def test_priors_validation():
     with pytest.raises(ValueError):
         BPDecoder(np.eye(3, dtype=np.uint8), 0.6)
