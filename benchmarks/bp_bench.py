@@ -151,6 +151,34 @@ def bench_circuit_stream(name: str, rounds: int, p: float, batch: int,
     return out
 
 
+def bench_gap(name: str, p: float, batch: int, iters: int,
+              seed: int, taus=(0.0, 5.0, 10.0, 20.0)) -> dict:
+    """Soft-output gap post-selection curve at code capacity."""
+    code = CODES[name]()
+    h2 = code.redundant_parity_check_c2
+    lz = code.z_operator_matrix()
+    rng = np.random.default_rng(seed)
+    errs = (rng.random((batch, code.n)) < 2.0 * p / 3.0).astype(np.uint8)
+    syn = (errs @ h2.T) & 1
+    dec = BPDecoder(h2, 2.0 * p / 3.0, logicals=lz, iters=iters)
+    t0 = time.perf_counter()
+    flips, _, gap = dec.decode_obs_gap(syn)
+    sec = time.perf_counter() - t0
+    true_flip = (errs.astype(np.int64) @ lz.T.astype(np.int64)) & 1
+    fail = (flips ^ true_flip).any(axis=1)
+    curve = []
+    for tau in taus:
+        keep = gap >= tau
+        curve.append({"tau": tau, "keep": float(keep.mean()),
+                      "cond_fail": float(fail[keep].mean())
+                      if keep.any() else None})
+    return {
+        "bench": "bp_gap_postselect", "code": name, "p": p, "batch": batch,
+        "shots_per_sec": round(batch / sec, 1),
+        "word_fail": float(fail.mean()), "curve": curve,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--codes", default="bb72,bb144")
@@ -164,6 +192,8 @@ def main() -> None:
                     help="also run the R=d phenomenological Tanner decode")
     ap.add_argument("--stream", type=int, default=0, metavar="R",
                     help="also run R-round sliding-window BP streaming")
+    ap.add_argument("--gap", action="store_true",
+                    help="also run the soft-output gap post-selection curve")
     ap.add_argument("--circuit-stream", type=int, default=0, metavar="R",
                     help="also run R-round CIRCUIT-LEVEL sliding-window BP "
                     "(two-sector sampling + window decodes, uniform "
@@ -187,6 +217,10 @@ def main() -> None:
             print(json.dumps(bench_stream(
                 name, args.stream, args.p, args.q, args.batch,
                 args.window, args.commit, args.iters, args.seed)),
+                flush=True)
+        if args.gap:
+            print(json.dumps(bench_gap(
+                name, args.p, args.batch, args.iters, args.seed)),
                 flush=True)
         if args.circuit_stream:
             print(json.dumps(bench_circuit_stream(
