@@ -81,7 +81,10 @@ class BPDecoder:
     alpha : min-sum normalization factor.
     osd : apply host OSD-0 to non-converged shots in `decode_batch` /
         `decode_obs` (the device part is unchanged; OSD touches only the
-        tail that BP left unconverged).
+        tail that BP left unconverged). `osd='always'` additionally runs
+        OSD-0 on every shot and keeps the lower-prior-weight solution —
+        guards against min-sum converging to a wrong-class higher-weight
+        estimate on 4-cycle-rich graphs (e.g. hypergraph products).
     layout : 'auto' (default), 'dense', or 'gather' — how variable totals
         are computed ('dense': one MXU matmul against the 0/1 slot
         incidence; 'gather': per-variable static gathers, the layout for
@@ -101,7 +104,9 @@ class BPDecoder:
         self.priors = priors.copy()
         self.iters = int(iters)
         self.alpha = float(alpha)
-        self.osd = bool(osd)
+        if osd not in (True, False, "always"):
+            raise ValueError(f"osd must be True/False/'always', got {osd!r}")
+        self.osd = osd
         self.logicals = (None if logicals is None else
                          np.asarray(logicals, dtype=np.uint8) & 1)
 
@@ -292,7 +297,19 @@ class BPDecoder:
             return np.asarray(e_hat), np.asarray(conv)
         conv_np = np.asarray(conv)
         e_np = np.array(e_hat)  # writable copy — OSD patches the tail in place
-        if not conv_np.all():
+        if self.osd == "always":
+            # OSD the WHOLE batch and keep the lower-prior-LLR-weight
+            # syndrome-satisfying solution. Min-sum BP can CONVERGE to a
+            # wrong-class higher-weight solution on 4-cycle-rich graphs
+            # (measured: hypergraph-product of Hamming(7,4) mis-decodes
+            # 7/58 weight-1 errors to converged weight-4 estimates at any
+            # alpha >= 0.6); the weight tie-break restores exactness.
+            e_osd = self._osd0(np.asarray(synd), np.asarray(soft))
+            lam_p = np.log((1.0 - self.priors) / self.priors)
+            take = ~conv_np | (e_osd.astype(np.float64) @ lam_p
+                               < e_np.astype(np.float64) @ lam_p)
+            e_np[take] = e_osd[take]
+        elif not conv_np.all():
             idx = np.nonzero(~conv_np)[0]
             e_np[idx] = self._osd0(np.asarray(synd)[idx],
                                    np.asarray(soft)[idx])
