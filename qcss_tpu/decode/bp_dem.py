@@ -184,6 +184,16 @@ def _joint_fault_atoms(circ: _RoundCircuit, noise):
             if op[0] != "reset":
                 continue
             inject(k, [op[1]], [], pr)
+    if noise.p_idle:
+        # per-round data-qubit idle, exact X/Y/Z atoms at the round
+        # boundary (same per-round semantics as dem2._fault_species)
+        rate = noise.rate_idle
+        px, py, pz = (rate if isinstance(rate, tuple)
+                      else (rate / 3.0,) * 3)
+        for q in range(circ.n):
+            inject(-1, [q], [], px)
+            inject(-1, [], [q], pz)
+            inject(-1, [q], [q], py)
     return atoms
 
 

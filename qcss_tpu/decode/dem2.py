@@ -249,6 +249,21 @@ def _fault_species(circ: _RoundCircuit, noise):
             x0[op[1]] = 1
             info, oz, ox = _analyze(circ, k, x0, np.zeros(nq, np.uint8))
             comps.append((("reset", k), info, oz, ox, pr))
+    if noise.p_idle:
+        # one idle Pauli channel per DATA qubit per round, charged at the
+        # round boundary (k=-1) — the memory-pipeline interpretation of
+        # NoiseModel.p_idle (per ROUND, not per elementary step; callers
+        # wanting duration weighting compose with noise.compose_pauli).
+        # Matches memory_xz._sample_two_sector's injection exactly.
+        rate = noise.rate_idle
+        px, py, pz = (rate if isinstance(rate, tuple)
+                      else (rate / 3.0,) * 3)
+        for q in range(circ.n):
+            kx = ("idle", q, "x")
+            kz = ("idle", q, "z")
+            inject(-1, q, True, px + py, kx)
+            inject(-1, q, False, pz + py, kz)
+            pairs[(kx, kz)] = py
     return comps, pairs
 
 

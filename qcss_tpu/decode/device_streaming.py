@@ -293,11 +293,17 @@ def stream_memory_rate_dem(code, noise, *, rounds: int, batch: int,
     `experiments.memory._memory_circuit_frames`) interleaved with
     sliding-window decodes on the exact single-fault DEM
     (`DeviceStreamingDecoder.from_dem`). The DEM covers the
-    p_gate2/p_meas/p_reset species; idle noise, if enabled, is sampled
-    but not modeled in the decoder's graph."""
+    p_gate2/p_meas/p_reset species; idle noise is NOT supported by this
+    single-sector sampler (raises — use the two-sector qLDPC pipelines,
+    which sample AND model idle)."""
     from qcss_tpu.decode.dem import extraction_gate_list
     from qcss_tpu.experiments import memory as M
     from qcss_tpu.ops import gf2_jax
+
+    if noise.p_idle:
+        raise ValueError("stream_memory_rate_dem's single-sector sampler "
+                         "does not model idle noise; use "
+                         "experiments.qldpc_stream_memory_rate")
     from qcss_tpu.sim import frame as fr
 
     raw = np.asarray(code.raw_parity_check_c2, np.uint8) & 1

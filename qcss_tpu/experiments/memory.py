@@ -314,6 +314,12 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
     tested against the DEM enumeration) and >100x faster, enabling
     10^6+-shot points.
     """
+    if noise.p_idle:
+        raise ValueError(
+            "memory_experiment does not model idle noise (p_idle would be "
+            "silently ignored); use the two-sector pipelines "
+            "(experiments.memory_xz / memory_qldpc), which sample AND "
+            "decode per-round data idle")
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
     if engine not in ("tableau", "frames"):

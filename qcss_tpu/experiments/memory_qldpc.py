@@ -229,6 +229,22 @@ def qldpc_stream_memory_rate(code, noise: noise_mod.NoiseModel, *,
         ([B, m, rz], [B, m, rx])."""
         def body(carry, k):
             f, prev_z, prev_x = carry
+            if noise.p_idle:
+                # per-round data idle at the round boundary — identical
+                # semantics (and decoder species) to _sample_two_sector
+                k, ki = jax.random.split(k)
+                u = jax.random.uniform(ki, (batch, n), jnp.float32)
+                x_hi, z_lo, z_hi = (
+                    jnp.float32(v)
+                    for v in noise_mod._thresholds_1q(noise.rate_idle))
+                dat = jnp.arange(n)
+                f = fr.Frames(
+                    f.x.at[:, dat].set(f.x[:, dat]
+                                       ^ (u < x_hi).astype(jnp.uint8)),
+                    f.z.at[:, dat].set(f.z[:, dat]
+                                       ^ ((u >= z_lo)
+                                          & (u < z_hi)).astype(jnp.uint8)),
+                )
             kz, kzm, kzr, kx, kxm, kxr = jax.random.split(k, 6)
             if z_comp is not None:
                 f = fr.run_compiled_noisy(f, z_comp, noise, kz)

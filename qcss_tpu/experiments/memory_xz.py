@@ -51,6 +51,25 @@ def _sample_two_sector(key, batch, rounds, code, noise, z_arrays, x_arrays,
     f = fr.zero_frames(batch, nq)
 
     def round_body(f, k):
+        if noise.p_idle:
+            # per-round idle channel on every data qubit, charged at the
+            # round boundary — EXACTLY the species dem2._fault_species
+            # adds at k=-1, so idle-aware decoding graphs match the
+            # sampled physics. Static branch: p_idle == 0 consumes the
+            # same key stream as before idle existed.
+            k, ki = jax.random.split(k)
+            u = jax.random.uniform(ki, (batch, n), jnp.float32)
+            x_hi, z_lo, z_hi = (
+                jnp.float32(v)
+                for v in noise_mod._thresholds_1q(noise.rate_idle))
+            dat = jnp.arange(n)
+            f = fr.Frames(
+                f.x.at[:, dat].set(f.x[:, dat]
+                                   ^ (u < x_hi).astype(jnp.uint8)),
+                f.z.at[:, dat].set(f.z[:, dat]
+                                   ^ ((u >= z_lo)
+                                      & (u < z_hi)).astype(jnp.uint8)),
+            )
         kz, kzm, kzr, kx, kxm, kxr = jax.random.split(k, 6)
         if z_comp is not None:
             f = fr.run_compiled_noisy(f, z_comp, noise, kz)

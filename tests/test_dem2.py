@@ -83,3 +83,51 @@ def test_correlated_beats_independent():
     assert res["z_fail_corr"] < res["z_fail"], res
     assert res["word_fail_corr"] <= res["word_fail"], res
     assert res["pairs"] > 0
+
+
+class TestIdleNoise:
+    """Per-round data-qubit idle in the two-sector pipelines: sampled by
+    `_sample_two_sector` and modeled as k=-1 fault species — the memory
+    counterpart of the executor's idle locations (tests/test_idle.py)."""
+
+    def test_idle_species_structure(self):
+        from qcss_tpu.decode.dem2 import _RoundCircuit, _fault_species
+
+        code = rotated_surface(3)
+        circ = _RoundCircuit(code)
+        noise = NoiseModel(p_idle=3e-3)
+        comps, pairs = _fault_species(circ, noise)
+        idle = [c for c in comps if c[0][0] == "idle"]
+        assert len(idle) == 2 * code.n  # X and Z component per data qubit
+        # uniform depolarizing split: component marginal 2p/3, pair p/3
+        for key, info, _, _, prob in idle:
+            assert abs(prob - 2 * 3e-3 / 3) < 1e-12
+        idle_pairs = [v for k, v in pairs.items() if k[0][0] == "idle"]
+        assert len(idle_pairs) == code.n
+        assert all(abs(v - 1e-3) < 1e-12 for v in idle_pairs)
+
+    def test_idle_raises_failure_and_is_decoded(self):
+        from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+
+        code = rotated_surface(3)
+        base = xz_memory_experiment(
+            code, rounds=3, noise=NoiseModel(p_gate2=1e-3, p_meas=3e-3),
+            batch=4096, seed=1)
+        idle = xz_memory_experiment(
+            code, rounds=3,
+            noise=NoiseModel(p_gate2=1e-3, p_meas=3e-3, p_idle=1e-2),
+            batch=4096, seed=1)
+        # measured at 8192 shots: word 1.32% -> 2.28% monotone in p_idle
+        assert idle["word_fail"] > base["word_fail"]
+        assert idle["word_fail"] < 0.1  # the idle-aware DEM still decodes
+
+    def test_single_sector_paths_refuse_idle(self):
+        from qcss_tpu.decode.device_streaming import stream_memory_rate_dem
+        from qcss_tpu.experiments.memory import memory_experiment
+
+        noise = NoiseModel(p_gate2=1e-3, p_idle=1e-3)
+        with pytest.raises(ValueError, match="idle"):
+            memory_experiment(rotated_surface(3), rounds=2, noise=noise)
+        with pytest.raises(ValueError, match="idle"):
+            stream_memory_rate_dem(rotated_surface(3), noise, rounds=8,
+                                   batch=8)
