@@ -58,6 +58,41 @@ def bench(code, tableau: str, batch: int) -> dict:
     }
 
 
+def ec_scaling(n_logical: int, schedule: str, batch: int) -> dict:
+    """EC_ALL cost vs program width: n_logical blocks, one X per block
+    (each followed by an EC round over ALL blocks), one measurement.
+    Serialized EC does O(n^2) block-rounds total; the parallel schedule
+    O(n) wall-layers — shots/sec ratio vs n is the scaling evidence
+    (VERDICT round-2 task 3)."""
+    prog = Program()
+    ro = prog.declare("ro", 1)
+    for q in range(n_logical):
+        prog.x(q)
+    prog.measure(0, ro[0])
+    enc = rewrite_program(x_program() if n_logical == 0 else prog,
+                          families.steane(), tableau="frames",
+                          ancillas="dedicated", ec_schedule=schedule)
+
+    def run_once(seed: int) -> int:
+        return int(enc.run(batch, key=jax.random.key(seed))["ro"].sum())
+
+    run_once(100)
+    run_once(101)
+    reps = 3
+    t0 = time.perf_counter()
+    correct = sum(run_once(i + 1) for i in range(reps))
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "ec_all_scaling",
+        "n_logical": n_logical,
+        "ec_schedule": schedule,
+        "batch": batch,
+        "value": round(reps * batch / dt, 1),
+        "unit": "shots/sec/chip",
+        "correct_fraction": correct / (reps * batch),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -65,7 +100,18 @@ def main():
     ap.add_argument("--tableaus", nargs="+",
                     default=["unpacked", "packed", "frames"],
                     choices=["unpacked", "packed", "frames"])
+    ap.add_argument("--ec-scaling", type=int, nargs="+", default=None,
+                    metavar="N_LOGICAL",
+                    help="instead: EC_ALL wall-time scaling across program "
+                    "widths, serial vs parallel schedules (frames engine)")
     args = ap.parse_args()
+
+    if args.ec_scaling:
+        for n_logical in args.ec_scaling:
+            for schedule in ("serial", "parallel"):
+                print(json.dumps(ec_scaling(n_logical, schedule,
+                                            args.batch)), flush=True)
+        return
 
     for name in args.codes:
         code = CODES[name]()
