@@ -422,9 +422,12 @@ def sharded_qldpc_circuit_memory(code, mesh: Mesh, *, rounds: int, noise,
     hx = np.asarray(getattr(code, "redundant_parity_check_c1",
                             code.raw_parity_check_c1), np.uint8) & 1
     lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
-    ck = (id(code), mesh, local, rounds, noise.static_key()
-          if hasattr(noise, "static_key") else id(noise), iters,
-          float(alpha))
+    # key on the noise VALUES (the compiled closure bakes them in) — the
+    # structure-only static_key would alias different rates
+    ck = (id(code), mesh, local, rounds,
+          (noise.p_gate1, noise.p_gate2, noise.p_meas, noise.p_reset,
+           noise.p_idle, noise.pauli1, noise.pauli2, noise.pauli_idle),
+          iters, float(alpha))
     fn = _BP_MEMORY_CACHE.get(ck)
     if fn is None:
         tan = build_circuit_tanner(code, rounds, noise, sector="z",
