@@ -36,7 +36,8 @@ def qldpc_memory_experiment(code, *, rounds: int,
                             iters: int = 64, alpha: float = 0.8,
                             osd: bool = True, sectors: str = "both",
                             joint: bool = False, alpha_joint: float = 0.6,
-                            correlated: bool = False) -> dict[str, float]:
+                            correlated: bool = False,
+                            gap_tau: float | None = None) -> dict[str, float]:
     """Run the two-sector circuit-level memory and decode each sector
     with circuit-level BP. `sectors='z'` decodes X errors only (faster;
     the Z-basis memory), `'both'` adds Z errors and word failure.
@@ -88,8 +89,12 @@ def qldpc_memory_experiment(code, *, rounds: int,
     dec_z = circuit_bp_decoder(code, rounds, noise, sector="z",
                                iters=iters, alpha=alpha, osd=osd,
                                hz=hz, hx=hx)
-    flips_x, conv_z = dec_z.decode_obs(dets_z.reshape(batch, -1))
     par_x = (x_err.astype(np.int64) @ lz.T.astype(np.int64)) & 1
+    if gap_tau is not None:
+        flips_x, conv_z, gap = dec_z.decode_obs_gap(
+            dets_z.reshape(batch, -1))
+    else:
+        flips_x, conv_z = dec_z.decode_obs(dets_z.reshape(batch, -1))
     xf = (flips_x ^ par_x).any(axis=1)
     out = {
         "x_fail": float(xf.mean()),
@@ -98,6 +103,16 @@ def qldpc_memory_experiment(code, *, rounds: int,
         "rounds": rounds,
         "faults_z": dec_z.n,
     }
+    if gap_tau is not None:
+        # soft-output post-selection on the z-sector decode: abort shots
+        # whose complementary gap falls below tau
+        keep = gap >= gap_tau
+        out.update({
+            "gap_tau": float(gap_tau),
+            "gap_keep": float(keep.mean()),
+            "x_fail_postselected": float(xf[keep].mean())
+            if keep.any() else None,
+        })
     if sectors == "both":
         final_x = ((z_err.astype(np.int64) @ hx.T) & 1).astype(np.uint8)
         dets_x = detector_history(syns_x, final_x)

@@ -321,6 +321,19 @@ class TestJointCircuitBP:
         e1, c1 = dec.decode_batch(syn, priors=pb)
         assert (e0 == e1).all() and (c0 == c1).all()
 
+    def test_circuit_level_gap_postselection(self):
+        """Gap post-selection on the realistic noise tier: circuit-level
+        d=3 memory measures 0.66% -> 0.027% x-fail at 8.7% abort (24x)."""
+        from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        out = qldpc_memory_experiment(
+            families.rotated_surface(3), rounds=3,
+            noise=NoiseModel(p_gate2=3e-3, p_meas=8e-3), batch=4096,
+            seed=0, sectors="z", gap_tau=8.0, iters=64)
+        assert out["gap_keep"] > 0.8
+        assert out["x_fail_postselected"] < 0.3 * out["x_fail"]
+
     def test_two_pass_correlated_runs(self):
         """The BP two-pass analogue of the matching reweighting: runs,
         couples a nonzero pair set, and stays within MC noise of the
