@@ -26,6 +26,7 @@ from qcss_tpu.decode.uf import (
     uf_phenomenological_error_rate,
     weights_from_probs,
 )
+from qcss_tpu.decode.calibrate import calibrated_graph, estimate_edge_probs
 from qcss_tpu.decode.correlated import (
     conditional_weights,
     correlated_logical_error_rate,
@@ -94,8 +95,10 @@ __all__ = [
     "build_circuit_tanner",
     "build_joint_circuit_tanner",
     "circuit_bp_decoder",
+    "estimate_edge_probs",
     "joint_circuit_bp_decoder",
     "BPStreamingDecoder",
+    "calibrated_graph",
     "CircuitBPStreamingDecoder",
     "MWPMDecoder",
     "MWPMOracle",
