@@ -7,6 +7,10 @@ from qcss_tpu.experiments.memory import (
     z_extraction_circuit,
     z_memory_experiment,
 )
+from qcss_tpu.experiments.erasure import (
+    erasure_error_rate,
+    erasure_phenomenological_error_rate,
+)
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
 from qcss_tpu.experiments.memory_qldpc import (
     qldpc_memory_experiment,
@@ -14,6 +18,8 @@ from qcss_tpu.experiments.memory_qldpc import (
 )
 
 __all__ = [
+    "erasure_error_rate",
+    "erasure_phenomenological_error_rate",
     "memory_experiment",
     "xz_memory_experiment",
     "qldpc_memory_experiment",

@@ -99,3 +99,26 @@ class TestEndToEnd:
         enc = rewrite_program(p, code, tableau="frames")
         out = enc.run(32, key=jax.random.key(0))
         assert (np.asarray(out["ro"]) == 1).all()
+
+    def test_circuit_level_bp_memory(self):
+        """Color codes are NOT matchable (weight-6 faces flip 3 checks per
+        error), so the UF/MWPM stack never applies — but the circuit-level
+        detector-fault Tanner BP path (`qldpc_memory_experiment`) is
+        code-agnostic and decodes them at scale, where the reference's LUT
+        architecture (css_code.py:649-685) is exponential in check count.
+        Pins d=3 vs d=5 suppression at a fixed operating point."""
+        from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
+        from qcss_tpu.sim.noise import NoiseModel
+
+        nm = NoiseModel(p_gate2=2e-3, p_meas=5e-3)
+        out3 = qldpc_memory_experiment(
+            families.triangular_color(3), rounds=3, noise=nm,
+            batch=1 << 11, sectors="both", seed=3)
+        out5 = qldpc_memory_experiment(
+            families.triangular_color(5), rounds=3, noise=nm,
+            batch=1 << 11, sectors="both", seed=5)
+        # d=3 sits around 2-3% word failure at this point; d=5 well below.
+        assert 0.0 < out3["word_fail"] < 0.10
+        assert out5["word_fail"] < out3["word_fail"]
+        assert out5["bp_converged_z"] > 0.95
+        assert out5["bp_converged_x"] > 0.95
