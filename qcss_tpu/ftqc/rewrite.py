@@ -62,7 +62,8 @@ class EncodedProgram:
     def __init__(self, raw: Program, code, noise: noise_mod.NoiseModel | None = None,
                  max_prep_attempts: int = 8, engine: str = "scheduled",
                  tableau: str = "unpacked", ancillas: str = "shared",
-                 ec_extractions: int = 1, ec_schedule: str = "serial"):
+                 ec_extractions: int = 1, ec_schedule: str = "serial",
+                 ec_mode: str = "steane"):
         if code.k != 1:
             raise UnsupportedQECCError("code must have k = 1")
         if engine not in ("scheduled", "unrolled"):
@@ -85,6 +86,19 @@ class EncodedProgram:
         if ec_schedule == "parallel" and tableau != "frames":
             raise ValueError("ec_schedule='parallel' requires "
                              "tableau='frames'")
+        if ec_mode not in ("steane", "flag"):
+            raise ValueError("ec_mode must be 'steane' or 'flag'")
+        if ec_mode == "flag":
+            if engine != "scheduled":
+                raise ValueError("ec_mode='flag' requires the scheduled engine")
+            if tableau != "frames":
+                raise ValueError("ec_mode='flag' requires tableau='frames'")
+            if ec_extractions != 1:
+                raise ValueError("ec_mode='flag' has its own adaptive "
+                                 "re-extraction; use ec_extractions=1")
+            if ec_schedule != "serial":
+                raise ValueError("ec_mode='flag' requires ec_schedule='serial'")
+        self.ec_mode = ec_mode
         self.raw = raw
         self.code = code
         self.noise = noise or noise_mod.NoiseModel()
@@ -239,7 +253,7 @@ class EncodedProgram:
         # travel as a traced argument of the shared runner, so sweeps and
         # test matrices over noise values share one compiled executor.
         return (self.tableau, self.ancillas, self.ec_extractions,
-                self.ec_schedule, self.max_prep_attempts,
+                self.ec_schedule, self.ec_mode, self.max_prep_attempts,
                 self.noise.static_key(), self.n_logical)
 
     def _shared_scheduled_runner(self, executor):
@@ -278,6 +292,7 @@ class EncodedProgram:
                 tableau_engine=self.tableau, ancillas=self.ancillas,
                 ec_extractions=self.ec_extractions,
                 ec_schedule=self.ec_schedule,
+                ec_mode=self.ec_mode,
             )
             ref_outs = (
                 schedule.reference_outcomes(macro, self.code)
@@ -332,7 +347,8 @@ def rewrite_program(raw: Program, code, *,
                     tableau: str = "unpacked",
                     ancillas: str = "shared",
                     ec_extractions: int = 1,
-                    ec_schedule: str = "serial") -> EncodedProgram:
+                    ec_schedule: str = "serial",
+                    ec_mode: str = "steane") -> EncodedProgram:
     """Validate and FT-encode a raw Clifford program — the framework's
     flagship entry point (reference analogue: ftqc.py:42).
 
@@ -354,9 +370,16 @@ def rewrite_program(raw: Program, code, *,
     (every block's round simultaneously; requires ancillas='dedicated' and
     tableau='frames'; under idle noise this removes the n_logical-fold
     idle exposure the serial schedule charges to waiting blocks).
+    ec_mode: 'steane' (encoded-ancilla transversal extraction, the
+    reference's protocol — css_code.py:436-470) or 'flag' (bare
+    ancilla+flag qubit per stabilizer, sequential CNOTs, adaptive
+    re-extraction with flag-conditioned hook decoding — Chao-Reichardt/
+    Chamberland-Beverland; t=1 codes, frames engine; 2 bare ancillas
+    replace the 2n-qubit verified ancilla blocks per EC extraction).
     """
     return EncodedProgram(raw, code, noise, max_prep_attempts, engine,
-                          tableau, ancillas, ec_extractions, ec_schedule)
+                          tableau, ancillas, ec_extractions, ec_schedule,
+                          ec_mode)
 
 
 def run_program(raw: Program, code, batch: int = 1, *,

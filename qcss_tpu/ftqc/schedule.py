@@ -223,6 +223,7 @@ class MacroExecutor:
                  ancillas: str = "shared",
                  ec_extractions: int = 1,
                  ec_schedule: str = "serial",
+                 ec_mode: str = "steane",
                  reference_mode: bool = False):
         from qcss_tpu.ftqc.engines import make_engine
 
@@ -232,6 +233,22 @@ class MacroExecutor:
             raise ValueError("ec_extractions must be 1 or 2")
         if ec_schedule not in ("serial", "parallel"):
             raise ValueError("ec_schedule must be 'serial' or 'parallel'")
+        if ec_mode not in ("steane", "flag"):
+            raise ValueError("ec_mode must be 'steane' or 'flag'")
+        if ec_mode == "flag" and not reference_mode:
+            # Flag EC measures stabilizers with bare ancilla+flag qubit
+            # pairs and sequential CNOTs (qubit-level ops: frames engine
+            # only); the adaptive re-extraction subsumes ec_extractions,
+            # and the per-stabilizer serial schedule is inherent.
+            if tableau_engine != "frames":
+                raise ValueError("ec_mode='flag' requires tableau='frames'")
+            if ec_extractions != 1:
+                raise ValueError("ec_mode='flag' has its own adaptive "
+                                 "re-extraction; use ec_extractions=1")
+            if ec_schedule != "serial":
+                raise ValueError("ec_mode='flag' requires "
+                                 "ec_schedule='serial'")
+        self.ec_mode = ec_mode if not reference_mode else "steane"
         if ec_schedule == "parallel":
             # Parallel EC runs every block's Steane round simultaneously:
             # it needs per-block ancillas, and per-(sample, block) RUS
@@ -352,6 +369,15 @@ class MacroExecutor:
             + self._detect_steps[(False, False)]
             + self._detect_steps[(True, True)],
         }
+        if self.ec_mode == "flag":
+            from qcss_tpu.ftqc import flags as flags_mod
+
+            self._flag = flags_mod.build_flag_data(code)
+            # flags on H1 rows condition the X-error decode; H2 rows the
+            # Z-error decode (hooks deposit the SAME Pauli type as the
+            # measured stabilizer — see flags.py docstring)
+            self._flag_cond_x = jnp.asarray(self._flag.x_sector.cond_lut)
+            self._flag_cond_z = jnp.asarray(self._flag.z_sector.cond_lut)
 
     def _anc_pair(self, b):
         """The EC/measure ancilla pair serving data block b (b may be
@@ -606,6 +632,201 @@ class MacroExecutor:
         return st._replace(
             z_frames=st.z_frames.at[:, b, :].set(st.z_frames[:, b, :] ^ corr)
         )
+
+    # -- flag EC (ec_mode='flag'; frames engine; t=1 codes) ------------------------
+    #
+    # Chamberland-Beverland distance-3 protocol (arXiv:1708.02246),
+    # batched: one FLAGGED extraction of every stabilizer (bare syndrome
+    # ancilla + bare flag qubit, sequential CNOTs — 2 ancilla qubits
+    # instead of the 2 encoded verifier blocks Steane EC burns per
+    # extraction); samples with any syndrome or flag run ONE more
+    # unflagged extraction (committed per sample, like the RUS prep
+    # bodies) and decode ITS syndrome — with the flag-conditioned hook
+    # table where a flag fired, the standard LUT otherwise. Single-fault
+    # FT: a measurement flip corrupts only extraction 1 (unused); a hook
+    # fires its flag and extraction 2 reads the hook's full syndrome,
+    # which the conditional table corrects exactly; a fault inside
+    # extraction 2 implies extraction 1 was clean, so the state is clean
+    # and any weight<=1 mis-correction is correctable next round.
+
+    def _flag_anc_qubits(self, b):
+        """(syndrome-ancilla, flag) bare qubit indices serving block b —
+        the first two qubits of the block's anc1 ancilla block."""
+        anc1, _ = self._anc_pair(b)
+        base = (jnp.asarray(anc1, jnp.int32) * self.engine.stride).reshape(1)
+        return base, base + 1
+
+    def _flag_cnot(self, st: MachineState, qc, qt) -> MachineState:
+        st, sub = self._split(st)
+        return st._replace(tab=self.engine.cnot_qubits(st.tab, qc, qt, sub))
+
+    def _flag_h(self, st: MachineState, q) -> MachineState:
+        st, sub = self._split(st)
+        return st._replace(tab=self.engine.h_qubits(st.tab, q, sub))
+
+    def _flag_meas(self, st: MachineState, q):
+        tab, out = self.engine.measure_qubits(st.tab, q)
+        st = st._replace(tab=tab)
+        out = out[:, 0]
+        if self.noise.p_meas:
+            st, sub = self._split(st)
+            out = noise_mod.flip_bits(out, self.nv.p_meas, sub)
+        return st, out
+
+    def _flag_reset_pair(self, st: MachineState, pair_q) -> MachineState:
+        tab = self.engine.reset_blocks(st.tab, pair_q)
+        st = st._replace(tab=tab)
+        if self.noise.p_reset:
+            st, sub = self._split(st)
+            B = st.x_frames.shape[0]
+            flips = jax.random.bernoulli(
+                sub, self.nv.p_reset, (B, 2)).astype(jnp.uint8)
+            st = st._replace(tab=self.engine._fr.inject_flips(
+                st.tab, pair_q, flips, jnp.zeros_like(flips)))
+        return st
+
+    def _flag_idle_block(self, st: MachineState, b, flagged: bool) -> MachineState:
+        """Per-qubit idle noise WITHIN block b over one full extraction:
+        qubit q idles for (total steps - #stabilizers touching q); the
+        per-qubit composed channel is evaluated in closed form, one draw."""
+        if not self._idle_on:
+            return st
+        steps = (self._flag.idle_steps_flagged if flagged
+                 else self._flag.idle_steps_unflagged)
+        rate = self.nv.rate_idle
+        if isinstance(rate, tuple):
+            px, py, pz = rate
+        else:
+            px = py = pz = rate / 3.0
+        s = jnp.asarray(steps, jnp.float32)
+        lx = jnp.power(1.0 - 2.0 * (py + pz), s)
+        ly = jnp.power(1.0 - 2.0 * (px + pz), s)
+        lz = jnp.power(1.0 - 2.0 * (px + py), s)
+        px2 = jnp.maximum((1.0 + lx - ly - lz) / 4.0, 0.0)
+        py2 = jnp.maximum((1.0 - lx + ly - lz) / 4.0, 0.0)
+        pz2 = jnp.maximum((1.0 - lx - ly + lz) / 4.0, 0.0)
+        st, sub = self._split(st)
+        B = st.x_frames.shape[0]
+        u = jax.random.uniform(sub, (B, self.n), dtype=jnp.float32)
+        xf = (u < (px2 + py2)[None]).astype(jnp.uint8)
+        zf = ((u >= px2[None]) & (u < (px2 + py2 + pz2)[None])).astype(jnp.uint8)
+        return st._replace(
+            tab=self.engine.inject_block_flips(st.tab, b, xf, zf))
+
+    def _flag_extract(self, st: MachineState, b, flagged: bool):
+        """One full (both-sector) bare-ancilla syndrome extraction of
+        block b. Returns (st, syn_x [B,r2], syn_z [B,r1], flags_z [B,r2],
+        flags_x [B,r1]); syndromes are relative to the known frames, flag
+        arrays are zeros when flagged=False. Hook directions: the Z-type
+        stabilizers (H2 rows, the anc-|0> circuits) hook Z errors, so
+        their flags land in flags_z; mirrored for H1."""
+        from qcss_tpu.ops import gf2_jax
+
+        B = st.x_frames.shape[0]
+        off = jnp.asarray(b, jnp.int32) * self.engine.stride
+        anc_q, flag_q = self._flag_anc_qubits(b)
+        pair_q = jnp.concatenate([anc_q, flag_q])
+
+        def one_stab(st, sup, x_type: bool):
+            """x_type=False: Z-stab (anc |0>, CNOT data->anc, measure Z);
+            x_type=True: X-stab (anc |+>, CNOT anc->data, measure X)."""
+            st = self._flag_reset_pair(st, pair_q)
+            dq = off + jnp.asarray(sup, jnp.int32)
+            if x_type:
+                st = self._flag_h(st, anc_q)
+            elif flagged:
+                st = self._flag_h(st, flag_q)      # flag |+> for Z-stabs
+
+            def dcnot(st, j):
+                if x_type:
+                    return self._flag_cnot(st, anc_q, dq[j:j + 1])
+                return self._flag_cnot(st, dq[j:j + 1], anc_q)
+
+            def fcnot(st):
+                if x_type:
+                    return self._flag_cnot(st, anc_q, flag_q)
+                return self._flag_cnot(st, flag_q, anc_q)
+
+            st = dcnot(st, 0)
+            if flagged:
+                st = fcnot(st)
+            for j in range(1, len(sup) - 1):
+                st = dcnot(st, j)
+            if flagged:
+                st = fcnot(st)
+            if len(sup) > 1:
+                st = dcnot(st, len(sup) - 1)
+            if x_type:
+                st = self._flag_h(st, anc_q)
+            st, bit = self._flag_meas(st, anc_q)
+            fb = None
+            if flagged:
+                if not x_type:
+                    st = self._flag_h(st, flag_q)  # X-basis flag readout
+                st, fb = self._flag_meas(st, flag_q)
+            return st, bit, fb
+
+        syn_x_bits, fz_bits = [], []
+        for sup in self._flag.z_sector.supports:
+            st, bit, fb = one_stab(st, sup, x_type=False)
+            syn_x_bits.append(bit)
+            if flagged:
+                fz_bits.append(fb)
+        syn_z_bits, fx_bits = [], []
+        for sup in self._flag.x_sector.supports:
+            st, bit, fb = one_stab(st, sup, x_type=True)
+            syn_z_bits.append(bit)
+            if flagged:
+                fx_bits.append(fb)
+
+        syn_x = jnp.stack(syn_x_bits, axis=1) ^ gf2_jax.syndromes_dense(
+            st.x_frames[:, b], self.h2)
+        syn_z = jnp.stack(syn_z_bits, axis=1) ^ gf2_jax.syndromes_dense(
+            st.z_frames[:, b], self.h1)
+        r2, r1 = len(syn_x_bits), len(syn_z_bits)
+        fz = (jnp.stack(fz_bits, axis=1) if flagged
+              else jnp.zeros((B, r2), jnp.uint8))
+        fx = (jnp.stack(fx_bits, axis=1) if flagged
+              else jnp.zeros((B, r1), jnp.uint8))
+        # idle: every OTHER data block waits out the extraction; block b's
+        # own off-support qubits idle per the static per-qubit step counts
+        steps = (self._flag.steps_flagged if flagged
+                 else self._flag.steps_unflagged)
+        st = self._idle_data(st, (b,), steps)
+        st = self._flag_idle_block(st, b, flagged)
+        return st, syn_x, syn_z, fz, fx
+
+    def _ec_one_flag(self, st: MachineState, b) -> MachineState:
+        """One flag-EC round on block b (see section comment)."""
+        from qcss_tpu.ops import gf2_jax
+
+        st1, sx1, sz1, fz, fx = self._flag_extract(st, b, flagged=True)
+        needs2 = (jnp.any(sx1 == 1, axis=1) | jnp.any(sz1 == 1, axis=1)
+                  | jnp.any(fz == 1, axis=1) | jnp.any(fx == 1, axis=1)
+                  ).astype(jnp.uint8)
+        st2, sx2, sz2, _, _ = self._flag_extract(st1, b, flagged=False)
+        st2 = self._select_state(needs2, st2, st1)
+        m = needs2.astype(bool)[:, None]
+        sx2 = jnp.where(m, sx2, jnp.zeros_like(sx2))
+        sz2 = jnp.where(m, sz2, jnp.zeros_like(sz2))
+
+        any_fx = jnp.any(fx == 1, axis=1)
+        corr_x = jnp.where(
+            any_fx[:, None],
+            self._flag_cond_x[jnp.argmax(fx, axis=1),
+                              gf2_jax.bits_to_index(sx2)],
+            decode_lut.decode_corrections(sx2, self.lut2))
+        st2 = st2._replace(x_frames=st2.x_frames.at[:, b].set(
+            st2.x_frames[:, b] ^ corr_x))
+
+        any_fz = jnp.any(fz == 1, axis=1)
+        corr_z = jnp.where(
+            any_fz[:, None],
+            self._flag_cond_z[jnp.argmax(fz, axis=1),
+                              gf2_jax.bits_to_index(sz2)],
+            decode_lut.decode_corrections(sz2, self.lut1))
+        return st2._replace(z_frames=st2.z_frames.at[:, b].set(
+            st2.z_frames[:, b] ^ corr_z))
 
     # -- parallel EC (ec_schedule='parallel'; frames engine) ----------------------
     #
@@ -866,7 +1087,11 @@ class MacroExecutor:
 
     def _op_ec_all(self, st: MachineState, a) -> MachineState:
         mask = self._cond_mask(st, a[0])
-        if self.ec_schedule == "parallel":
+        if self.ec_mode == "flag":
+            new = jax.lax.fori_loop(
+                0, self.n_logical, lambda b, s: self._ec_one_flag(s, b), st
+            )
+        elif self.ec_schedule == "parallel":
             new = self._ec_all_parallel(st)
         else:
             new = jax.lax.fori_loop(
