@@ -151,6 +151,30 @@ def bench_circuit_stream(name: str, rounds: int, p: float, batch: int,
     return out
 
 
+def bench_circuit(name: str, rounds: int, p: float, batch: int,
+                  iters: int, seed: int, sectors: str) -> dict:
+    """Whole-history circuit-level memory: two-sector extraction-circuit
+    sampling + exact detector-fault Tanner BP(+OSD), timed end to end
+    (graph build excluded — it is a one-time per-(code, R, noise) cost,
+    reported separately)."""
+    from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
+    from qcss_tpu.sim.noise import NoiseModel
+
+    code = CODES[name]()
+    noise = NoiseModel(p_gate2=p, p_gate1=p, p_meas=p, p_reset=p)
+    t0 = time.perf_counter()
+    out = qldpc_memory_experiment(code, rounds=rounds, noise=noise,
+                                  batch=batch, iters=iters, seed=seed,
+                                  sectors=sectors)
+    sec = time.perf_counter() - t0
+    out.update({
+        "bench": "bp_circuit_memory", "code": name, "p": p,
+        "wall_sec": round(sec, 1),
+        "shots_per_sec": round(batch / sec, 1),
+    })
+    return out
+
+
 def bench_gap(name: str, p: float, batch: int, iters: int,
               seed: int, taus=(0.0, 5.0, 10.0, 20.0)) -> dict:
     """Soft-output gap post-selection curve at code capacity."""
@@ -194,6 +218,10 @@ def main() -> None:
                     help="also run R-round sliding-window BP streaming")
     ap.add_argument("--gap", action="store_true",
                     help="also run the soft-output gap post-selection curve")
+    ap.add_argument("--circuit", type=int, default=0, metavar="R",
+                    help="also run the R-round whole-history CIRCUIT-LEVEL "
+                    "memory (uniform circuit noise --p)")
+    ap.add_argument("--sectors", default="z", choices=["z", "both"])
     ap.add_argument("--circuit-stream", type=int, default=0, metavar="R",
                     help="also run R-round CIRCUIT-LEVEL sliding-window BP "
                     "(two-sector sampling + window decodes, uniform "
@@ -222,6 +250,10 @@ def main() -> None:
             print(json.dumps(bench_gap(
                 name, args.p, args.batch, args.iters, args.seed)),
                 flush=True)
+        if args.circuit:
+            print(json.dumps(bench_circuit(
+                name, args.circuit, args.p, args.batch, args.iters,
+                args.seed, args.sectors)), flush=True)
         if args.circuit_stream:
             print(json.dumps(bench_circuit_stream(
                 name, args.circuit_stream, args.p, args.batch,
