@@ -154,9 +154,10 @@ def bench_circuit_stream(name: str, rounds: int, p: float, batch: int,
 def bench_circuit(name: str, rounds: int, p: float, batch: int,
                   iters: int, seed: int, sectors: str) -> dict:
     """Whole-history circuit-level memory: two-sector extraction-circuit
-    sampling + exact detector-fault Tanner BP(+OSD), timed end to end
-    (graph build excluded — it is a one-time per-(code, R, noise) cost,
-    reported separately)."""
+    sampling + exact detector-fault Tanner BP(+OSD). Wall time covers the
+    WHOLE call — including the one-time per-(code, R, noise) Tanner graph
+    build and XLA compile — so shots_per_sec is a cold-start figure; use
+    --circuit-stream for steady-state circuit-level throughput."""
     from qcss_tpu.experiments.memory_qldpc import qldpc_memory_experiment
     from qcss_tpu.sim.noise import NoiseModel
 

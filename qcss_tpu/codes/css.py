@@ -222,8 +222,16 @@ class CSSCode(QECC):
 
     def is_transversal(self, gate_name: str) -> bool:
         """Whether the logical gate is implementable by qubit-wise physical
-        application (reference: css_code.py:174-201)."""
-        return _GATE_ALIASES.get(gate_name, gate_name) in self._transversal_gates
+        application (reference: css_code.py:174-201). Beyond the
+        reference's Clifford set, ``T``/``TDAG`` answer via the
+        triorthogonality classification (`transversal_t_power`): True when
+        physical T^⊗n realizes an odd logical T power (an odd power
+        generates T over the group ⟨T⟩, Cliffords included)."""
+        name = _GATE_ALIASES.get(gate_name, gate_name)
+        if name in ("T", "TDAG"):
+            power = self.transversal_t_power
+            return power is not None and power % 2 == 1
+        return name in self._transversal_gates
 
     @staticmethod
     def _determine_transversal_gates(h_1, h_2) -> frozenset[str]:
@@ -238,6 +246,20 @@ class CSSCode(QECC):
     @property
     def transversal_gates(self) -> frozenset[str]:
         return self._transversal_gates
+
+    @cached_property
+    def transversal_t_power(self) -> int | None:
+        """c such that physical ``T^⊗n`` implements logical ``T^c``, or None
+        when transversal T does not preserve the codespace (k=1 codes only —
+        see `gf2.transversal_t_power`). The [[15,1,3]] Reed-Muller code
+        gives c=7: transversal T† implements logical T. Beyond-reference
+        capability — the reference's universal-gate path is a stub that
+        supports nothing (reference: css_code.py:433-434)."""
+        if self._k != 1:
+            return None
+        return gf2.transversal_t_power(
+            self.parity_check_c1, self.x_operator_matrix()[0]
+        )
 
     # -- encoding networks ------------------------------------------------------
 

@@ -188,6 +188,57 @@ def is_doubly_even(mat) -> bool:
     return not np.any(np.sum(_as_gf2(mat), axis=1) % 4)
 
 
+def transversal_t_power(stab_rows, logical_row) -> int | None:
+    """The c such that physical ``T^⊗n`` implements logical ``T^c`` on the
+    k=1 CSS code with X-stabilizer generators `stab_rows` and logical-X
+    representative `logical_row`, or None if ``T^⊗n`` does not preserve the
+    codespace.
+
+    ``T^⊗n`` multiplies each computational basis state |v⟩ by
+    ``exp(iπ|v|/4)``; it preserves the code basis states (superpositions
+    over X-stabilizer cosets) iff |v| mod 8 is constant on each coset. Via
+    the inclusion-exclusion identity ``|a⊕b| = |a| + |b| - 2|a∧b|``
+    (coefficients 2^{|T|-1}, so AND-depths ≥ 4 vanish mod 8), constancy is
+    equivalent to generator-level triorthogonality conditions
+    (Bravyi & Haah, "Magic state distillation with low overhead", PRA 86,
+    052329 (2012)):
+
+      * every stabilizer generator weight ≡ 0 (mod 8)
+      * every pairwise AND of generators has weight ≡ 0 (mod 4)
+      * every triple AND of generators has weight ≡ 0 (mod 2)
+      * logical ∧ generator weights ≡ 0 (mod 4)
+      * logical ∧ generator-pair weights ≡ 0 (mod 2)
+
+    All five are checked directly (O(r³) popcounts — no coset
+    enumeration), so the test runs at any code size. When they hold, the
+    coset weights are |x̄| mod 8, i.e. ``T^⊗n = diag(1, e^{iπ|x̄|/4})`` on
+    the logical qubit: c = |x̄| mod 8. The [[15,1,3]] quantum Reed-Muller
+    code returns c = 7 (transversal T = logical T†, so transversal T†
+    implements logical T). The reference classifies Clifford transversal
+    gates only; its non-Clifford path is an explicit stub
+    (reference: css_code.py:433-434).
+    """
+    g = _as_gf2(stab_rows)
+    x = _as_gf2(logical_row).reshape(-1)
+    r = g.shape[0]
+    if np.any(np.sum(g, axis=1, dtype=np.int64) % 8):
+        return None
+    for i in range(r):
+        gi = g[i]
+        if np.sum(x & gi, dtype=np.int64) % 4:
+            return None
+        pair = g[i + 1:] & gi
+        if np.any(np.sum(pair, axis=1, dtype=np.int64) % 4):
+            return None
+        if np.any(np.sum(pair & x, axis=1, dtype=np.int64) % 2):
+            return None
+        for j in range(i + 1, r):
+            if np.any(np.sum(g[j + 1:] & (gi & g[j]), axis=1,
+                             dtype=np.int64) % 2):
+                return None
+    return int(np.sum(x, dtype=np.int64) % 8)
+
+
 def _native_table(parity_check: np.ndarray, limit: int, stop_on_collision: bool):
     """Try the C++ enumerator (qcss_tpu.native); None on unavailability.
     Semantics are identical to the Python paths below — covered by
