@@ -68,6 +68,22 @@ def main():
                       "floor_over_exact": cc["p_out"] / exact["p_out"]}),
           flush=True)
 
+    # End-to-end factory: measured injection eps on the Steane code feeds
+    # the exact cascade (physical T error -> final magic-state fidelity).
+    from qcss_tpu.codes import families
+    from qcss_tpu.experiments.injection import factory_report
+
+    rep = factory_report(families.steane(), noise, args.p_clifford * 10,
+                         levels=args.levels, batch=args.circuit_batch,
+                         seed=7)
+    print(json.dumps({"tier": "factory", "p_clifford": args.p_clifford,
+                      "p_t": args.p_clifford * 10,
+                      "inject_eps": rep["injection"]["eps"],
+                      "inject_accept": rep["injection"]["p_accept"],
+                      "p_out": rep["p_out"],
+                      "injections_per_state": rep["injections_per_state"]}),
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -99,6 +99,45 @@ def encode_zero_network(code, qubits=None) -> Circuit:
     return circ
 
 
+def encode_state_network(code, qubits=None) -> tuple[Circuit, list[int]]:
+    """Arbitrary-state encoding network: (circuit, input_qubits).
+
+    Maps a k-qubit input state placed on the returned ``input_qubits``
+    (the last k standard-form coordinates, all other qubits in |0⟩) onto
+    the corresponding logical state of the code block — the general
+    stabilizer encoder of Nielsen & Chuang §10.5.8, which the reference
+    never builds (its preps are the fixed |0̄⟩/|+̄⟩ states only,
+    reference: css_code.py:203-312).
+
+    Construction: the |0̄⟩ network already maps Z on input qubit j to
+    Z̄_j; what it lacks is the X̄ fan-out. Standard-form X̄_j =
+    [0 E^T I3 | ...] has X support only on coordinates ≥ r_1 and
+    includes its own input coordinate, so CNOTs from the input qubit to
+    the rest of supp(X̄_j) put the |1⟩ branch on the coset
+    representative, and the zero network's H/CNOT block (all controls
+    < r_1) then symmetrizes both branches over the X-stabilizer span:
+    α|0..0⟩ + β|x̄_j⟩ → α|0̄⟩ + β|1̄⟩ exactly (amplitudes stay real
+    positive — no sign corrections needed). Statevector-verified in
+    tests/test_encoding.py.
+    """
+    n, k, r1, r2 = code.n, code.k, code.r_1, code.r_2
+    qubits = list(range(n)) if qubits is None else list(qubits)
+    xbar = code.x_operator_matrix()
+    circ = Circuit()
+    inputs = []
+    for j in range(k):
+        q = r1 + r2 + j
+        row = xbar[j]
+        if not row[q] or row[:r1].any():
+            raise ValueError("x_operator_matrix is not in standard form")
+        inputs.append(qubits[q])
+        for i in range(n):
+            if row[i] and i != q:
+                circ.cnot(qubits[q], qubits[i])
+    circ.gates.extend(encode_zero_network(code, qubits).gates)
+    return circ, inputs
+
+
 def encode_plus_network(code, qubits=None) -> Circuit:
     """|+̄⟩ preparation network (reference: css_code.py:262-312).
 

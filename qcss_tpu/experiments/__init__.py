@@ -11,6 +11,10 @@ from qcss_tpu.experiments.erasure import (
     erasure_error_rate,
     erasure_phenomenological_error_rate,
 )
+from qcss_tpu.experiments.injection import (
+    factory_report,
+    magic_injection_experiment,
+)
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
 from qcss_tpu.experiments.memory_qldpc import (
     qldpc_memory_experiment,
@@ -20,6 +24,8 @@ from qcss_tpu.experiments.memory_qldpc import (
 __all__ = [
     "erasure_error_rate",
     "erasure_phenomenological_error_rate",
+    "factory_report",
+    "magic_injection_experiment",
     "memory_experiment",
     "xz_memory_experiment",
     "qldpc_memory_experiment",
