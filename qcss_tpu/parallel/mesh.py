@@ -478,6 +478,74 @@ def sharded_qldpc_circuit_memory(code, mesh: Mesh, *, rounds: int, noise,
     }
 
 
+_MAGIC_CACHE: dict = {}
+
+
+def sharded_magic_factory(mesh: Mesh, noise, p_in, batch: int, *,
+                          code=None, extractions: int = 1,
+                          seed: int = 0) -> dict[str, float]:
+    """Mesh-parallel circuit-level magic-state distillation (seventh
+    sharded pipeline): every device runs its shard of
+    `ftqc.magic.distill_circuit`'s frame kernel — noisy encoded-|+̄⟩
+    preparation, Bernoulli(p_in) twirled-input Z injections, noisy
+    X-syndrome extraction rounds, perfect transversal readout — and only
+    the psummed (accepted, erroneous) counts cross the host boundary.
+    ``p_in`` is a traced argument: one compile serves a whole input-error
+    sweep. A factory is embarrassingly shot-parallel, so this is the
+    deployment shape for calibrating distillation units at scale; the
+    reference has no non-Clifford machinery at all (reference:
+    css_code.py:433-434)."""
+    from qcss_tpu.circuits import encoding
+    from qcss_tpu.experiments.memory import x_extraction_circuit
+    from qcss_tpu.ftqc import magic
+
+    code = magic._default_code() if code is None else code
+    magic._check_distillable(code)
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+    ck = (id(code), mesh, local, extractions,
+          (noise.p_gate1, noise.p_gate2, noise.p_meas, noise.p_reset,
+           noise.p_idle, noise.pauli1, noise.pauli2, noise.pauli_idle))
+    fn = _MAGIC_CACHE.get(ck)
+    if fn is None:
+        kernel = partial(
+            magic._circuit_kernel, inject=None, code=code, noise=noise,
+            prep_arrays=tuple(map(jnp.asarray,
+                                  encoding.encode_plus_network(code)
+                                  .to_arrays())),
+            ext_arrays=tuple(map(jnp.asarray,
+                                 x_extraction_circuit(code).to_arrays())),
+            h1t=jnp.asarray(code.parity_check_c1.T, jnp.int32),
+            xbar=jnp.asarray(code.x_operator_matrix()[0], jnp.int32),
+            batch=local, extractions=extractions, n=code.n, r1=code.r_1)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(), P()),
+                 out_specs=(P(), P()), check_vma=False)
+        def step(k, p):
+            my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            accept, err = kernel(my_key, p)
+            return (
+                jax.lax.psum(jnp.sum(accept.astype(jnp.int32)), axis),
+                jax.lax.psum(jnp.sum((accept & err).astype(jnp.int32)), axis),
+            )
+
+        fn = jax.jit(step)
+        _MAGIC_CACHE[ck] = fn
+    acc, bad = fn(jax.random.key(seed), jnp.float32(p_in))
+    acc, bad = int(acc), int(bad)
+    return {
+        "p_in": float(p_in),
+        "p_accept": acc / batch,
+        "p_out": bad / max(acc, 1),
+        "accepted": acc,
+        "samples": batch,
+        "extractions": extractions,
+    }
+
+
 def sharded_logical_error_rate(
     code,
     p,

@@ -244,6 +244,30 @@ class TestParallel:
                                       sectors="z")
         assert abs(out["x_fail"] - ref["x_fail"]) < 0.05
 
+    def test_sharded_magic_factory(self):
+        """Mesh-parallel circuit-level distillation: psummed counts land
+        within MC tolerance of the single-device kernel, and with trivial
+        Clifford noise within tolerance of the exact protocol map."""
+        from qcss_tpu.ftqc import magic
+        from qcss_tpu.parallel import make_mesh, sharded_magic_factory
+        from qcss_tpu.sim.noise import NoiseModel
+
+        mesh = make_mesh()
+        quiet = NoiseModel()
+        out = sharded_magic_factory(mesh, quiet, 0.03, 8 * 2048, seed=1)
+        exact = magic.distill_exact(0.03)
+        assert abs(out["p_accept"] - exact["p_accept"]) < 0.02
+        assert out["p_out"] < 0.01
+        # one compile serves a p sweep (traced p_in)
+        out2 = sharded_magic_factory(mesh, quiet, 0.1, 8 * 2048, seed=1)
+        assert out2["p_accept"] < out["p_accept"]
+        noisy = NoiseModel(p_gate1=1e-3, p_gate2=1e-3, p_meas=1e-3,
+                           p_reset=1e-3)
+        ref = magic.distill_circuit(noisy, 0.03, 4096, seed=2)
+        out3 = sharded_magic_factory(mesh, noisy, 0.03, 8 * 512, seed=3)
+        assert abs(out3["p_accept"] - ref["p_accept"]) < 0.05
+        assert abs(out3["p_out"] - ref["p_out"]) < 0.02
+
     def test_sharded_rate_close_to_single_device(self, steane):
         from qcss_tpu.parallel import make_mesh, sharded_logical_error_rate
 
