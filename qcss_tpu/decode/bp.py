@@ -67,6 +67,118 @@ def _check_major_layout(h: np.ndarray):
     return chk_var, mask
 
 
+@partial(jax.jit, static_argnames=("C",))
+def _osd0_device_kernel(h_t, synd, soft, C: int):
+    """Batched OSD-0 elimination ON DEVICE; bit-identical to
+    `BPDecoder._osd0` (see its docstring for the algorithm).
+
+    Why bit-identity is free: the pivot COLUMN set is the greedy
+    independent set in stable-sorted order — a property of the matrix and
+    the order alone, not of which row is chosen as pivot — and the OSD-0
+    solution (supported on the pivot columns, which are linearly
+    independent) is unique. So this kernel may keep rows in place
+    (no per-shot row swaps, which would be serialized scatters on TPU)
+    and still produce exactly the host solution.
+
+    Layout: only the first C stable-sorted columns are ever READ by the
+    elimination (later columns can't become pivots within the scan and
+    the solve needs only the syndrome), so the working set is a packed
+    [B, r, ceil(C/32)] uint32 block plus a separate [B, r] syndrome
+    lane — ~7x less traffic than packing all n columns at bb144 scale.
+    Pivot rows travel by masked reduction (one-hot select), never by
+    per-shot dynamic gather (CLAUDE.md device-decoder rules). Shots whose
+    rank is not reached within C columns fail the final syndrome check
+    and are reported for host fallback.
+    """
+    n, r = h_t.shape
+    B = synd.shape[0]
+    W = (C + 31) // 32
+    order = jnp.argsort(soft, axis=1, stable=True)[:, :C]  # [B, C]
+    order_pad = jnp.pad(order, ((0, 0), (0, W * 32 - C)))
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def pack_word(_, w):
+        idx = jax.lax.dynamic_slice(order_pad, (0, w * 32), (B, 32))
+        blk = jnp.take(h_t, idx.reshape(-1), axis=0).reshape(B, 32, r)
+        valid = (w * 32 + jnp.arange(32)) < C
+        bits = jnp.where(valid[None, :, None], blk, 0).astype(jnp.uint32)
+        word = jnp.sum(bits << shifts[None, :, None], axis=1,
+                       dtype=jnp.uint32)
+        return None, word  # [B, r]
+
+    _, words = jax.lax.scan(pack_word, None, jnp.arange(W))
+    aug = jnp.transpose(words, (1, 2, 0))  # [B, r, W] uint32
+    sbit = synd.astype(jnp.int32)
+    marked = jnp.zeros((B, r), bool)
+    rows = jnp.arange(r, dtype=jnp.int32)
+
+    # Blocked delayed-update elimination (the GF(2) analogue of blocked
+    # LU): per 32-column word block, PHASE 1 runs the inherently
+    # sequential pivot scan on the NARROW state only — the block's own
+    # column word, the syndrome lane, and a per-row uint32 coefficient
+    # mask recording which of the block's original pivot rows each row
+    # has absorbed (row_i = S_i ⊕ ⊕_j coef[i,j]·P_j; an elimination by
+    # pivot j folds as coef[i] ^= coef[pr_j] ^ (1<<j)) — then PHASE 2
+    # replays all 32 eliminations onto the wide suffix as ONE fused
+    # XOR-select expression. Sequential full-width updates (the naive
+    # form) were 32x this traffic and scan-latency-bound on TPU.
+    # Columns already eliminated are never read again, so the suffix
+    # SHRINKS by one word per block (static slices, no dynamic indexing).
+    prs_blocks, has_blocks = [], []
+    suffix = aug
+    for w in range(W):
+        blockword = suffix[:, :, 0]
+        suffix = suffix[:, :, 1:]
+
+        def p1_step(carry, j):
+            wd, sbit, marked, coef = carry
+            colbit = ((wd >> j) & 1).astype(bool)
+            active = colbit & ~marked
+            has = jnp.any(active, axis=1)
+            pr = jnp.argmax(active, axis=1).astype(jnp.int32)  # first True
+            is_pr = rows[None, :] == pr[:, None]
+            # pivot row's narrow state by masked reduction (no gathers)
+            pwd = jnp.sum(jnp.where(is_pr, wd, 0), axis=1)
+            psyn = jnp.sum(jnp.where(is_pr, sbit, 0), axis=1)
+            pcoef = jnp.sum(jnp.where(is_pr, coef, 0), axis=1)
+            elim = colbit & ~is_pr & has[:, None]
+            wd = jnp.where(elim, wd ^ pwd[:, None], wd)
+            sbit = jnp.where(elim, sbit ^ psyn[:, None], sbit)
+            coef = jnp.where(
+                elim, coef ^ pcoef[:, None]
+                ^ (jnp.uint32(1) << j), coef)
+            marked = marked | (is_pr & has[:, None])
+            return (wd, sbit, marked, coef), (pr, has)
+
+        coef0 = jnp.zeros((B, r), jnp.uint32)
+        (_, sbit, marked, coef), (pr_b, has_b) = jax.lax.scan(
+            p1_step, (blockword, sbit, marked, coef0),
+            jnp.arange(32, dtype=jnp.uint32))
+        prs_blocks.append(pr_b)
+        has_blocks.append(has_b)
+        if suffix.shape[2]:
+            # original pivot rows of this block: [B, 32, W-w-1]
+            p_rows = jnp.take_along_axis(
+                suffix, pr_b.T[:, :, None].astype(jnp.int32), axis=1)
+            p_rows = jnp.where(has_b.T[:, :, None], p_rows, 0)
+            upd = jnp.zeros_like(suffix)
+            for j in range(32):
+                sel = ((coef >> jnp.uint32(j)) & 1).astype(bool)
+                upd = upd ^ jnp.where(sel[:, :, None],
+                                      p_rows[:, j][:, None, :], 0)
+            suffix = suffix ^ upd
+    prs = jnp.concatenate(prs_blocks, axis=0)[:C]   # [C, B]
+    hass = jnp.concatenate(has_blocks, axis=0)[:C]
+    # e in sorted coordinates: final syndrome bit of each pivot row
+    vals = jnp.take_along_axis(sbit, prs.T, axis=1)  # [B, C]
+    e_sorted = jnp.where(hass.T, vals, 0).astype(jnp.uint8)
+    e = jnp.zeros((B, n), jnp.uint8)
+    e = e.at[jnp.arange(B)[:, None], order].set(e_sorted)
+    chk = (e.astype(jnp.int32) @ h_t.astype(jnp.int32)) & 1
+    ok = jnp.all(chk == synd.astype(jnp.int32), axis=1)
+    return e, ok
+
+
 class BPDecoder:
     """Batched normalized-min-sum BP with optional host OSD-0 fallback.
 
@@ -91,11 +203,17 @@ class BPDecoder:
         circuit-level Tanner graphs whose dense incidence would not fit).
         'auto' switches to 'gather' past ~64M incidence entries. The two
         layouts differ only in f32 summation order.
+    osd_backend : 'auto' (default), 'host', or 'device' — where OSD-0
+        elimination runs. 'device' is the batched blocked-delayed-update
+        kernel (`_osd0_device_kernel`), BIT-identical to the host loop;
+        'auto' picks it once the tail's elimination work justifies the
+        launch (~2^31 bit-ops — e.g. the bb144 circuit-level tail, where
+        it is ~20x the single-core host).
     """
 
     def __init__(self, h, priors, *, logicals=None, iters: int = 64,
                  alpha: float = 0.8, osd: bool = True,
-                 layout: str = "auto"):
+                 layout: str = "auto", osd_backend: str = "auto"):
         self.h = np.ascontiguousarray(np.asarray(h, dtype=np.uint8) & 1)
         self.r, self.n = self.h.shape
         priors = np.broadcast_to(np.asarray(priors, np.float64), (self.n,))
@@ -107,6 +225,9 @@ class BPDecoder:
         if osd not in (True, False, "always"):
             raise ValueError(f"osd must be True/False/'always', got {osd!r}")
         self.osd = osd
+        if osd_backend not in ("auto", "host", "device"):
+            raise ValueError(f"unknown osd_backend {osd_backend!r}")
+        self.osd_backend = osd_backend
         self.logicals = (None if logicals is None else
                          np.asarray(logicals, dtype=np.uint8) & 1)
 
@@ -276,6 +397,40 @@ class BPDecoder:
             out[bi, order] = e_ord
         return out
 
+    def _osd0_any(self, synd: np.ndarray, soft: np.ndarray) -> np.ndarray:
+        """OSD-0 via the backend policy: 'device' runs the batched
+        on-device elimination (`_osd0_device_kernel`, bit-identical) with
+        host fallback for shots whose rank is not reached within the
+        column cap; 'auto' picks device once the tail's elimination work
+        justifies the launch (~2^31 bit-ops); 'host' is the single-core
+        C++/Python path."""
+        C = min(self.n, self.r + 256)
+        if self.osd_backend == "device":
+            use_dev = True
+        elif self.osd_backend == "host":
+            use_dev = False
+        else:
+            use_dev = synd.shape[0] * self.r * C > (1 << 31)
+        if not use_dev:
+            return self._osd0(synd, soft)
+        h_t = jnp.asarray(self.h.T)
+        out = np.zeros((synd.shape[0], self.n), np.uint8)
+        chunk = min(2048, synd.shape[0])
+        for lo in range(0, synd.shape[0], chunk):
+            hi = min(lo + chunk, synd.shape[0])
+            s_c = np.zeros((chunk, self.r), synd.dtype)
+            f_c = np.zeros((chunk, self.n), soft.dtype)
+            s_c[: hi - lo] = synd[lo:hi]
+            f_c[: hi - lo] = soft[lo:hi]
+            e, ok = _osd0_device_kernel(h_t, jnp.asarray(s_c),
+                                        jnp.asarray(f_c), C)
+            out[lo:hi] = np.asarray(e)[: hi - lo]
+            ok = np.asarray(ok)[: hi - lo]
+            if not ok.all():
+                idx = np.nonzero(~ok)[0]
+                out[lo + idx] = self._osd0(synd[lo + idx], soft[lo + idx])
+        return out
+
     # -- public API --------------------------------------------------------
 
     def decode_batch(self, synd, priors=None):
@@ -304,15 +459,15 @@ class BPDecoder:
             # (measured: hypergraph-product of Hamming(7,4) mis-decodes
             # 7/58 weight-1 errors to converged weight-4 estimates at any
             # alpha >= 0.6); the weight tie-break restores exactness.
-            e_osd = self._osd0(np.asarray(synd), np.asarray(soft))
+            e_osd = self._osd0_any(np.asarray(synd), np.asarray(soft))
             lam_p = np.log((1.0 - self.priors) / self.priors)
             take = ~conv_np | (e_osd.astype(np.float64) @ lam_p
                                < e_np.astype(np.float64) @ lam_p)
             e_np[take] = e_osd[take]
         elif not conv_np.all():
             idx = np.nonzero(~conv_np)[0]
-            e_np[idx] = self._osd0(np.asarray(synd)[idx],
-                                   np.asarray(soft)[idx])
+            e_np[idx] = self._osd0_any(np.asarray(synd)[idx],
+                                       np.asarray(soft)[idx])
         return e_np, conv_np
 
     def decode_obs(self, synd, priors=None):

@@ -136,6 +136,55 @@ def test_osd_fallback_satisfies_syndrome():
     np.testing.assert_array_equal((e_hat @ h2.T) & 1, syn)
 
 
+def test_device_osd_bit_identical_to_host():
+    """The batched on-device OSD-0 elimination must be BIT-identical to
+    the host loop (`BPDecoder._osd0`) — guaranteed structurally because
+    the pivot column set is row-choice-independent and the solution on it
+    unique, but pinned here across code-capacity, spacetime-Tanner, and
+    random dense graphs, with whole-batch and tail-only entry points."""
+    from qcss_tpu.decode.bp import spacetime_tanner
+
+    rng = np.random.default_rng(7)
+    code = families.bb72()
+    h2 = np.asarray(code.redundant_parity_check_c2, np.uint8) & 1
+    dec = BPDecoder(h2, 0.03, iters=2, osd_backend="device")
+    errs = (rng.random((128, code.n)) < 0.06).astype(np.uint8)
+    syn = (errs @ h2.T) & 1
+    soft = rng.normal(size=(128, code.n)).astype(np.float32)
+    np.testing.assert_array_equal(dec._osd0_any(syn, soft),
+                                  dec._osd0(syn, soft))
+
+    tan, priors, obs, _ = spacetime_tanner(
+        h2, 3, 0.01, 0.01,
+        logicals=np.asarray(code.z_operator_matrix(), np.uint8))
+    dec2 = BPDecoder(tan, priors, iters=2, osd_backend="device")
+    ev = (rng.random((64, tan.shape[1])) < 0.02).astype(np.uint8)
+    syn2 = (ev @ tan.T) & 1
+    soft2 = rng.normal(size=(64, tan.shape[1])).astype(np.float32)
+    np.testing.assert_array_equal(dec2._osd0_any(syn2, soft2),
+                                  dec2._osd0(syn2, soft2))
+
+    for trial in range(10):
+        r, n = int(rng.integers(3, 12)), int(rng.integers(10, 50))
+        h = (rng.random((r, n)) < 0.4).astype(np.uint8)
+        if not h.any():
+            continue
+        d = BPDecoder(h, 0.05, iters=2, osd_backend="device")
+        e = (rng.random((8, n)) < 0.2).astype(np.uint8)
+        s = (e @ h.T) & 1
+        sf = rng.normal(size=(8, n)).astype(np.float32)
+        np.testing.assert_array_equal(d._osd0_any(s, sf), d._osd0(s, sf),
+                                      err_msg=f"trial {trial}")
+
+    # end-to-end: crippled BP + device-OSD tail decodes identically to
+    # crippled BP + host-OSD tail
+    e_dev, conv_dev = dec.decode_batch(syn)
+    dec_host = BPDecoder(h2, 0.03, iters=2, osd_backend="host")
+    e_host, conv_host = dec_host.decode_batch(syn)
+    np.testing.assert_array_equal(e_dev, e_host)
+    np.testing.assert_array_equal(conv_dev, conv_host)
+
+
 def test_bb72_code_capacity_suppression():
     res = bp_logical_error_rate(families.bb72(), 0.01, batch=2048, seed=0)
     # 12 logical qubits on 72 data qubits at p=1e-2: word failure well
