@@ -141,6 +141,23 @@ def main():
           f"conditional fail {fail[keep].mean():.4f}",
           f"(unselected {fail.mean():.4f})")
 
+    # 13. Universality: transversal-T classification and the magic-state
+    # factory (the reference's `_apply_universal` is a stub, reference:
+    # css_code.py:433-434). Exact 15-to-1 map, then a measured injection
+    # on the Steane code composed into an end-to-end resource estimate.
+    from qcss_tpu.experiments import factory_report
+    from qcss_tpu.ftqc import magic
+
+    rm = families.reed_muller_15()
+    print("[[15,1,3]] transversal T power:", rm.transversal_t_power,
+          "| exact 15-to-1 at p_in=1e-2:", magic.distill_exact(1e-2))
+    rep = factory_report(code, NoiseModel(p_gate1=1e-4, p_gate2=1e-4,
+                                          p_meas=1e-4, p_reset=1e-4),
+                         p_t=1e-3, levels=2, batch=1 << 16)
+    print(f"factory: injection eps {rep['injection']['eps']:.2e}",
+          f"-> 2-level p_out {rep['p_out']:.2e}",
+          f"at {rep['injections_per_state']:.0f} injections/state")
+
 
 if __name__ == "__main__":
     main()

@@ -397,29 +397,39 @@ class BPDecoder:
             out[bi, order] = e_ord
         return out
 
-    def _osd0_any(self, synd: np.ndarray, soft: np.ndarray) -> np.ndarray:
+    def _osd0_any(self, synd: np.ndarray, soft: np.ndarray,
+                  h: np.ndarray | None = None) -> np.ndarray:
         """OSD-0 via the backend policy: 'device' runs the batched
         on-device elimination (`_osd0_device_kernel`, bit-identical) with
         host fallback for shots whose rank is not reached within the
         column cap; 'auto' picks device once the tail's elimination work
         justifies the launch (~2^31 bit-ops); 'host' is the single-core
-        C++/Python path."""
-        C = min(self.n, self.r + 256)
+        C++/Python path. `h` optionally overrides the check matrix (gap
+        decoding's augmented [h; L_j] systems — same columns, extra
+        constraint rows)."""
+        h_mat = self.h if h is None else h
+        r, n = h_mat.shape
+        C = min(n, r + 256)
         if self.osd_backend == "device":
             use_dev = True
         elif self.osd_backend == "host":
             use_dev = False
         else:
-            use_dev = synd.shape[0] * self.r * C > (1 << 31)
+            use_dev = synd.shape[0] * r * C > (1 << 31)
+
+        def host(s, f):
+            return (self._osd0(s, f) if h is None
+                    else self._osd0_on(h_mat, s, f))
+
         if not use_dev:
-            return self._osd0(synd, soft)
-        h_t = jnp.asarray(self.h.T)
-        out = np.zeros((synd.shape[0], self.n), np.uint8)
+            return host(synd, soft)
+        h_t = jnp.asarray(h_mat.T)
+        out = np.zeros((synd.shape[0], n), np.uint8)
         chunk = min(2048, synd.shape[0])
         for lo in range(0, synd.shape[0], chunk):
             hi = min(lo + chunk, synd.shape[0])
-            s_c = np.zeros((chunk, self.r), synd.dtype)
-            f_c = np.zeros((chunk, self.n), soft.dtype)
+            s_c = np.zeros((chunk, r), synd.dtype)
+            f_c = np.zeros((chunk, n), soft.dtype)
             s_c[: hi - lo] = synd[lo:hi]
             f_c[: hi - lo] = soft[lo:hi]
             e, ok = _osd0_device_kernel(h_t, jnp.asarray(s_c),
@@ -428,7 +438,7 @@ class BPDecoder:
             ok = np.asarray(ok)[: hi - lo]
             if not ok.all():
                 idx = np.nonzero(~ok)[0]
-                out[lo + idx] = self._osd0(synd[lo + idx], soft[lo + idx])
+                out[lo + idx] = host(synd[lo + idx], soft[lo + idx])
         return out
 
     # -- public API --------------------------------------------------------
@@ -503,7 +513,7 @@ class BPDecoder:
         e_np = np.array(e_hat)
         if self.osd and not conv.all():
             idx = np.nonzero(~conv)[0]
-            e_np[idx] = self._osd0(synd[idx], soft[idx])
+            e_np[idx] = self._osd0_any(synd[idx], soft[idx])
         flips = ((e_np.astype(np.int64) @ self.logicals.T.astype(np.int64))
                  & 1).astype(np.uint8)
         b = synd.shape[0]
@@ -516,7 +526,7 @@ class BPDecoder:
             for cls in (0, 1):
                 s_aug = np.concatenate(
                     [synd, np.full((b, 1), cls, np.uint8)], axis=1)
-                e = self._osd0_on(h_aug, s_aug, soft)
+                e = self._osd0_any(s_aug, soft, h=h_aug)
                 w[cls] = e.astype(np.float64) @ lam
             gap = np.minimum(gap, np.abs(w[0] - w[1]))
         return flips, conv, gap.astype(np.float32)

@@ -184,6 +184,16 @@ def test_device_osd_bit_identical_to_host():
     np.testing.assert_array_equal(e_dev, e_host)
     np.testing.assert_array_equal(conv_dev, conv_host)
 
+    # gap decoding (augmented [h; L_j] systems) identical across backends
+    lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+    dg = BPDecoder(h2, 0.03, logicals=lz, iters=8, osd_backend="device")
+    hg = BPDecoder(h2, 0.03, logicals=lz, iters=8, osd_backend="host")
+    syn_g = syn[:32]
+    fd, cd, gapd = dg.decode_obs_gap(syn_g)
+    fh, ch, gaph = hg.decode_obs_gap(syn_g)
+    np.testing.assert_array_equal(fd, fh)
+    np.testing.assert_allclose(gapd, gaph)
+
 
 def test_bb72_code_capacity_suppression():
     res = bp_logical_error_rate(families.bb72(), 0.01, batch=2048, seed=0)
