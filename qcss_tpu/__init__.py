@@ -20,6 +20,27 @@ re-designed device-first:
   `jax.sharding.Mesh` (`qcss_tpu.parallel`).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: heavy compiles (FT executors 20-60 s,
+# streaming pipelines 2-8 min, the device-OSD kernel ~36 s) are paid once
+# per (program, topology) across ALL processes instead of per process.
+# Best-effort by design — a cache miss or deserialization failure falls
+# back to a normal compile. Opt out with QCSS_NO_COMPILE_CACHE=1 or point
+# elsewhere with JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("QCSS_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".xla_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without the flags — run uncached
+        pass
+
 from qcss_tpu.errors import (
     InvalidCodeError,
     UnsupportedGateError,

@@ -119,56 +119,56 @@ def _osd0_device_kernel(h_t, synd, soft, C: int):
     # mask recording which of the block's original pivot rows each row
     # has absorbed (row_i = S_i ⊕ ⊕_j coef[i,j]·P_j; an elimination by
     # pivot j folds as coef[i] ^= coef[pr_j] ^ (1<<j)) — then PHASE 2
-    # replays all 32 eliminations onto the wide suffix as ONE fused
+    # replays all 32 eliminations onto the wide matrix as ONE fused
     # XOR-select expression. Sequential full-width updates (the naive
-    # form) were 32x this traffic and scan-latency-bound on TPU.
-    # Columns already eliminated are never read again, so the suffix
-    # SHRINKS by one word per block (static slices, no dynamic indexing).
-    prs_blocks, has_blocks = [], []
-    suffix = aug
-    for w in range(W):
-        blockword = suffix[:, :, 0]
-        suffix = suffix[:, :, 1:]
+    # form) were 32x this traffic and scan-latency-bound on TPU. The
+    # outer block loop is a lax.scan over fixed shapes (processed words
+    # keep receiving harmless updates — they are never read again): an
+    # unrolled shrinking-suffix variant halved the traffic but cost ~85 s
+    # of XLA compile per shape, which dwarfed the run time.
 
-        def p1_step(carry, j):
-            wd, sbit, marked, coef = carry
-            colbit = ((wd >> j) & 1).astype(bool)
-            active = colbit & ~marked
-            has = jnp.any(active, axis=1)
-            pr = jnp.argmax(active, axis=1).astype(jnp.int32)  # first True
-            is_pr = rows[None, :] == pr[:, None]
-            # pivot row's narrow state by masked reduction (no gathers)
-            pwd = jnp.sum(jnp.where(is_pr, wd, 0), axis=1)
-            psyn = jnp.sum(jnp.where(is_pr, sbit, 0), axis=1)
-            pcoef = jnp.sum(jnp.where(is_pr, coef, 0), axis=1)
-            elim = colbit & ~is_pr & has[:, None]
-            wd = jnp.where(elim, wd ^ pwd[:, None], wd)
-            sbit = jnp.where(elim, sbit ^ psyn[:, None], sbit)
-            coef = jnp.where(
-                elim, coef ^ pcoef[:, None]
-                ^ (jnp.uint32(1) << j), coef)
-            marked = marked | (is_pr & has[:, None])
-            return (wd, sbit, marked, coef), (pr, has)
+    def p1_step(carry, j):
+        wd, sbit, marked, coef = carry
+        colbit = ((wd >> j) & 1).astype(bool)
+        active = colbit & ~marked
+        has = jnp.any(active, axis=1)
+        pr = jnp.argmax(active, axis=1).astype(jnp.int32)  # first True
+        is_pr = rows[None, :] == pr[:, None]
+        # pivot row's narrow state by masked reduction (no gathers)
+        pwd = jnp.sum(jnp.where(is_pr, wd, 0), axis=1)
+        psyn = jnp.sum(jnp.where(is_pr, sbit, 0), axis=1)
+        pcoef = jnp.sum(jnp.where(is_pr, coef, 0), axis=1)
+        elim = colbit & ~is_pr & has[:, None]
+        wd = jnp.where(elim, wd ^ pwd[:, None], wd)
+        sbit = jnp.where(elim, sbit ^ psyn[:, None], sbit)
+        coef = jnp.where(
+            elim, coef ^ pcoef[:, None] ^ (jnp.uint32(1) << j), coef)
+        marked = marked | (is_pr & has[:, None])
+        return (wd, sbit, marked, coef), (pr, has)
 
+    def block_step(carry, w):
+        aug, sbit, marked = carry
+        blockword = jax.lax.dynamic_index_in_dim(aug, w, axis=2,
+                                                 keepdims=False)
         coef0 = jnp.zeros((B, r), jnp.uint32)
         (_, sbit, marked, coef), (pr_b, has_b) = jax.lax.scan(
             p1_step, (blockword, sbit, marked, coef0),
             jnp.arange(32, dtype=jnp.uint32))
-        prs_blocks.append(pr_b)
-        has_blocks.append(has_b)
-        if suffix.shape[2]:
-            # original pivot rows of this block: [B, 32, W-w-1]
-            p_rows = jnp.take_along_axis(
-                suffix, pr_b.T[:, :, None].astype(jnp.int32), axis=1)
-            p_rows = jnp.where(has_b.T[:, :, None], p_rows, 0)
-            upd = jnp.zeros_like(suffix)
-            for j in range(32):
-                sel = ((coef >> jnp.uint32(j)) & 1).astype(bool)
-                upd = upd ^ jnp.where(sel[:, :, None],
-                                      p_rows[:, j][:, None, :], 0)
-            suffix = suffix ^ upd
-    prs = jnp.concatenate(prs_blocks, axis=0)[:C]   # [C, B]
-    hass = jnp.concatenate(has_blocks, axis=0)[:C]
+        # original pivot rows of this block: [B, 32, W]
+        p_rows = jnp.take_along_axis(
+            aug, pr_b.T[:, :, None].astype(jnp.int32), axis=1)
+        p_rows = jnp.where(has_b.T[:, :, None], p_rows, 0)
+        upd = jnp.zeros_like(aug)
+        for j in range(32):
+            sel = ((coef >> jnp.uint32(j)) & 1).astype(bool)
+            upd = upd ^ jnp.where(sel[:, :, None], p_rows[:, j][:, None, :],
+                                  0)
+        return (aug ^ upd, sbit, marked), (pr_b, has_b)
+
+    (aug, sbit, marked), (pr_blocks, has_blocks) = jax.lax.scan(
+        block_step, (aug, sbit, marked), jnp.arange(W, dtype=jnp.int32))
+    prs = pr_blocks.reshape(W * 32, B)[:C]   # [C, B]
+    hass = has_blocks.reshape(W * 32, B)[:C]
     # e in sorted coordinates: final syndrome bit of each pivot row
     vals = jnp.take_along_axis(sbit, prs.T, axis=1)  # [B, C]
     e_sorted = jnp.where(hass.T, vals, 0).astype(jnp.uint8)
@@ -487,6 +487,56 @@ class BPDecoder:
         e_hat, conv = self.decode_batch(synd, priors)
         return (e_hat.astype(np.int64)
                 @ self.logicals.T.astype(np.int64)) & 1, conv
+
+    def decode_obs_device(self, synd):
+        """Device-resident `decode_obs`: [B, r] syndromes (device array
+        welcome) -> ([B, k] observable flips ON DEVICE, [B] conv np).
+
+        `decode_obs` pulls the full [B, n] error estimate (and, for the
+        OSD tail, the [B, n] float LLRs) to the host — ~350 MB per bb144
+        batch, which over the TPU tunnel costs more than the decode
+        itself. This path keeps everything on device: flips are reduced
+        to [B, k] there, the OSD tail is gathered, padded to a power-of-2
+        bucket (bounded recompiles) and eliminated by
+        `_osd0_device_kernel` in place; only the tiny conv mask, straggler
+        rows (rank not reached within the column cap — host re-solve),
+        and the final flips cross the boundary. Identical results to
+        `decode_obs` (the device OSD is bit-identical)."""
+        if self.logicals is None:
+            raise ValueError("decoder built without logicals")
+        if self.osd == "always":
+            raise ValueError("decode_obs_device supports osd=True/False; "
+                             "use decode_obs for the whole-batch "
+                             "osd='always' tie-break")
+        synd_j = jnp.asarray(synd, jnp.uint8)
+        e, conv, soft = self._run(synd_j)
+        obs_t = jnp.asarray(self.logicals.T, jnp.int32)
+        flips = (e.astype(jnp.int32) @ obs_t) & 1
+        if not self.osd:
+            return flips, np.asarray(conv)
+        conv_np = np.asarray(conv)
+        if conv_np.all():
+            return flips, conv_np
+        idx = np.nonzero(~conv_np)[0]
+        bt = idx.size
+        pad = 1 << max(6, (bt - 1).bit_length())  # pow-2 buckets
+        idx_j = jnp.asarray(np.pad(idx, (0, pad - bt)))
+        synd_t = jnp.take(synd_j, idx_j, axis=0)
+        soft_t = jnp.take(soft, idx_j, axis=0)
+        C = min(self.n, self.r + 256)
+        e_t, ok = _osd0_device_kernel(jnp.asarray(self.h.T), synd_t,
+                                      soft_t, C)
+        flips_t = (e_t.astype(jnp.int32) @ obs_t) & 1
+        ok_np = np.asarray(ok)[:bt]
+        if not ok_np.all():
+            bad = np.nonzero(~ok_np)[0]
+            e_host = self._osd0(np.asarray(synd_t[bad]),
+                                np.asarray(soft_t[bad]))
+            fh = (e_host.astype(np.int64) @ self.logicals.T) & 1
+            flips_t = flips_t.at[jnp.asarray(bad)].set(
+                jnp.asarray(fh, flips_t.dtype))
+        flips = flips.at[idx_j[:bt]].set(flips_t[:bt])
+        return flips, conv_np
 
     def decode_obs_gap(self, synd):
         """Soft-output decoding: [B, r] syndromes ->

@@ -80,22 +80,40 @@ def qldpc_memory_experiment(code, *, rounds: int,
         static_argnames=("batch", "rounds"),
     )
     syns_z, syns_x, x_err, z_err = fn(jax.random.key(seed), batch, rounds)
-    syns_z, syns_x = np.asarray(syns_z), np.asarray(syns_x)
-    x_err, z_err = np.asarray(x_err), np.asarray(z_err)
 
-    final_z = ((x_err.astype(np.int64) @ hz.T) & 1).astype(np.uint8)
-    dets_z = detector_history(syns_z, final_z)
+    # Device-resident fast path (the default): detector assembly, BP,
+    # observable reduction, and the OSD tail all stay on the accelerator;
+    # only [B, k] flips and the conv masks cross the host boundary. The
+    # richer analyses below (joint graphs, two-pass priors, gap sweeps)
+    # need host arrays, so they pull — at bb144 x 8192 the pulls alone
+    # (~350 MB of syndromes + estimates over the TPU tunnel) cost more
+    # than the whole decode.
+    device_path = not (joint or correlated or gap_tau is not None
+                       or osd == "always")
+    if device_path:
+        final_z_j = (x_err.astype(jnp.int32) @ jnp.asarray(hz.T,
+                                                           jnp.int32)) & 1
+        dets_z = detector_history(syns_z, final_z_j.astype(jnp.uint8))
+        par_x = (x_err.astype(jnp.int32)
+                 @ jnp.asarray(lz.T, jnp.int32)) & 1
+    else:
+        syns_z, syns_x = np.asarray(syns_z), np.asarray(syns_x)
+        x_err, z_err = np.asarray(x_err), np.asarray(z_err)
+        final_z = ((x_err.astype(np.int64) @ hz.T) & 1).astype(np.uint8)
+        dets_z = detector_history(syns_z, final_z)
+        par_x = (x_err.astype(np.int64) @ lz.T.astype(np.int64)) & 1
 
     dec_z = circuit_bp_decoder(code, rounds, noise, sector="z",
                                iters=iters, alpha=alpha, osd=osd,
                                hz=hz, hx=hx)
-    par_x = (x_err.astype(np.int64) @ lz.T.astype(np.int64)) & 1
     if gap_tau is not None:
         flips_x, conv_z, gap = dec_z.decode_obs_gap(
             dets_z.reshape(batch, -1))
+    elif device_path:
+        flips_x, conv_z = dec_z.decode_obs_device(dets_z.reshape(batch, -1))
     else:
         flips_x, conv_z = dec_z.decode_obs(dets_z.reshape(batch, -1))
-    xf = (flips_x ^ par_x).any(axis=1)
+    xf = np.asarray((flips_x ^ par_x).any(axis=1))
     out = {
         "x_fail": float(xf.mean()),
         "bp_converged_z": float(np.asarray(conv_z).mean()),
@@ -114,14 +132,23 @@ def qldpc_memory_experiment(code, *, rounds: int,
             if keep.any() else None,
         })
     if sectors == "both":
-        final_x = ((z_err.astype(np.int64) @ hx.T) & 1).astype(np.uint8)
-        dets_x = detector_history(syns_x, final_x)
         dec_x = circuit_bp_decoder(code, rounds, noise, sector="x",
                                    iters=iters, alpha=alpha, osd=osd,
                                    hz=hz, hx=hx)
-        flips_z, conv_x = dec_x.decode_obs(dets_x.reshape(batch, -1))
-        par_z = (z_err.astype(np.int64) @ lx.T.astype(np.int64)) & 1
-        zf = (flips_z ^ par_z).any(axis=1)
+        if device_path:
+            final_x_j = (z_err.astype(jnp.int32)
+                         @ jnp.asarray(hx.T, jnp.int32)) & 1
+            dets_x = detector_history(syns_x, final_x_j.astype(jnp.uint8))
+            par_z = (z_err.astype(jnp.int32)
+                     @ jnp.asarray(lx.T, jnp.int32)) & 1
+            flips_z, conv_x = dec_x.decode_obs_device(
+                dets_x.reshape(batch, -1))
+        else:
+            final_x = ((z_err.astype(np.int64) @ hx.T) & 1).astype(np.uint8)
+            dets_x = detector_history(syns_x, final_x)
+            flips_z, conv_x = dec_x.decode_obs(dets_x.reshape(batch, -1))
+            par_z = (z_err.astype(np.int64) @ lx.T.astype(np.int64)) & 1
+        zf = np.asarray((flips_z ^ par_z).any(axis=1))
         out.update({
             "z_fail": float(zf.mean()),
             "word_fail": float((xf | zf).mean()),
