@@ -145,6 +145,58 @@ def rotated_surface(d: int, **kwargs) -> CSSCode:
     return CSSCode(h_x, h_z, **kwargs)
 
 
+def rotated_surface_rect(rows: int, cols: int, **kwargs) -> CSSCode:
+    """Rectangular rotated surface code on a rows x cols qubit grid
+    (both odd): n = rows*cols, k = 1, X distance = rows, Z distance =
+    cols. `rotated_surface(d)` is the square case; the rectangle is the
+    building block for lattice surgery (`experiments.surgery`), where a
+    d x (2d+1) patch is two d x d patches merged through a seam column.
+
+    Same conventions as `rotated_surface`: qubit (r, c) -> r*cols + c,
+    interior faces alternate X/Z by checkerboard parity, X half-faces on
+    top/bottom, Z half-faces on left/right (so Z̄ runs horizontally and
+    terminates on the left/right boundaries — the merge boundaries)."""
+    h_x, h_z = surface_rect_checks(rows, cols)
+    kwargs.setdefault("t", (min(rows, cols) - 1) // 2)
+    kwargs.setdefault("max_table_weight", 0)
+    return CSSCode(h_x, h_z, **kwargs)
+
+
+def surface_rect_checks(rows: int, cols: int) -> tuple[np.ndarray, np.ndarray]:
+    """(h_x, h_z) check rows of the rows x cols rotated surface lattice
+    in GEOMETRIC qubit order (qubit (r, c) -> r*cols + c, no standard-form
+    column permutation) — the form lattice surgery needs to embed patches
+    into a larger grid (`experiments.surgery`)."""
+    if rows % 2 == 0 or cols % 2 == 0 or rows < 3 or cols < 3:
+        raise ValueError("rows and cols must be odd and >= 3")
+    n = rows * cols
+
+    def face_qubits(r: int, c: int) -> list[int]:
+        out = []
+        for dr in (0, 1):
+            for dc in (0, 1):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < rows and 0 <= cc < cols:
+                    out.append(rr * cols + cc)
+        return out
+
+    x_rows, z_rows = [], []
+    for r in range(-1, rows):
+        for c in range(-1, cols):
+            qubits = face_qubits(r, c)
+            if len(qubits) < 2:
+                continue
+            is_x = (r + c) % 2 != 0
+            if len(qubits) == 2:
+                on_horizontal_boundary = r == -1 or r == rows - 1
+                if on_horizontal_boundary != is_x:
+                    continue
+            row = np.zeros(n, dtype=np.uint8)
+            row[qubits] = 1
+            (x_rows if is_x else z_rows).append(row)
+    return np.array(x_rows, dtype=np.uint8), np.array(z_rows, dtype=np.uint8)
+
+
 def golay(**kwargs) -> CSSCode:
     """The quantum Golay code [[23,1,7]]: the self-dual CSS code built
     from the binary [23,12,7] Golay code (C⊥ ⊂ C, C⊥ doubly even with

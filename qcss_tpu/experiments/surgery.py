@@ -1,0 +1,314 @@
+"""Lattice surgery: an XX merge of two rotated-surface patches, measured.
+
+Lattice surgery (Horsman et al. 2012) is how real surface-code
+architectures enact logical joint measurements — two patches are merged
+by measuring the stabilizers of one larger patch for ~d rounds, which
+projectively measures the product of the logicals terminating on the
+shared boundary. The reference has nothing remotely comparable (its
+scope is one code block and Steane EC, reference: ftqc.py:42-120); this
+module is beyond-reference capability built from the framework's own
+pieces: the rectangular surface lattice (`families.surface_rect_checks`),
+mechanized single-fault enumeration (the `decode.dem` philosophy), and
+union-find matching over an explicitly time-varying detector graph.
+
+The protocol (phenomenological noise tier)
+------------------------------------------
+Two distance-d patches A (grid columns 0..d-1) and B (columns d+1..2d)
+sit in a d x (2d+1) grid with a seam column d between them.
+
+  1. Prepare |+̄⟩_A |+̄⟩_B; measure each patch's own checks for
+     `rounds_split` rounds.
+  2. MERGE: initialize the seam qubits in |+⟩ and measure the checks of
+     the full d x (2d+1) rectangle for `rounds_merged` rounds. In this
+     lattice the merge EXTENDS each patch's boundary Z half-checks across
+     the seam (a bijection — no new Z checks) and CREATES new X checks in
+     the seam region whose product equals X̄_A · X̄_B · (X on the seam
+     column) — with the seam in |+⟩, the first merged round therefore
+     measures m = X̄_A X̄_B (deterministically +1 here), while each new
+     X check individually is 50/50 random (projection randomness).
+  3. Perfect transversal X-basis readout of the merged patch: final
+     X-check syndrome slice + the surviving joint logical X̄_M.
+
+Detectors and observables are derived MECHANICALLY: every single fault
+(a Z error on an active qubit before round t; an X-check measurement
+flip) is propagated through the linear outcome model, giving the exact
+detector incidence F, so the matching graph and the device sampler are
+the same object by construction (dets = faults @ F^T — one matmul).
+Detector rules across the time-varying check set: split checks compare
+consecutively (first round against the deterministic |+̄⟩ reference);
+a merged check that extends/matches a split check compares against its
+partner across the transition; genuinely NEW seam X checks get no
+first-round detector (random reference — their information enters
+through the m observable and their own later consecutive detectors).
+
+Failure metrics: `m_fail` — the decoded joint-measurement outcome is
+wrong (the surgery's purpose defeated); `logical_fail` — the preserved
+X̄_M flips. Exactness is pinned by tests: zero noise -> zero detectors
+and both estimators 0; EVERY single fault has a weight-<=2 detector
+signature and decodes with no failure; d=3 vs d=5 suppression.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcss_tpu.codes import families
+from qcss_tpu.decode.uf import MatchingGraph, UFDecoder, weights_from_probs
+from qcss_tpu.ops import gf2
+
+
+def _solve_gf2(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """One solution u of u @ a = b over GF(2), or None. a: [m, n], b: [n]."""
+    m = a.shape[0]
+    aug = np.concatenate([a & 1, np.eye(m, dtype=np.uint8)], axis=1)
+    red = gf2.rref(aug)
+    lead = red[:, : a.shape[1]]
+    coef = red[:, a.shape[1]:]
+    target = (b & 1).astype(np.uint8)
+    u = np.zeros(m, dtype=np.uint8)
+    for i in range(m):
+        row = lead[i]
+        piv = np.nonzero(row)[0]
+        if piv.size == 0:
+            continue
+        if target[piv[0]]:
+            target = target ^ row
+            u = u ^ coef[i]
+    if target.any():
+        return None
+    return u
+
+
+@dataclass(frozen=True)
+class XXMergeModel:
+    """The assembled surgery experiment: fault -> detector/observable
+    linear maps plus the matching graph they induce."""
+
+    d: int
+    rounds_split: int
+    rounds_merged: int
+    n: int                      # grid qubits
+    fault_probs_class: np.ndarray  # [n_faults] 0 = data (rate p), 1 = meas (q)
+    F: np.ndarray               # [n_dets, n_faults] detector incidence
+    obs: np.ndarray             # [2, n_faults]: row 0 = m, row 1 = X̄_M
+    graph: MatchingGraph
+
+
+def build_xx_merge(d: int, rounds_split: int, rounds_merged: int,
+                   p: float | None = None,
+                   q: float | None = None) -> XXMergeModel:
+    """Assemble the fault model, detector map, and matching graph.
+
+    With `p`/`q` the graph edges carry -log-likelihood weights; both None
+    gives the unweighted graph.
+    """
+    if rounds_split < 1 or rounds_merged < 1:
+        raise ValueError("need at least one round per phase")
+    rows, cols = d, 2 * d + 1
+    n = rows * cols
+
+    def embed(small: np.ndarray, col_off: int) -> np.ndarray:
+        big = np.zeros(small.shape[:-1] + (n,), dtype=np.uint8)
+        sm = small.reshape(small.shape[:-1] + (d, d))
+        for r in range(d):
+            big[..., r * cols + col_off: r * cols + col_off + d] = sm[..., r, :]
+        return big
+
+    hx_p, _ = families.surface_rect_checks(d, d)
+    hx_A, hx_B = embed(hx_p, 0), embed(hx_p, d + 1)
+    hx_split = np.concatenate([hx_A, hx_B], axis=0)
+    hx_M, _ = families.surface_rect_checks(rows, cols)
+    r_split, r_merged = hx_split.shape[0], hx_M.shape[0]
+
+    ab_mask = np.ones(n, dtype=np.uint8)
+    seam = [r * cols + d for r in range(rows)]
+    ab_mask[seam] = 0
+
+    # merged-check continuity: partner[i] = split row with identical
+    # AB-restriction, or -1 for a genuinely new seam check
+    partner = np.full(r_merged, -1, dtype=np.int64)
+    for i in range(r_merged):
+        restr = hx_M[i] & ab_mask
+        hits = np.nonzero((hx_split == restr[None, :]).all(axis=1))[0]
+        if hits.size > 1:
+            raise AssertionError("ambiguous check continuity")
+        if hits.size == 1 and restr.any():
+            partner[i] = hits[0]
+    new_checks = np.nonzero(partner < 0)[0]
+    if not new_checks.size:
+        raise AssertionError("no new seam checks — wrong merge orientation")
+
+    # X̄ reps on the merge-facing boundary columns; the joint observable
+    # m = X̄_A X̄_B is a combination of merged (first merged round) and
+    # split (last split round) check outcomes
+    def col_op(c: int) -> np.ndarray:
+        v = np.zeros(n, dtype=np.uint8)
+        v[[r * cols + c for r in range(rows)]] = 1
+        return v
+
+    xbar_A, xbar_B = col_op(d - 1), col_op(d + 1)
+    target = ((xbar_A ^ xbar_B) & ab_mask).astype(np.uint8)
+    system = np.concatenate([hx_M * ab_mask[None, :], hx_split], axis=0)
+    u = _solve_gf2(system, target)
+    if u is None:
+        raise AssertionError("X̄_A X̄_B is not measured by the merge")
+    u_merged, u_split = u[:r_merged], u[r_merged:]
+    xbar_M = col_op(0)
+
+    R1, R2 = rounds_split, rounds_merged
+    total = R1 + R2
+
+    # fault inventory ------------------------------------------------------
+    # data fault (t, q): Z error arising before round t's measurements
+    # (t = total: before the perfect readout); seam qubits become active
+    # at the merge (a seam fault at t = R1 is the |+⟩ init error)
+    data_faults = [(t, qb) for t in range(total + 1) for qb in range(n)
+                   if ab_mask[qb] or t >= R1]
+    meas_faults = ([("s", t, c) for t in range(R1) for c in range(r_split)]
+                   + [("m", t, c) for t in range(R1, total)
+                      for c in range(r_merged)])
+    n_data, n_meas = len(data_faults), len(meas_faults)
+    nf = n_data + n_meas
+
+    # outcome deviations as linear maps over faults -------------------------
+    # o_split [R1, r_split, nf], o_merged [R2, r_merged, nf], w [n, nf]
+    o_split = np.zeros((R1, r_split, nf), dtype=np.uint8)
+    o_merged = np.zeros((R2, r_merged, nf), dtype=np.uint8)
+    w_final = np.zeros((n, nf), dtype=np.uint8)
+    for f, (t0, qb) in enumerate(data_faults):
+        w_final[qb, f] = 1
+        for t in range(t0, R1):
+            o_split[t, :, f] ^= hx_split[:, qb]
+        for t in range(max(t0, R1), total):
+            o_merged[t - R1, :, f] ^= hx_M[:, qb]
+    for j, (kind, t, c) in enumerate(meas_faults):
+        f = n_data + j
+        if kind == "s":
+            o_split[t, c, f] ^= 1
+        else:
+            o_merged[t - R1, c, f] ^= 1
+
+    # detectors -------------------------------------------------------------
+    det_rows = []
+    for t in range(R1):
+        prev = o_split[t - 1] if t else 0
+        det_rows.append(o_split[t] ^ prev)
+    trans = o_merged[0].copy()
+    keep = partner >= 0
+    trans[keep] ^= o_split[R1 - 1, partner[keep]]
+    det_rows.append(trans[keep])          # new checks: no first detector
+    for t in range(1, R2):
+        det_rows.append(o_merged[t] ^ o_merged[t - 1])
+    final = (hx_M.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    det_rows.append((final ^ o_merged[R2 - 1]).astype(np.uint8))
+    F = np.concatenate(det_rows, axis=0) & 1
+
+    # observables ------------------------------------------------------------
+    m_row = ((u_merged.astype(np.int64) @ o_merged[0].astype(np.int64))
+             ^ (u_split.astype(np.int64) @ o_split[R1 - 1].astype(np.int64))
+             ) & 1
+    xm_row = (xbar_M.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    obs = np.stack([m_row, xm_row]) & 1
+
+    # matching graph from fault signatures -----------------------------------
+    wts = F.sum(axis=0)
+    if np.any((wts == 0) & obs.any(axis=0)):
+        raise AssertionError("undetectable logical fault — model broken")
+    live = np.nonzero(wts > 0)[0]
+    sig_map: dict[tuple, int] = {}
+    edges, eobs, eprob = [], [], []
+    p_eff = 0.0 if p is None else p
+    q_eff = 0.0 if q is None else q
+    for f in live:
+        dets = tuple(np.nonzero(F[:, f])[0])
+        if len(dets) > 2:
+            raise AssertionError(
+                f"fault {f} flips {len(dets)} detectors — not matchable")
+        ob = int(obs[0, f]) | (int(obs[1, f]) << 1)
+        key = dets
+        fp = q_eff if f >= n_data else p_eff
+        if key in sig_map:
+            idx = sig_map[key]
+            if eobs[idx] != ob:
+                raise AssertionError(
+                    "same signature, different observables — model broken")
+            eprob[idx] = eprob[idx] + fp - eprob[idx] * fp
+            continue
+        sig_map[key] = len(edges)
+        a = dets[0]
+        b = dets[1] if len(dets) == 2 else -1
+        edges.append((a, b))
+        eobs.append(ob)
+        eprob.append(fp)
+    weight = None
+    if p is not None or q is not None:
+        if p is None or q is None:
+            raise ValueError("pass both p and q, or neither")
+        weight = weights_from_probs(np.clip(eprob, 1e-12, 1 - 1e-12))
+    graph = MatchingGraph(
+        num_nodes=F.shape[0],
+        edges=np.asarray(edges, dtype=np.int32).reshape(-1, 2),
+        edge_qubit=np.arange(len(edges), dtype=np.int32),
+        edge_obs=np.asarray(eobs, dtype=np.uint32),
+        n_qubits=len(edges),
+        edge_weight=weight,
+    )
+    probs_class = np.concatenate([
+        np.zeros(n_data, dtype=np.uint8), np.ones(n_meas, dtype=np.uint8)])
+    return XXMergeModel(d=d, rounds_split=R1, rounds_merged=R2, n=n,
+                        fault_probs_class=probs_class, F=F, obs=obs,
+                        graph=graph)
+
+
+def _sample(key, p, q, batch, cls, f_t, obs_t):
+    u = jax.random.uniform(key, (batch, cls.shape[0]))
+    rates = jnp.where(cls == 1, q, p)
+    faults = (u < rates[None, :]).astype(jnp.uint8)
+    dets = (faults.astype(jnp.int32) @ f_t) & 1
+    ob = (faults.astype(jnp.int32) @ obs_t) & 1
+    return dets.astype(jnp.uint8), ob.astype(jnp.uint8)
+
+
+def xx_merge_memory(d: int, p: float, q: float | None = None, *,
+                    rounds_split: int | None = None,
+                    rounds_merged: int | None = None,
+                    batch: int = 1 << 13, seed: int = 0,
+                    weighted: bool = False,
+                    use_native: bool | None = None) -> dict[str, float]:
+    """Run the XX-merge surgery experiment; see the module docstring.
+
+    Returns the joint-measurement failure rate (`m_fail` — the decoded
+    X̄_A X̄_B outcome is wrong), the merged-logical failure (`logical_fail`
+    — X̄_M flips through prep + merge + readout), and `word_fail`.
+    """
+    q = p if q is None else q
+    rounds_split = d if rounds_split is None else rounds_split
+    rounds_merged = d if rounds_merged is None else rounds_merged
+    model = build_xx_merge(d, rounds_split, rounds_merged,
+                           p=p if weighted else None,
+                           q=q if weighted else None)
+    dec = UFDecoder(model.graph, use_native=use_native)
+    dets, ob = jax.jit(_sample, static_argnames=("batch",))(
+        jax.random.key(seed), jnp.float32(p), jnp.float32(q), batch,
+        jnp.asarray(model.fault_probs_class),
+        jnp.asarray(model.F.T.astype(np.int32)),
+        jnp.asarray(model.obs.T.astype(np.int32)))
+    dets, ob = np.asarray(dets), np.asarray(ob)
+    _, corr = dec.decode_batch(dets, want_corrections=False)
+    m_fail = (ob[:, 0] ^ (corr & 1)) == 1
+    l_fail = (ob[:, 1] ^ ((corr >> 1) & 1)) == 1
+    return {
+        "d": d,
+        "p": float(p), "q": float(q),
+        "rounds_split": rounds_split, "rounds_merged": rounds_merged,
+        "m_fail": float(m_fail.mean()),
+        "logical_fail": float(l_fail.mean()),
+        "word_fail": float((m_fail | l_fail).mean()),
+        "samples": batch,
+        "detectors": int(model.F.shape[0]),
+        "edges": int(model.graph.num_edges),
+    }
