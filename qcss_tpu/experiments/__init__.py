@@ -16,7 +16,12 @@ from qcss_tpu.experiments.injection import (
     magic_injection_experiment,
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
-from qcss_tpu.experiments.surgery import build_xx_merge, xx_merge_memory
+from qcss_tpu.experiments.surgery import (
+    build_xx_merge,
+    build_xx_merge_split,
+    xx_merge_memory,
+    xx_merge_split_memory,
+)
 from qcss_tpu.experiments.memory_qldpc import (
     qldpc_memory_experiment,
     qldpc_stream_memory_rate,
@@ -32,9 +37,11 @@ __all__ = [
     "qldpc_memory_experiment",
     "qldpc_stream_memory_rate",
     "build_xx_merge",
+    "build_xx_merge_split",
     "x_extraction_circuit",
     "x_memory_experiment",
     "xx_merge_memory",
+    "xx_merge_split_memory",
     "z_extraction_circuit",
     "z_memory_experiment",
 ]

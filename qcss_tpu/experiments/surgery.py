@@ -264,6 +264,232 @@ def build_xx_merge(d: int, rounds_split: int, rounds_merged: int,
                         graph=graph)
 
 
+def build_xx_merge_split(d: int, rounds_split: int, rounds_merged: int,
+                         rounds_after: int,
+                         p: float | None = None,
+                         q: float | None = None) -> XXMergeModel:
+    """The full surgery CYCLE: split -> merged -> split again.
+
+    After `rounds_merged` merged rounds the seam qubits are measured out
+    in the Z basis (the standard split), the patches run `rounds_after`
+    separate rounds, and both are read out transversally in X. In the
+    X-check sector the bookkeeping is clean: patch-local X checks are
+    UNCHANGED by both transitions (they never touch the seam), so they
+    compare plainly across them; the new seam X checks live only during
+    the merge and leave their information in m; the seam's Z readout
+    feeds only the Z sector, which this X-error experiment does not
+    decode. Observables: m = X̄_A X̄_B (first merged round) and the
+    individual X̄_A, X̄_B finals — both remain stabilizers of the
+    evolving state throughout the cycle, so all three are
+    deterministic-reference (statevector-verified in tests).
+    """
+    if min(rounds_split, rounds_after) < 1:
+        raise ValueError("need at least one round per phase")
+    if rounds_merged < 3:
+        # with 2 merged rounds a new seam check's first-round flip (which
+        # corrupts m) and last-round flip (which doesn't) share the single
+        # consecutive detector between them — the graph cannot tell them
+        # apart because the seam has no post-split readout in this sector.
+        # >= 3 rounds (real surgery uses d) separates every such pair.
+        raise ValueError("the merge-split cycle needs rounds_merged >= 3")
+    rows, cols = d, 2 * d + 1
+    n = rows * cols
+
+    def embed(small: np.ndarray, col_off: int) -> np.ndarray:
+        big = np.zeros(small.shape[:-1] + (n,), dtype=np.uint8)
+        sm = small.reshape(small.shape[:-1] + (d, d))
+        for r in range(d):
+            big[..., r * cols + col_off: r * cols + col_off + d] = sm[..., r, :]
+        return big
+
+    hx_p, _ = families.surface_rect_checks(d, d)
+    hx_A, hx_B = embed(hx_p, 0), embed(hx_p, d + 1)
+    hx_split = np.concatenate([hx_A, hx_B], axis=0)
+    hx_M, _ = families.surface_rect_checks(rows, cols)
+    r_split, r_merged = hx_split.shape[0], hx_M.shape[0]
+
+    ab_mask = np.ones(n, dtype=np.uint8)
+    seam = [r * cols + d for r in range(rows)]
+    ab_mask[seam] = 0
+
+    partner = np.full(r_merged, -1, dtype=np.int64)
+    for i in range(r_merged):
+        restr = hx_M[i] & ab_mask
+        hits = np.nonzero((hx_split == restr[None, :]).all(axis=1))[0]
+        if hits.size == 1 and restr.any():
+            partner[i] = hits[0]
+
+    def col_op(c: int) -> np.ndarray:
+        v = np.zeros(n, dtype=np.uint8)
+        v[[r * cols + c for r in range(rows)]] = 1
+        return v
+
+    target = ((col_op(d - 1) ^ col_op(d + 1)) & ab_mask).astype(np.uint8)
+    system = np.concatenate([hx_M * ab_mask[None, :], hx_split], axis=0)
+    u = _solve_gf2(system, target)
+    if u is None:
+        raise AssertionError("X̄_A X̄_B is not measured by the merge")
+    u_merged, u_split = u[:r_merged], u[r_merged:]
+    xbar_A, xbar_B = col_op(0), col_op(d + 1)
+
+    R1, R2, R3 = rounds_split, rounds_merged, rounds_after
+    total = R1 + R2 + R3
+
+    # active windows: seam data faults only while the seam is in play
+    data_faults = [(t, qb) for t in range(total + 1) for qb in range(n)
+                   if ab_mask[qb] or (R1 <= t < R1 + R2)]
+    meas_faults = (
+        [("s", t, c) for t in range(R1) for c in range(r_split)]
+        + [("m", t, c) for t in range(R1, R1 + R2) for c in range(r_merged)]
+        + [("s2", t, c) for t in range(R1 + R2, total)
+           for c in range(r_split)])
+    n_data = len(data_faults)
+    nf = n_data + len(meas_faults)
+
+    o_s1 = np.zeros((R1, r_split, nf), dtype=np.uint8)
+    o_m = np.zeros((R2, r_merged, nf), dtype=np.uint8)
+    o_s2 = np.zeros((R3, r_split, nf), dtype=np.uint8)
+    w_final = np.zeros((n, nf), dtype=np.uint8)
+    for f, (t0, qb) in enumerate(data_faults):
+        if ab_mask[qb]:
+            w_final[qb, f] = 1
+        for t in range(t0, R1):
+            o_s1[t, :, f] ^= hx_split[:, qb]
+        for t in range(max(t0, R1), R1 + R2):
+            o_m[t - R1, :, f] ^= hx_M[:, qb]
+        if ab_mask[qb]:
+            for t in range(max(t0, R1 + R2), total):
+                o_s2[t - R1 - R2, :, f] ^= hx_split[:, qb]
+    for j, (kind, t, c) in enumerate(meas_faults):
+        f = n_data + j
+        if kind == "s":
+            o_s1[t, c, f] ^= 1
+        elif kind == "m":
+            o_m[t - R1, c, f] ^= 1
+        else:
+            o_s2[t - R1 - R2, c, f] ^= 1
+
+    det_rows = []
+    for t in range(R1):
+        det_rows.append(o_s1[t] ^ (o_s1[t - 1] if t else 0))
+    trans1 = o_m[0].copy()
+    keep = partner >= 0
+    trans1[keep] ^= o_s1[R1 - 1, partner[keep]]
+    det_rows.append(trans1[keep])
+    for t in range(1, R2):
+        det_rows.append(o_m[t] ^ o_m[t - 1])
+    # split transition: patch checks compare against their merged selves
+    back = np.full(r_split, -1, dtype=np.int64)
+    back[partner[keep]] = np.nonzero(keep)[0]
+    if (back < 0).any():
+        raise AssertionError("a patch check has no merged counterpart")
+    det_rows.append(o_s2[0] ^ o_m[R2 - 1, back])
+    for t in range(1, R3):
+        det_rows.append(o_s2[t] ^ o_s2[t - 1])
+    final = (hx_split.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    det_rows.append((final ^ o_s2[R3 - 1]).astype(np.uint8))
+    F = np.concatenate(det_rows, axis=0) & 1
+
+    m_row = ((u_merged.astype(np.int64) @ o_m[0].astype(np.int64))
+             ^ (u_split.astype(np.int64) @ o_s1[R1 - 1].astype(np.int64))
+             ) & 1
+    xa_row = (xbar_A.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    xb_row = (xbar_B.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    obs = np.stack([m_row, xa_row, xb_row]).astype(np.uint8) & 1
+
+    graph = _graph_from_signatures(F, obs, n_data, p, q)
+    probs_class = np.concatenate([
+        np.zeros(n_data, dtype=np.uint8),
+        np.ones(nf - n_data, dtype=np.uint8)])
+    return XXMergeModel(d=d, rounds_split=R1, rounds_merged=R2, n=n,
+                        fault_probs_class=probs_class, F=F, obs=obs,
+                        graph=graph)
+
+
+def _graph_from_signatures(F: np.ndarray, obs: np.ndarray, n_data: int,
+                           p: float | None, q: float | None) -> MatchingGraph:
+    """Matching graph from single-fault detector signatures (weight <= 2
+    asserted; duplicate signatures merge probabilities, observables must
+    agree)."""
+    wts = F.sum(axis=0)
+    if np.any((wts == 0) & obs.any(axis=0)):
+        raise AssertionError("undetectable logical fault — model broken")
+    live = np.nonzero(wts > 0)[0]
+    sig_map: dict[tuple, int] = {}
+    edges, eobs, eprob = [], [], []
+    p_eff = 0.0 if p is None else p
+    q_eff = 0.0 if q is None else q
+    for f in live:
+        dets = tuple(np.nonzero(F[:, f])[0])
+        if len(dets) > 2:
+            raise AssertionError(
+                f"fault {f} flips {len(dets)} detectors — not matchable")
+        ob = 0
+        for i in range(obs.shape[0]):
+            ob |= int(obs[i, f]) << i
+        fp = q_eff if f >= n_data else p_eff
+        if dets in sig_map:
+            idx = sig_map[dets]
+            if eobs[idx] != ob:
+                raise AssertionError(
+                    "same signature, different observables — model broken")
+            eprob[idx] = eprob[idx] + fp - eprob[idx] * fp
+            continue
+        sig_map[dets] = len(edges)
+        edges.append((dets[0], dets[1] if len(dets) == 2 else -1))
+        eobs.append(ob)
+        eprob.append(fp)
+    weight = None
+    if p is not None or q is not None:
+        if p is None or q is None:
+            raise ValueError("pass both p and q, or neither")
+        weight = weights_from_probs(np.clip(eprob, 1e-12, 1 - 1e-12))
+    return MatchingGraph(
+        num_nodes=F.shape[0],
+        edges=np.asarray(edges, dtype=np.int32).reshape(-1, 2),
+        edge_qubit=np.arange(len(edges), dtype=np.int32),
+        edge_obs=np.asarray(eobs, dtype=np.uint32),
+        n_qubits=len(edges),
+        edge_weight=weight,
+    )
+
+
+def xx_merge_split_memory(d: int, p: float, q: float | None = None, *,
+                          rounds: int | None = None,
+                          batch: int = 1 << 13, seed: int = 0,
+                          weighted: bool = False,
+                          use_native: bool | None = None) -> dict[str, float]:
+    """Full surgery cycle (split -> merge -> split, d rounds per phase by
+    default): failure rates of the joint measurement AND both preserved
+    patch logicals after the patches separate again."""
+    q = p if q is None else q
+    r = d if rounds is None else rounds
+    model = build_xx_merge_split(d, r, r, r,
+                                 p=p if weighted else None,
+                                 q=q if weighted else None)
+    dec = UFDecoder(model.graph, use_native=use_native)
+    dets, ob = jax.jit(_sample, static_argnames=("batch",))(
+        jax.random.key(seed), jnp.float32(p), jnp.float32(q), batch,
+        jnp.asarray(model.fault_probs_class),
+        jnp.asarray(model.F.T.astype(np.int32)),
+        jnp.asarray(model.obs.T.astype(np.int32)))
+    dets, ob = np.asarray(dets), np.asarray(ob)
+    _, corr = dec.decode_batch(dets, want_corrections=False)
+    m_fail = (ob[:, 0] ^ (corr & 1)) == 1
+    a_fail = (ob[:, 1] ^ ((corr >> 1) & 1)) == 1
+    b_fail = (ob[:, 2] ^ ((corr >> 2) & 1)) == 1
+    return {
+        "d": d, "p": float(p), "q": float(q), "rounds": r,
+        "m_fail": float(m_fail.mean()),
+        "xa_fail": float(a_fail.mean()),
+        "xb_fail": float(b_fail.mean()),
+        "word_fail": float((m_fail | a_fail | b_fail).mean()),
+        "samples": batch,
+        "detectors": int(model.F.shape[0]),
+        "edges": int(model.graph.num_edges),
+    }
+
+
 def _sample(key, p, q, batch, cls, f_t, obs_t):
     u = jax.random.uniform(key, (batch, cls.shape[0]))
     rates = jnp.where(cls == 1, q, p)

@@ -143,6 +143,131 @@ class TestStatevectorGold:
             assert m == flip_a, (seed, outs)
 
 
+class TestMergeSplitCycle:
+    def test_quiet_and_single_faults(self):
+        from qcss_tpu.decode.uf import UFDecoder
+
+        model = surgery.build_xx_merge_split(3, 2, 3, 2)
+        out = surgery.xx_merge_split_memory(3, 0.0, 0.0, batch=64)
+        assert out["word_fail"] == 0.0
+        dec = UFDecoder(model.graph)
+        _, corr = dec.decode_batch(model.F.T.astype(np.uint8),
+                                   want_corrections=False)
+        for i in range(3):
+            assert not ((model.obs[i] ^ ((corr >> i) & 1)) == 1).any()
+
+    def test_two_merged_rounds_refused(self):
+        with pytest.raises(ValueError):
+            surgery.build_xx_merge_split(3, 2, 2, 2)
+
+    @pytest.mark.parametrize("flip_a", [0, 1])
+    def test_statevector_gold_full_cycle(self, flip_a):
+        """Simulate the ENTIRE cycle projectively (2^21 amplitudes,
+        random measurement branches): every detector the builder defines
+        must be 0 noiselessly, m must equal the prepared X̄_A eigenvalue
+        flip, and the final per-patch logicals must read back exactly."""
+        d = 3
+        rows, cols = d, 2 * d + 1
+        n = rows * cols
+        R1, R2, R3 = 2, 3, 2
+        hx_p, _ = families.surface_rect_checks(d, d)
+
+        def embed(small, off):
+            big = np.zeros((small.shape[0], n), np.uint8)
+            sm = small.reshape(-1, d, d)
+            for r in range(d):
+                big[:, r * cols + off: r * cols + off + d] = sm[:, r, :]
+            return big
+
+        hx_A, hx_B = embed(hx_p, 0), embed(hx_p, d + 1)
+        hx_split = np.vstack([hx_A, hx_B])
+        hx_M, _ = families.surface_rect_checks(rows, cols)
+
+        def col_op(c):
+            v = np.zeros(n, np.uint8)
+            v[[r * cols + c for r in range(rows)]] = 1
+            return v
+
+        seam = [r * cols + d for r in range(rows)]
+        seam_x = np.zeros((rows, n), np.uint8)
+        for i, qb in enumerate(seam):
+            seam_x[i, qb] = 1
+        gens = np.vstack([hx_A, col_op(d - 1)[None, :],
+                          hx_B, col_op(d + 1)[None, :], seam_x])
+        gold = TestStatevectorGold()
+        psi0 = gold._plus_bar(gens[:-1], gens[-1], n)
+        if flip_a:
+            zbar_a = np.zeros(n, np.uint8)
+            zbar_a[[0 * cols + c for c in range(d)]] = 1
+            idx = np.arange(psi0.size, dtype=np.int64)
+            signs = np.ones(psi0.size)
+            for qb in np.nonzero(zbar_a)[0]:
+                signs *= 1 - 2.0 * ((idx >> int(qb)) & 1)
+            psi0 = psi0 * signs
+
+        ab_mask = np.ones(n, np.uint8)
+        ab_mask[seam] = 0
+        partner = np.full(hx_M.shape[0], -1, np.int64)
+        for i in range(hx_M.shape[0]):
+            restr = hx_M[i] & ab_mask
+            hits = np.nonzero((hx_split == restr[None, :]).all(axis=1))[0]
+            if hits.size == 1 and restr.any():
+                partner[i] = hits[0]
+        keep = partner >= 0
+        system = np.vstack([hx_M * ab_mask[None, :], hx_split])
+        target = ((col_op(d - 1) ^ col_op(d + 1)) & ab_mask)
+        u = surgery._solve_gf2(system, target)
+        u_m, u_s = u[: hx_M.shape[0]], u[hx_M.shape[0]:]
+
+        def measure_z(psi, qb, rng):
+            mask = ((np.arange(psi.size, dtype=np.int64) >> int(qb)) & 1)
+            p1 = float(np.sum(np.abs(psi[mask == 1]) ** 2))
+            out = int(rng.random() < p1)
+            branch = np.where(mask == out, psi, 0)
+            return out, branch / np.linalg.norm(branch)
+
+        for seed in range(2):
+            rng = np.random.default_rng(seed)
+            psi = psi0.copy()
+            o_s1 = np.zeros((R1, hx_split.shape[0]), np.uint8)
+            for t in range(R1):
+                for c in range(hx_split.shape[0]):
+                    o_s1[t, c], psi = gold._measure_x_op(
+                        psi, hx_split[c], n, rng)
+            o_m = np.zeros((R2, hx_M.shape[0]), np.uint8)
+            for t in range(R2):
+                for c in range(hx_M.shape[0]):
+                    o_m[t, c], psi = gold._measure_x_op(psi, hx_M[c], n, rng)
+            for qb in seam:                      # split: seam out in Z
+                _, psi = measure_z(psi, qb, rng)
+            o_s2 = np.zeros((R3, hx_split.shape[0]), np.uint8)
+            for t in range(R3):
+                for c in range(hx_split.shape[0]):
+                    o_s2[t, c], psi = gold._measure_x_op(
+                        psi, hx_split[c], n, rng)
+            # final: every check again (perfect readout slice) + logicals
+            fin = np.zeros(hx_split.shape[0], np.uint8)
+            for c in range(hx_split.shape[0]):
+                fin[c], psi = gold._measure_x_op(psi, hx_split[c], n, rng)
+            xa, psi = gold._measure_x_op(psi, col_op(0), n, rng)
+            xb, psi = gold._measure_x_op(psi, col_op(d + 1), n, rng)
+
+            # detectors exactly as the builder defines them
+            assert not o_s1[0].any()             # deterministic |+̄⟩ prep
+            assert not (o_s1[1:] ^ o_s1[:-1]).any()
+            assert not (o_m[0, keep] ^ o_s1[-1, partner[keep]]).any()
+            assert not (o_m[1:] ^ o_m[:-1]).any()
+            back = np.full(hx_split.shape[0], -1, np.int64)
+            back[partner[keep]] = np.nonzero(keep)[0]
+            assert not (o_s2[0] ^ o_m[-1, back]).any()
+            assert not (o_s2[1:] ^ o_s2[:-1]).any()
+            assert not (fin ^ o_s2[-1]).any()
+            m = (int(u_m.astype(np.int64) @ o_m[0])
+                 ^ int(u_s.astype(np.int64) @ o_s1[-1])) & 1
+            assert m == flip_a
+            assert xa == flip_a and xb == 0
+
+
 class TestSuppression:
     def test_d5_beats_d3(self):
         p = 4e-3
