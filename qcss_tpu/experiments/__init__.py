@@ -17,8 +17,10 @@ from qcss_tpu.experiments.injection import (
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
 from qcss_tpu.experiments.surgery import (
+    build_surgery_cnot,
     build_xx_merge,
     build_xx_merge_split,
+    surgery_cnot_memory,
     xx_merge_memory,
     xx_merge_split_memory,
 )
@@ -36,10 +38,12 @@ __all__ = [
     "xz_memory_experiment",
     "qldpc_memory_experiment",
     "qldpc_stream_memory_rate",
+    "build_surgery_cnot",
     "build_xx_merge",
     "build_xx_merge_split",
     "x_extraction_circuit",
     "x_memory_experiment",
+    "surgery_cnot_memory",
     "xx_merge_memory",
     "xx_merge_split_memory",
     "z_extraction_circuit",

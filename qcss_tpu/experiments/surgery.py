@@ -490,6 +490,269 @@ def xx_merge_split_memory(d: int, p: float, q: float | None = None, *,
     }
 
 
+def build_surgery_cnot(d: int, rounds: int,
+                       p: float | None = None,
+                       q: float | None = None) -> XXMergeModel:
+    """Logical CNOT via lattice surgery — the Z-sector fault model.
+
+    Layout on a (2d+1) x (2d+1) grid: control C (rows 0..d-1, cols
+    0..d-1), ancilla A below it (rows d+1..2d, same cols), target T to
+    A's right (rows d+1..2d, cols d+1..2d). The canonical sequence
+    (Horsman et al. 2012):
+
+        prep A in |+̄⟩ ->  ZZ merge C-A (seam ROW d: new Z seam checks,
+        m1 = Z̄_C Z̄_A) -> split -> XX merge A-T (seam COLUMN d: extends
+        the Z half-checks, measures X̄_A X̄_T in the other sector) ->
+        split (seam measured in Z) -> transversal Z readout of all three
+        patches (M_A = Z̄_A plus the output logicals).
+
+    CNOT output identities: Z̄_C^out = Z̄_C^in and
+    Z̄_T^out = Z̄_T^in ⊕ Z̄_C^in, with the X̄_T correction conditioned on
+    m1 ⊕ M_A folding into the readout — so the two scored observables are
+    OUT_ZC = Z̄_C(final) and OUT_ZT = Z̄_T(final) ⊕ m1 ⊕ M_A, both
+    reference-deterministic by the CNOT algebra (verified on the tableau
+    engine across random measurement branches for all four logical
+    inputs, tests/test_surgery.py). Z̄ outputs are corrupted by X errors
+    only, so this model decodes the Z-check sector; the X sector (X̄
+    outputs, m2) is the mirror image.
+
+    Detector subtleties handled (and validated by the tableau gold):
+      * the CA merge creates new seam Z checks — no first-round
+        detectors (projection randomness), their info enters m1;
+      * the AT seam column initializes in |0⟩: every merged Z check
+        (including the seam-extended ones) then compares
+        deterministically against its split partner. A |+⟩ seam — which
+        the X sector would need to extract m2 — leaves the merge start
+        an open temporal boundary where a single X on a boundary qubit
+        covered only by an extended check flips Z̄_A·Z̄_T undetectably;
+        m2 only feeds the Z̄_C^(m2) correction, which Z̄ readouts never
+        see, so this experiment is free to choose the Z-sector-safe
+        init (the build-time no-undetectable-logicals assert enforces
+        it);
+      * at the AT split the seam column is measured in Z, and those
+        readout bits complete the extended-to-half continuity detectors
+        (readout flips are their own fault class).
+    """
+    if rounds < 3:
+        raise ValueError("surgery CNOT needs >= 3 rounds per phase "
+                         "(merged-phase flip ambiguity, see "
+                         "build_xx_merge_split)")
+    G = 2 * d + 1
+    n = G * G
+
+    def embed(small: np.ndarray, r0: int, c0: int,
+              sr: int, sc: int) -> np.ndarray:
+        """Embed [*, sr*sc] rows of an sr x sc lattice at (r0, c0)."""
+        big = np.zeros(small.shape[:-1] + (n,), dtype=np.uint8)
+        sm = small.reshape(small.shape[:-1] + (sr, sc))
+        for r in range(sr):
+            big[..., (r + r0) * G + c0: (r + r0) * G + c0 + sc] = sm[..., r, :]
+        return big
+
+    _, hz_p = families.surface_rect_checks(d, d)
+    hz_C = embed(hz_p, 0, 0, d, d)
+    hz_A = embed(hz_p, d + 1, 0, d, d)
+    hz_T = embed(hz_p, d + 1, d + 1, d, d)
+    hz_sep = np.concatenate([hz_C, hz_A, hz_T], axis=0)
+    _, hz_ca_small = families.surface_rect_checks(2 * d + 1, d)
+    hz_CA = np.concatenate(
+        [embed(hz_ca_small, 0, 0, 2 * d + 1, d), hz_T], axis=0)
+    _, hz_at_small = families.surface_rect_checks(d, 2 * d + 1)
+    hz_AT = np.concatenate(
+        [hz_C, embed(hz_at_small, d + 1, 0, d, 2 * d + 1)], axis=0)
+
+    seam_row = [d * G + c for c in range(d)]
+    seam_col = [(r + d + 1) * G + d for r in range(d)]
+    srow_set, scol_set = set(seam_row), set(seam_col)
+    patch_mask = np.zeros(n, dtype=np.uint8)
+    for r0, c0 in ((0, 0), (d + 1, 0), (d + 1, d + 1)):
+        for r in range(d):
+            patch_mask[(r + r0) * G + c0: (r + r0) * G + c0 + d] = 1
+
+    def match(h_new: np.ndarray, h_old: np.ndarray,
+              mask: np.ndarray) -> np.ndarray:
+        out = np.full(h_new.shape[0], -1, dtype=np.int64)
+        for i in range(h_new.shape[0]):
+            restr = h_new[i] & mask
+            hits = np.nonzero((h_old == restr[None, :]).all(axis=1))[0]
+            if hits.size == 1 and restr.any():
+                out[i] = hits[0]
+        return out
+
+    mask_no_srow = np.ones(n, np.uint8)
+    mask_no_srow[seam_row] = 0
+    mask_no_scol = np.ones(n, np.uint8)
+    mask_no_scol[seam_col] = 0
+    ca_partner = match(hz_CA, hz_sep, mask_no_srow)   # new seam-row Z: -1
+    at_partner = match(hz_AT, hz_sep, mask_no_scol)   # extended keep idx
+    at_extended = np.array([
+        i for i in range(hz_AT.shape[0])
+        if at_partner[i] >= 0 and (hz_AT[i][seam_col]).any()])
+    if (at_partner < 0).any():
+        raise AssertionError("AT merge produced an unmatched Z check")
+    if not (ca_partner < 0).any():
+        raise AssertionError("CA merge produced no new seam Z checks")
+
+    def row_op(r: int, c0: int, c1: int) -> np.ndarray:
+        v = np.zeros(n, dtype=np.uint8)
+        v[[r * G + c for c in range(c0, c1)]] = 1
+        return v
+
+    zbar_C, zbar_A, zbar_T = (row_op(0, 0, d), row_op(d + 1, 0, d),
+                              row_op(d + 1, d + 1, 2 * d + 1))
+    target = ((row_op(d - 1, 0, d) ^ row_op(d + 1, 0, d))
+              & mask_no_srow).astype(np.uint8)
+    system = np.concatenate([hz_CA * mask_no_srow[None, :], hz_sep], axis=0)
+    u = _solve_gf2(system, target)
+    if u is None:
+        raise AssertionError("Z̄_C Z̄_A is not measured by the CA merge")
+    u_m, u_s = u[: hz_CA.shape[0]], u[hz_CA.shape[0]:]
+
+    R = rounds
+    # phase check sets and activation windows
+    phases = [hz_sep, hz_CA, hz_sep, hz_AT, hz_sep]
+    starts = np.cumsum([0] + [R] * 5)
+    total = 5 * R
+
+    def fault_ok(t: int, qb: int) -> bool:
+        if patch_mask[qb]:
+            return True
+        if qb in srow_set:
+            return starts[1] <= t < starts[2]
+        if qb in scol_set:
+            # the t == starts[4] slot is the X error between the last
+            # merged round and the seam's Z readout — it flips only the
+            # readout bit
+            return starts[3] <= t <= starts[4]
+        return False
+
+    data_faults = [(t, qb) for t in range(total + 1) for qb in range(n)
+                   if fault_ok(t, qb)]
+    meas_faults = [(ph, t, c) for ph in range(5)
+                   for t in range(starts[ph], starts[ph + 1])
+                   for c in range(phases[ph].shape[0])]
+    read_faults = list(range(len(seam_col)))   # AT-split seam Z readout
+    n_data, n_meas = len(data_faults), len(meas_faults)
+    nf = n_data + n_meas + len(read_faults)
+
+    o_ph = [np.zeros((R, phases[ph].shape[0], nf), dtype=np.uint8)
+            for ph in range(5)]
+    w_final = np.zeros((n, nf), dtype=np.uint8)
+    sread = np.zeros((len(seam_col), nf), dtype=np.uint8)
+    for f, (t0, qb) in enumerate(data_faults):
+        if patch_mask[qb]:
+            w_final[qb, f] = 1
+        for ph in range(5):
+            for t in range(max(t0, starts[ph]), starts[ph + 1]):
+                o_ph[ph][t - starts[ph], :, f] ^= phases[ph][:, qb]
+        if qb in scol_set and t0 <= starts[4]:
+            sread[seam_col.index(qb), f] = 1   # X error flips Z readout
+    for j, (ph, t, c) in enumerate(meas_faults):
+        o_ph[ph][t - starts[ph], c, n_data + j] ^= 1
+    for j in range(len(read_faults)):
+        sread[j, n_data + n_meas + j] ^= 1
+
+    det_rows = []
+    for t in range(R):                              # phase 1
+        det_rows.append(o_ph[0][t] ^ (o_ph[0][t - 1] if t else 0))
+    keep1 = ca_partner >= 0                          # CA merge transition
+    tr = o_ph[1][0].copy()
+    tr[keep1] ^= o_ph[0][R - 1, ca_partner[keep1]]
+    det_rows.append(tr[keep1])
+    for t in range(1, R):
+        det_rows.append(o_ph[1][t] ^ o_ph[1][t - 1])
+    back1 = np.full(hz_sep.shape[0], -1, dtype=np.int64)
+    back1[ca_partner[keep1]] = np.nonzero(keep1)[0]
+    if (back1 < 0).any():                            # CA split transition
+        raise AssertionError("a patch check vanished during the CA merge")
+    tr = o_ph[2][0] ^ o_ph[1][R - 1, back1]
+    det_rows.append(tr)
+    for t in range(1, R):
+        det_rows.append(o_ph[2][t] ^ o_ph[2][t - 1])
+    # AT merge transition: the seam column initializes in |0⟩ (this
+    # experiment scores the Z sector only, so the X-sector outcome m2 —
+    # which a |+⟩ seam would make extractable — is irrelevant), making
+    # EVERY merged Z check deterministic against its split partner,
+    # including the extended ones (seam Z's are +1). Without this the
+    # merge start is an open temporal boundary and a single X on a
+    # boundary qubit covered only by an extended check flips Z̄_A·Z̄_T
+    # undetectably (caught by the build-time no-undetectable-logicals
+    # assert when seam init is modeled as |+⟩).
+    det_rows.append(o_ph[3][0] ^ o_ph[2][R - 1, at_partner])
+    for t in range(1, R):
+        det_rows.append(o_ph[3][t] ^ o_ph[3][t - 1])
+    back3 = np.full(hz_sep.shape[0], -1, dtype=np.int64)
+    back3[at_partner] = np.arange(hz_AT.shape[0])
+    tr = o_ph[4][0] ^ o_ph[3][R - 1, back3]          # AT split transition:
+    for i in at_extended:                            # seam readouts close
+        pair = np.nonzero(hz_AT[i][seam_col])[0]     # the extended checks
+        j = at_partner[i]
+        for s in pair:
+            tr[j] ^= sread[s]
+    det_rows.append(tr)
+    for t in range(1, R):
+        det_rows.append(o_ph[4][t] ^ o_ph[4][t - 1])
+    final = (hz_sep.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    det_rows.append((final ^ o_ph[4][R - 1]).astype(np.uint8))
+    F = np.concatenate(det_rows, axis=0) & 1
+
+    m1 = ((u_m.astype(np.int64) @ o_ph[1][0].astype(np.int64))
+          ^ (u_s.astype(np.int64) @ o_ph[0][R - 1].astype(np.int64))) & 1
+    out_zc = (zbar_C.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    ma = (zbar_A.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    zt = (zbar_T.astype(np.int64) @ w_final.astype(np.int64)) & 1
+    # Z̄_A Z̄_T rides the merged patch as its logical row; at the split
+    # that row's seam qubit is measured out, so its Z readout (row d+1 =
+    # seam_col[0], matching the z̄_A/z̄_T representatives) is part of the
+    # deterministic combination — omitting it leaves two physically
+    # degenerate merge-boundary faults with different apparent logical
+    # effects (caught by the build-time signature-consistency assert).
+    out_zt = (zt ^ m1 ^ ma ^ sread[0]) & 1
+    obs = np.stack([out_zc, out_zt]).astype(np.uint8)
+
+    graph = _graph_from_signatures(F, obs, n_data, p, q)
+    probs_class = np.concatenate([
+        np.zeros(n_data, dtype=np.uint8),
+        np.ones(nf - n_data, dtype=np.uint8)])
+    return XXMergeModel(d=d, rounds_split=R, rounds_merged=R, n=n,
+                        fault_probs_class=probs_class, F=F, obs=obs,
+                        graph=graph)
+
+
+def surgery_cnot_memory(d: int, p: float, q: float | None = None, *,
+                        rounds: int | None = None, batch: int = 1 << 13,
+                        seed: int = 0, weighted: bool = False,
+                        use_native: bool | None = None) -> dict[str, float]:
+    """Monte-Carlo the surgery CNOT: failure rates of the two output
+    logicals (OUT_ZC = Z̄_C preserved; OUT_ZT = Z̄_T ⊕ Z̄_C implemented,
+    corrections folded in). Fault deviations are input-state-independent,
+    so one run covers the whole truth table."""
+    q = p if q is None else q
+    r = max(3, d) if rounds is None else rounds
+    model = build_surgery_cnot(d, r,
+                               p=p if weighted else None,
+                               q=q if weighted else None)
+    dec = UFDecoder(model.graph, use_native=use_native)
+    dets, ob = jax.jit(_sample, static_argnames=("batch",))(
+        jax.random.key(seed), jnp.float32(p), jnp.float32(q), batch,
+        jnp.asarray(model.fault_probs_class),
+        jnp.asarray(model.F.T.astype(np.int32)),
+        jnp.asarray(model.obs.T.astype(np.int32)))
+    dets, ob = np.asarray(dets), np.asarray(ob)
+    _, corr = dec.decode_batch(dets, want_corrections=False)
+    c_fail = (ob[:, 0] ^ (corr & 1)) == 1
+    t_fail = (ob[:, 1] ^ ((corr >> 1) & 1)) == 1
+    return {
+        "d": d, "p": float(p), "q": float(q), "rounds": r,
+        "zc_fail": float(c_fail.mean()),
+        "zt_fail": float(t_fail.mean()),
+        "word_fail": float((c_fail | t_fail).mean()),
+        "samples": batch,
+        "detectors": int(model.F.shape[0]),
+        "edges": int(model.graph.num_edges),
+    }
+
+
 def _sample(key, p, q, batch, cls, f_t, obs_t):
     u = jax.random.uniform(key, (batch, cls.shape[0]))
     rates = jnp.where(cls == 1, q, p)
