@@ -1,0 +1,52 @@
+"""Lattice-surgery benchmark: merge, merge-split cycle, and logical CNOT.
+
+Sweeps distance (and optionally p) for the three surgery experiments
+(`experiments.surgery`) and prints one JSON line per point — failure
+rates of the joint measurement and the preserved/output logicals, plus
+model sizes and wall time. The reference has no multi-patch machinery
+of any kind (its scope is one code block, reference: ftqc.py:42-120).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from qcss_tpu.experiments.surgery import (  # noqa: E402
+    surgery_cnot_memory,
+    xx_merge_memory,
+    xx_merge_split_memory,
+)
+
+EXPERIMENTS = {
+    "merge": xx_merge_memory,
+    "cycle": xx_merge_split_memory,
+    "cnot": surgery_cnot_memory,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--experiments", default="merge,cycle,cnot")
+    ap.add_argument("--distances", default="3,5,7")
+    ap.add_argument("--p", type=float, default=3e-3)
+    ap.add_argument("--q", type=float, default=None)
+    ap.add_argument("--batch", type=int, default=1 << 15)
+    ap.add_argument("--weighted", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    for name in args.experiments.split(","):
+        fn = EXPERIMENTS[name]
+        for d in (int(x) for x in args.distances.split(",")):
+            t0 = time.perf_counter()
+            out = fn(d, args.p, args.q, batch=args.batch, seed=args.seed,
+                     weighted=args.weighted)
+            out.update({"bench": f"surgery_{name}",
+                        "wall_sec": round(time.perf_counter() - t0, 2)})
+            print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
