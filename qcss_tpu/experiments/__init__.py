@@ -16,6 +16,10 @@ from qcss_tpu.experiments.injection import (
     magic_injection_experiment,
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+from qcss_tpu.experiments.surgery_circuit import (
+    build_xx_merge_circuit,
+    xx_merge_circuit_memory,
+)
 from qcss_tpu.experiments.surgery import (
     build_surgery_cnot,
     build_xx_merge,
@@ -40,10 +44,12 @@ __all__ = [
     "qldpc_stream_memory_rate",
     "build_surgery_cnot",
     "build_xx_merge",
+    "build_xx_merge_circuit",
     "build_xx_merge_split",
     "x_extraction_circuit",
     "x_memory_experiment",
     "surgery_cnot_memory",
+    "xx_merge_circuit_memory",
     "xx_merge_memory",
     "xx_merge_split_memory",
     "z_extraction_circuit",
