@@ -16,8 +16,10 @@ X-component fault of the round's circuit through the remaining gates
   - the data-side X fires (t, c') for every check c' ∋ j whose fan-out
     CNOT comes AFTER k, and (t+1, c') for those already copied;
   - the ancilla-side X flips this round's measured bit c: (t, c), (t+1, c);
-  - X⊗X decomposes into both component edges (standard DEM decomposition;
-    the correlation is ignored, as in matching decoders generally);
+  - X⊗X fires the symmetric DIFFERENCE of the two component signatures
+    (the just-fired check's next-round detector cancels), which for
+    single-ancilla fan-out extraction is always <= 2 detectors — so the
+    exact mechanism is its own edge, no decomposition needed;
 * each measurement flip (p_meas) gives (t, c), (t+1, c);
 * each reset flip (p_reset) flips the NEXT round's bit: (t+1, c), (t+2, c).
 
@@ -78,9 +80,20 @@ def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset):
             # X on the ancilla side: flips this round's measured bit c
             anc_sig = ((0, c), (1, c))
             faults.append((anc_sig, -1, p_comp, 0))
-            # X⊗X decomposes into both components
-            faults.append((data_sig(j, k), j, p_comp, 0))
-            faults.append((anc_sig, -1, p_comp, 0))
+            # X⊗X is ONE mechanism: its detector effect is the symmetric
+            # difference of the two component signatures — the just-fired
+            # check c appears in BOTH (the data X was already copied into
+            # this round's ancilla, delta=1; the ancilla X flips the same
+            # measured bit) so its next-round detector XOR-cancels. For
+            # single-ancilla fan-out extraction the result always has
+            # <= 2 detectors, so the exact signature is itself matchable;
+            # the earlier both-component decomposition double-booked the
+            # data and ancilla edges AND missed this mirrored diagonal —
+            # detector-statistics calibration (decode/calibrate.py)
+            # measured the discrepancy on sampled circuits, which is how
+            # this was found.
+            xx_sig = tuple(sorted(set(data_sig(j, k)) ^ set(anc_sig)))
+            faults.append((xx_sig, j, p_comp, 0))
     if p_meas:
         for c in range(r):
             faults.append((((0, c), (1, c)), -1, float(p_meas), 0))
@@ -93,9 +106,14 @@ def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset):
 def circuit_level_graph(h, extraction_gates, rounds: int,
                         p_gate2: float = 0.0, p_meas: float = 0.0,
                         p_reset: float = 0.0,
-                        logicals=None) -> MatchingGraph:
+                        logicals=None, return_probs: bool = False):
     """Weighted matching graph over the (rounds+1)·r detectors from the
-    exact single-fault model of the given extraction circuit."""
+    exact single-fault model of the given extraction circuit.
+
+    ``return_probs=True`` additionally returns the merged per-edge fault
+    probabilities [E] (aligned with ``graph.edges``) — the ground truth
+    that `decode.calibrate.estimate_edge_probs` recovers from detector
+    statistics alone."""
     h = np.asarray(h, dtype=np.uint8) & 1
     r, n = h.shape
     obs = _column_obs_masks(np.asarray(logicals, dtype=np.uint8) & 1)
@@ -143,7 +161,7 @@ def circuit_level_graph(h, extraction_gates, rounds: int,
         equbit.append(int(qubit))
         eobs.append(obs_val)
         probs.append(min(prob, 0.499))
-    return MatchingGraph(
+    graph = MatchingGraph(
         num_nodes=(rounds + 1) * r,
         edges=np.asarray(edges, dtype=np.int32).reshape(-1, 2),
         edge_qubit=np.asarray(equbit, dtype=np.int32),
@@ -151,6 +169,9 @@ def circuit_level_graph(h, extraction_gates, rounds: int,
         n_qubits=n,
         edge_weight=weights_from_probs(probs),
     )
+    if return_probs:
+        return graph, np.asarray(probs, dtype=np.float64)
+    return graph
 
 
 def extraction_gate_list(code, checks=None):

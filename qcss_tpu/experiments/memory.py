@@ -120,7 +120,7 @@ def _memory_circuit_frames(key, batch, rounds, code, noise, extract_arrays,
         else:
             f = fr.run_arrays_noisy(f, *extract_arrays, noise, k1)
         f, syn = fr.measure_deviations(f, anc, k3, noise.p_meas)
-        f = fr.reset_qubits(f, anc, k4)
+        f = fr.reset_qubits(f, anc, k4, noise.p_reset)
         return f, syn
 
     keys = jax.random.split(key, rounds + 1)
@@ -159,6 +159,16 @@ def _memory_circuit(key, batch, rounds, code, noise, prep_arrays,
         if noise.p_meas:
             syn = noise_mod.flip_bits(syn, noise.p_meas, k3)
         t = tb.reset_many(t, anc, k4)
+        if noise.p_reset:
+            # Same bernoulli draw (key, shape) as the frame path's
+            # `reset_qubits(..., p_reset)` — engine bit-identity. k4 also
+            # fed reset_many's collapse draws, but every measurement in
+            # this circuit is deterministic, so that stream is unused.
+            xf = jax.random.bernoulli(
+                k4, noise.p_reset, (batch, n_anc)).astype(jnp.uint8)
+            x_full = jnp.zeros((batch, n_qubits), jnp.uint8).at[:, anc].set(xf)
+            t = tb.apply_pauli_frame(
+                t, x_full, jnp.zeros((batch, n_qubits), jnp.uint8))
         return t, syn
 
     keys = jax.random.split(key, rounds + 1)

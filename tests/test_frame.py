@@ -105,12 +105,12 @@ class TestSingleFaultVsDEM:
         anc = jnp.arange(n, n + r, dtype=jnp.int32)
         data = jnp.arange(n, dtype=jnp.int32)
 
-        # DEM per-round fault list: 4 entries per gate in order
-        # (data-side X, anc-side X, then the X⊗X decomposition repeats
-        # both) — decode/dem.py:74-83.
+        # DEM per-round fault list: 3 entries per gate in order
+        # (data-side X, anc-side X, exact X⊗X = their symmetric
+        # difference) — decode/dem.py.
         dem_faults = _round_faults(h, gates, p_gate2=1e-3, p_meas=0.0,
                                    p_reset=0.0)
-        assert len(dem_faults) == 4 * len(gates)
+        assert len(dem_faults) == 3 * len(gates)
 
         # ALL (gate, pattern) cases as one frame batch — sample b carries
         # its own injection mask, XORed in right after its gate of the
@@ -151,8 +151,12 @@ class TestSingleFaultVsDEM:
 
         checked = 0
         for b, (k, xd, xa) in enumerate(cases):
-            sig_data = set(dem_faults[4 * k][0])
-            sig_anc = set(dem_faults[4 * k + 1][0])
+            sig_data = set(dem_faults[3 * k][0])
+            sig_anc = set(dem_faults[3 * k + 1][0])
+            # the DEM's X⊗X entry must BE the symmetric difference the
+            # frame engine measures (it used to be decomposed into both
+            # component edges — calibration caught the discrepancy)
+            assert set(dem_faults[3 * k + 2][0]) == sig_data ^ sig_anc
             expect = {(1, 0): sig_data, (0, 1): sig_anc,
                       (1, 1): sig_data ^ sig_anc}[(xd, xa)]
             fired = tuple(sorted(
