@@ -55,6 +55,7 @@ from qcss_tpu.decode.bp_streaming import (
     BPStreamingDecoder,
     CircuitBPStreamingDecoder,
 )
+from qcss_tpu.decode.belief import BeliefMatchingDecoder
 from qcss_tpu.decode.mwpm import MWPMDecoder, MWPMOracle
 from qcss_tpu.decode.dem import (
     circuit_level_graph,
@@ -100,6 +101,7 @@ __all__ = [
     "BPStreamingDecoder",
     "calibrated_graph",
     "CircuitBPStreamingDecoder",
+    "BeliefMatchingDecoder",
     "MWPMDecoder",
     "MWPMOracle",
     "conditional_weights",

@@ -480,6 +480,23 @@ class BPDecoder:
                                        np.asarray(soft)[idx])
         return e_np, conv_np
 
+    def posteriors(self, synd, priors=None):
+        """[B, r] syndromes -> ([B, n] float32 posterior LLR totals,
+        [B] bool BP-converged). The soft marginals a belief-matching
+        stage consumes: LLR > 0 means the variable likely did NOT fire.
+        Converged shots report totals frozen at first syndrome
+        satisfaction (the same values OSD sorts by); non-converged
+        shots their final-iteration totals. No OSD is applied — the
+        posterior is useful whether or not min-sum converged."""
+        synd = jnp.asarray(synd, jnp.uint8)
+        if priors is None:
+            _, conv, soft = self._run(synd)
+        else:
+            pb = np.clip(np.asarray(priors, np.float64), 1e-12, 0.499)
+            lam = jnp.asarray(np.log((1.0 - pb) / pb), jnp.float32)
+            _, conv, soft = self._run(synd, lam)
+        return np.asarray(soft), np.asarray(conv)
+
     def decode_obs(self, synd, priors=None):
         """[B, r] syndromes -> ([B, k] uint8 observable flips, conv)."""
         if self.logicals is None:

@@ -127,9 +127,10 @@ def build_circuit_tanner(code, rounds: int, noise, *, sector: str = "z",
 def _joint_fault_atoms(circ: _RoundCircuit, noise):
     """FULL Pauli fault atoms of one round — the un-decomposed channel.
 
-    `_fault_species` splits every noisy location into X/Z COMPONENT
-    marginals (what per-sector graphs need, Y-ness surviving only as
-    correlation-pair annotations). For JOINT two-sector decoding each
+    `_fault_species` classifies every noisy location's patterns into
+    exclusive per-sector X-component (and Z-component) SUPPORTS (what
+    per-sector graphs need, Y-ness surviving only as correlation-pair
+    annotations). For JOINT two-sector decoding each
     atom instead keeps its complete Pauli pattern: a CNOT's two-qubit
     depolarizing contributes all 15 patterns at p2/15 each (Y sides
     excite BOTH sectors' detectors as one variable), an H's depolarizing
@@ -279,9 +280,10 @@ def two_pass_pair_indices(code, rounds: int, noise, *, hz=None, hx=None):
     mechanism) with variable vz[i] of the x-sector graph (its same-
     location Z-component): if the first pass decides vx fired, the
     second pass's prior for vz is raised to ``cond[i]`` — the channel's
-    exact P(Z-component | X-component) (1/2 for both the two-qubit and
-    single-qubit depolarizing channels), the BP analogue of
-    `decode.dem2`'s cheap-edge reweighting (dem2.py cheap_weight)."""
+    exact P(Z-support | X-support) (1/4 per specific support pair of the
+    two-qubit depolarizing's exclusive classification; 1/2 for the
+    single-qubit channels), the BP analogue of `decode.dem2`'s
+    cheap-edge reweighting (dem2.py cheap_weight)."""
     if hz is None:
         hz = getattr(code, "redundant_parity_check_c2",
                      code.raw_parity_check_c2)

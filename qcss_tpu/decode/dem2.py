@@ -184,11 +184,23 @@ def _events(info_sector: dict, t: int, rounds: int, r_c: int):
 
 
 def _fault_species(circ: _RoundCircuit, noise):
-    """Single-Pauli COMPONENT faults of one round (the standard DEM
-    decomposition — dem.py applies the same X (x) X split): each noisy
-    location contributes its per-qubit X- and Z-component marginals, and
-    same-qubit (X, Z) co-occurrences (the Y-type patterns) are recorded
-    as correlation annotations between the two components.
+    """EXCLUSIVE-pattern per-sector fault species of one round.
+
+    Each noisy location's channel partitions into exclusive X-component
+    supports and, independently, exclusive Z-component supports. For a
+    2-qubit depolarizing the 15 patterns classify by X-support in
+    {ctrl-only, tgt-only, both} — 4 patterns each, so 4p/15 per species —
+    and by Z-support likewise; the both-sides species' detector signature
+    is the symmetric DIFFERENCE the frame propagation computes naturally.
+    (The earlier per-side MARGINAL decomposition — 8p/15 per side with
+    X (x) X booked on both component edges — double-counted those edges
+    and missed the symmetric-difference diagonals; detector-statistics
+    calibration caught the identical bug in the single-sector model,
+    decode/dem.py::_round_faults, and this is the same fix.) Same-
+    location (X-support, Z-support) co-occurrences — the patterns with a
+    Y on some side — are recorded as correlation pairs with their exact
+    joint probabilities (each of the 9 (xs, zs) support combinations is
+    exactly one of the 15 patterns: p/15).
 
     Returns (components, pairs): components is a list of
     (comp_key, info, obs_z, obs_x, prob); pairs maps
@@ -197,27 +209,27 @@ def _fault_species(circ: _RoundCircuit, noise):
     pairs = {}
     nq = circ.n_qubits
 
-    def inject(k, q, pauli_x: bool, prob, key):
+    def inject(k, qs, pauli_x: bool, prob, key):
         x0 = np.zeros(nq, np.uint8)
         z0 = np.zeros(nq, np.uint8)
-        (x0 if pauli_x else z0)[q] = 1
+        for q in np.atleast_1d(qs):
+            (x0 if pauli_x else z0)[q] = 1
         info, oz, ox = _analyze(circ, k, x0, z0)
         comps.append((key, info, oz, ox, prob))
 
     p2 = noise.p_gate2
     if p2:
-        # per-side marginals of the 15-way channel: P(X-component on one
-        # side) = 8/15 p; P(X and Z on the same side, i.e. that side is
-        # Y) = 4/15 p
         for k, op in enumerate(circ.ops):
             if op[0] != "cnot":
                 continue
-            for q in (op[1], op[2]):
-                kx = ("2q", k, q, "x")
-                kz = ("2q", k, q, "z")
-                inject(k, q, True, 8.0 * p2 / 15.0, kx)
-                inject(k, q, False, 8.0 * p2 / 15.0, kz)
-                pairs[(kx, kz)] = 4.0 * p2 / 15.0
+            sups = {"c": (op[1],), "t": (op[2],), "ct": (op[1], op[2])}
+            for sup, qs in sups.items():
+                inject(k, qs, True, 4.0 * p2 / 15.0, ("2q", k, sup, "x"))
+                inject(k, qs, False, 4.0 * p2 / 15.0, ("2q", k, sup, "z"))
+            for xs in sups:
+                for zs in sups:
+                    pairs[(("2q", k, xs, "x"),
+                           ("2q", k, zs, "z"))] = p2 / 15.0
     p1 = noise.p_gate1
     if p1:
         # uniform 1q depolarizing: P(X-comp) = P(Z-comp) = 2/3 p;
@@ -267,7 +279,43 @@ def _fault_species(circ: _RoundCircuit, noise):
     return comps, pairs
 
 
-def build_two_sector_dem(code, rounds: int, noise) -> TwoSectorDEM:
+def _decompose_into_edges(have, dets, obs, cache):
+    """Greedy exact decomposition of a fault signature into existing
+    elementary (dets_tuple, obs) edge keys of ``have`` whose detector
+    sets partition ``dets`` and whose observable effects XOR to ``obs``.
+    Returns the list of edge keys, or None if no decomposition exists.
+    ``cache`` memoizes across calls that share one ``have`` dict (keys
+    must be stable while cached — `build_two_sector_dem` only mutates
+    values)."""
+    ck = (dets, obs)
+    if ck in cache:
+        return cache[ck]
+    if not dets:
+        out = [] if obs == 0 else None
+        cache[ck] = out
+        return out
+    d0, rest = dets[0], dets[1:]
+    for o in (0, 1):
+        if ((d0,), o) in have:
+            sub = _decompose_into_edges(have, rest, obs ^ o, cache)
+            if sub is not None:
+                out = [((d0,), o)] + sub
+                cache[ck] = out
+                return out
+        for i, d1 in enumerate(rest):
+            if ((d0, d1), o) in have:
+                rem = rest[:i] + rest[i + 1:]
+                sub = _decompose_into_edges(have, rem, obs ^ o, cache)
+                if sub is not None:
+                    out = [((d0, d1), o)] + sub
+                    cache[ck] = out
+                    return out
+    cache[ck] = None
+    return None
+
+
+def build_two_sector_dem(code, rounds: int, noise, *,
+                         return_index: bool = False):
     """Joint DEM over (rounds+1) detector slices per sector, with the
     correlation pairs of same-qubit (X, Z) fault components.
 
@@ -300,36 +348,9 @@ def build_two_sector_dem(code, rounds: int, noise) -> TwoSectorDEM:
     # decompose compounds into existing elementary edges
     for sector in ("z", "x"):
         have = merged[sector]
-
-        def decompose(dets, obs, _cache={}):
-            ck = (sector, dets, obs)
-            if ck in _cache:
-                return _cache[ck]
-            if not dets:
-                out = [] if obs == 0 else None
-                _cache[ck] = out
-                return out
-            d0, rest = dets[0], dets[1:]
-            for o in (0, 1):
-                if ((d0,), o) in have:
-                    sub = decompose(rest, obs ^ o)
-                    if sub is not None:
-                        out = [((d0,), o)] + sub
-                        _cache[ck] = out
-                        return out
-                for i, d1 in enumerate(rest):
-                    if ((d0, d1), o) in have:
-                        rem = rest[:i] + rest[i + 1:]
-                        sub = decompose(rem, obs ^ o)
-                        if sub is not None:
-                            out = [((d0, d1), o)] + sub
-                            _cache[ck] = out
-                            return out
-            _cache[ck] = None
-            return None
-
+        cache: dict = {}
         for dets, obs, prob in compounds[sector]:
-            parts = decompose(dets, obs)
+            parts = _decompose_into_edges(have, dets, obs, cache)
             if parts is None:
                 raise ValueError(
                     f"cannot decompose compound fault {dets} (obs {obs}) "
@@ -371,8 +392,14 @@ def build_two_sector_dem(code, rounds: int, noise) -> TwoSectorDEM:
             k = (index["z"][ez], index["x"][ex])
             pair_acc[k] = pair_acc.get(k, 0.0) + joint
     pairs = np.asarray(sorted(pair_acc), np.int32).reshape(-1, 2)
-    return TwoSectorDEM(
+    dem = TwoSectorDEM(
         graph_x_errors=graphs["z"],
         graph_z_errors=graphs["x"],
         pairs=pairs,
     )
+    if return_index:
+        # index[sector]: (dets_tuple, obs) -> edge id in that sector's
+        # graph — what belief-matching needs to map Tanner-variable
+        # decompositions onto matching edges (decode/belief.py)
+        return dem, index
+    return dem

@@ -93,12 +93,17 @@ def _sample_two_sector(key, batch, rounds, code, noise, z_arrays, x_arrays,
 
 def xz_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
                          batch: int = 1 << 12, seed: int = 0,
-                         n_threads: int | None = None) -> dict[str, float]:
+                         n_threads: int | None = None,
+                         belief: bool | int = False) -> dict[str, float]:
     """Run the two-sector memory and decode it three ways on the same
     shots: X errors (always the correlated-pass INPUT), Z errors
     independently, and Z errors with the correlated re-weighting.
 
-    Returns x_fail, z_fail / z_fail_corr, word_fail / word_fail_corr."""
+    Returns x_fail, z_fail / z_fail_corr, word_fail / word_fail_corr.
+    ``belief`` (True, or an int BP iteration count) additionally decodes
+    BOTH sectors with belief-matching (`decode.belief`: joint-graph BP
+    posteriors as per-shot matching weights) on the same shots and adds
+    x/z/word_fail_belief."""
     hz = np.asarray(code.raw_parity_check_c2, np.uint8) & 1
     hx = np.asarray(code.raw_parity_check_c1, np.uint8) & 1
     rz, rx = hz.shape[0], hx.shape[0]
@@ -155,7 +160,7 @@ def xz_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
     xf = (obs_z & 1) != par_x
     zf = (obs_x & 1) != par_z
     zfc = (obs_xc & 1) != par_z
-    return {
+    out = {
         "x_fail": float(np.mean(xf)),
         "z_fail": float(np.mean(zf)),
         "z_fail_corr": float(np.mean(zfc)),
@@ -165,3 +170,16 @@ def xz_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
         "rounds": rounds,
         "pairs": int(dem.pairs.shape[0]),
     }
+    if belief:
+        from qcss_tpu.decode.belief import BeliefMatchingDecoder
+
+        bm = BeliefMatchingDecoder(
+            code, rounds, noise,
+            iters=32 if belief is True else int(belief))
+        obs_zb, obs_xb = bm.decode_obs(dets_z, dets_x, n_threads=n_threads)
+        xfb = (obs_zb & 1) != par_x
+        zfb = (obs_xb & 1) != par_z
+        out["x_fail_belief"] = float(np.mean(xfb))
+        out["z_fail_belief"] = float(np.mean(zfb))
+        out["word_fail_belief"] = float(np.mean(xfb | zfb))
+    return out
