@@ -1,10 +1,11 @@
-"""Lattice-surgery benchmark: merge, merge-split cycle, and logical CNOT.
+"""Lattice-surgery benchmark: merge, cycle, logical CNOT, and T gadget.
 
-Sweeps distance (and optionally p) for the three surgery experiments
-(`experiments.surgery`) and prints one JSON line per point — failure
-rates of the joint measurement and the preserved/output logicals, plus
-model sizes and wall time. The reference has no multi-patch machinery
-of any kind (its scope is one code block, reference: ftqc.py:42-120).
+Sweeps distance (and optionally p) for the surgery experiments
+(`experiments.surgery`, `experiments.surgery_t`) and prints one JSON
+line per point — failure rates of the joint measurement and the
+preserved/output logicals, plus model sizes and wall time. The
+reference has no multi-patch machinery of any kind (its scope is one
+code block, reference: ftqc.py:42-120).
 """
 
 import argparse
@@ -19,11 +20,13 @@ from qcss_tpu.experiments.surgery import (  # noqa: E402
     xx_merge_memory,
     xx_merge_split_memory,
 )
+from qcss_tpu.experiments.surgery_t import t_gadget_memory  # noqa: E402
 
 EXPERIMENTS = {
     "merge": xx_merge_memory,
     "cycle": xx_merge_split_memory,
     "cnot": surgery_cnot_memory,
+    "tgadget": t_gadget_memory,
 }
 
 
