@@ -20,6 +20,7 @@ from qcss_tpu.experiments.surgery import (  # noqa: E402
     xx_merge_memory,
     xx_merge_split_memory,
 )
+from qcss_tpu.experiments.patches import parity_chain_memory  # noqa: E402
 from qcss_tpu.experiments.surgery_t import t_gadget_memory  # noqa: E402
 
 EXPERIMENTS = {
@@ -27,6 +28,7 @@ EXPERIMENTS = {
     "cycle": xx_merge_split_memory,
     "cnot": surgery_cnot_memory,
     "tgadget": t_gadget_memory,
+    "chain": parity_chain_memory,
 }
 
 

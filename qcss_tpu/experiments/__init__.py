@@ -16,9 +16,20 @@ from qcss_tpu.experiments.injection import (
     magic_injection_experiment,
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+from qcss_tpu.experiments.patches import (
+    Phase,
+    Readout,
+    build_schedule,
+    parity_chain_memory,
+    schedule_memory,
+)
 from qcss_tpu.experiments.surgery_circuit import (
     build_xx_merge_circuit,
     xx_merge_circuit_memory,
+)
+from qcss_tpu.experiments.surgery_t import (
+    t_gadget_memory,
+    t_gadget_report,
 )
 from qcss_tpu.experiments.surgery import (
     build_surgery_cnot,
