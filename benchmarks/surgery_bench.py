@@ -23,12 +23,31 @@ from qcss_tpu.experiments.surgery import (  # noqa: E402
 from qcss_tpu.experiments.patches import parity_chain_memory  # noqa: E402
 from qcss_tpu.experiments.surgery_t import t_gadget_memory  # noqa: E402
 
+def _compiled_cnot(d, p, q=None, *, batch=1 << 13, seed=0, weighted=False):
+    from qcss_tpu.experiments.logical import LogicalProgram
+
+    return LogicalProgram(d, 2).cnot(0, 1).run(
+        p, q, batch=batch, seed=seed, weighted=weighted)
+
+
+def _compiled_program(d, p, q=None, *, batch=1 << 13, seed=0,
+                      weighted=False):
+    """A 3-qubit logical program: CNOT(0,1); T(1); CNOT(1,2) — every op
+    the compiler supports, routed over one grid."""
+    from qcss_tpu.experiments.logical import LogicalProgram
+
+    return LogicalProgram(d, 3).cnot(0, 1).t(1).cnot(1, 2).run(
+        p, q, batch=batch, seed=seed, weighted=weighted)
+
+
 EXPERIMENTS = {
     "merge": xx_merge_memory,
     "cycle": xx_merge_split_memory,
     "cnot": surgery_cnot_memory,
     "tgadget": t_gadget_memory,
     "chain": parity_chain_memory,
+    "compiled-cnot": _compiled_cnot,
+    "compiled-program": _compiled_program,
 }
 
 

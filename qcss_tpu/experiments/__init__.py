@@ -16,6 +16,7 @@ from qcss_tpu.experiments.injection import (
     magic_injection_experiment,
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+from qcss_tpu.experiments.logical import LogicalProgram
 from qcss_tpu.experiments.patches import (
     Phase,
     Readout,

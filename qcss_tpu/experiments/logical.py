@@ -1,0 +1,402 @@
+"""Logical programs on a surface-code patch grid — CNOTs between ANY
+pair of logical qubits (ancilla routing via patch moves) and T gadgets,
+compiled to one declarative schedule (`experiments.patches`) and decoded
+end to end.
+
+The compiler targets Z-BASIS programs: data qubits prepared in the Z
+basis, Clifford+T circuit, transversal Z readout. That scoping is what
+makes the single-sector fault model COMPLETE: every seam and every
+grown region initializes in the scored (Z) basis except move growth
+(declared `conjugate_init`), every mid-program patch measurement is
+either scored (Z: readout bits with closure detectors) or silent
+(X: provably information-free for the Z sector), and the X-sector
+corrections that a general program would track (Z̄^{m2}-type frames)
+never touch a Z readout. The X sector is the mirror image, exactly as
+`surgery.build_surgery_cnot` documents for its bespoke model.
+
+Layout: data patch i at slot (0, 2i) of a 2 x (2k-1) slot grid (odd
+columns vacant), routing row 1 below. Slot (I, J) occupies the d x d
+qubit block at rows I*(d+1).., cols J*(d+1)..; the (d+1)-th row/col
+between adjacent slots is the seam. One op runs at a time (the routing
+row is a bus), each phase `rounds` extraction rounds.
+
+Op algebra (Z̄ trackers; every rule tableau-gold-tested in
+tests/test_logical.py):
+
+  * `cnot(c, t)` (Horsman et al. 2012, re-derived on this machinery):
+    ancilla A = |+̄⟩ at (1, 2c); m1 = ZZ(C, A) via the seam-even joint
+    combination; A routes along row 1 (horizontal moves: vacated block
+    measured in Z — frame = readout parity of the Z̄-row qubits) and up
+    (vertical move: growth region |+⟩-init/conjugate-declared, vacated
+    block measured in X/silent — frame = the seam-even Z̄-transfer
+    combination); XX(A, T) with a |0⟩ seam (Z-sector fully protected;
+    m2 unextractable and unneeded for Z outputs); A measured out in Z
+    at the split (M_A from readout bits, closure detectors keep its
+    last EC round protected). Tracker: frame(T) ⊕= m1 ⊕ frame(A) ⊕
+    M_A ⊕ z_seam, where z_seam is the split readout of the seam qubit
+    on the Z̄ row — Z̄_A·Z̄_T rides the merged row THROUGH that qubit
+    (the same subtlety `build_surgery_cnot` documents).
+  * `t(q)`: magic patch M below D_q, m1 = ZZ(D_q, M), M measured out
+    in X (silent). m1 selects S̄ vs S̄† — a non-Pauli channel invisible
+    to Z readouts, so it is scored as its own observable row (`t{q}_m1`
+    failing = wrong S correction = logical error). The magic-state
+    physics itself (injection ε, distillation, the X-sector OUT
+    channel) is `experiments.surgery_t` / `ftqc.magic`'s domain; here
+    M is a stabilizer stand-in with the identical fault model.
+  * `measure()` finalizes: obs row per data qubit = final transversal
+    Z̄ readout ⊕ its accumulated frame terms.
+
+The reference has no multi-patch machinery, no logical two-qubit gate,
+and no non-Clifford path at all (reference: ftqc.py:42-120,
+css_code.py:433-434).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qcss_tpu.codes import families
+from qcss_tpu.experiments import patches as P
+
+
+def _term_key(term):
+    kind = term[0]
+    if kind == "logical":
+        return (kind, term[1].tobytes())
+    if kind == "joint":
+        return (kind, term[1], term[2].tobytes(), term[3], term[4])
+    if kind == "readout":
+        return (kind, term[1], term[2])
+    if kind == "readout_logical":
+        return (kind, term[1], term[2].tobytes())
+    raise ValueError(kind)
+
+
+def _xor_terms(a: list, b: list) -> list:
+    """Symmetric difference of term lists (XOR algebra: pairs cancel)."""
+    out = list(a)
+    keys = [_term_key(t) for t in out]
+    for t in b:
+        k = _term_key(t)
+        if k in keys:
+            i = keys.index(k)
+            out.pop(i)
+            keys.pop(i)
+        else:
+            out.append(t)
+            keys.append(k)
+    return out
+
+
+class LogicalProgram:
+    """A Z-basis logical program over `n_data` surface patches."""
+
+    def __init__(self, d: int, n_data: int, rounds: int | None = None):
+        if n_data < 1:
+            raise ValueError("need >= 1 data qubit")
+        self.d = d
+        self.R = d if rounds is None else rounds
+        if self.R < 3:
+            raise ValueError("phases need >= 3 rounds (merged-phase flip "
+                             "ambiguity; see surgery.build_xx_merge_split)")
+        self.slot_cols = max(2 * n_data - 1, 2)
+        self.n_data = n_data
+        self.rows_q = 2 * (d + 1) - 1
+        self.cols_q = self.slot_cols * (d + 1) - 1
+        self.n = self.rows_q * self.cols_q
+        hx, hz = families.surface_rect_checks(d, d)
+        self._hx_p, self._hz_p = hx, hz
+        self._hz_v = families.surface_rect_checks(2 * d + 1, d)[1]
+        self._hz_h = families.surface_rect_checks(d, 2 * d + 1)[1]
+
+        self._phases: list[P.Phase] = []
+        self._active: list[np.ndarray] = []
+        self._readouts: list[P.Readout] = []
+        self._conj: list[P.Readout] = []
+        self._occ: dict[tuple[int, int], str] = {}
+        self._slot_of: dict[str, tuple[int, int]] = {}
+        self._frames: dict[str, list] = {}
+        self._aux_obs: list[tuple[str, list]] = []
+        self._anc_count = 0
+        self._built = None
+
+        for i in range(n_data):
+            pid = f"d{i}"
+            self._occ[(0, 2 * i)] = pid
+            self._slot_of[pid] = (0, 2 * i)
+            self._frames[pid] = []
+        self._push_sep()
+
+    # -- geometry ------------------------------------------------------------
+
+    def _origin(self, slot):
+        I, J = slot
+        return I * (self.d + 1), J * (self.d + 1)
+
+    def _embed(self, h, r0, c0, sr, sc):
+        big = np.zeros((h.shape[0], self.n), np.uint8)
+        sm = h.reshape(-1, sr, sc)
+        for r in range(sr):
+            base = (r + r0) * self.cols_q + c0
+            big[:, base: base + sc] = sm[:, r, :]
+        return big
+
+    def _block_mask(self, slot):
+        r0, c0 = self._origin(slot)
+        m = np.zeros(self.n, np.uint8)
+        for r in range(self.d):
+            m[(r + r0) * self.cols_q + c0:
+              (r + r0) * self.cols_q + c0 + self.d] = 1
+        return m
+
+    def _block_qubits(self, slot):
+        return [int(qb) for qb in np.nonzero(self._block_mask(slot))[0]]
+
+    def _zrep(self, slot):
+        """Z̄ representative: an INTERIOR row of the block (row 1).
+
+        Interior rows have Z-check coverage 2 everywhere; a boundary-row
+        rep makes the fresh-ancilla T gadget unbuildable — a mid-prep
+        data error on a coverage-1 rep qubit and a first-round
+        measurement flip of its only check share one detector but differ
+        on m1 (target[q]=1 forces the disagreement for EVERY solution
+        representative), which the signature-consistency guard rejects."""
+        r0, c0 = self._origin(slot)
+        v = np.zeros(self.n, np.uint8)
+        base = (r0 + 1) * self.cols_q + c0
+        v[base: base + self.d] = 1
+        return v
+
+    def _zrep_row(self, slot) -> int:
+        return self._origin(slot)[0] + 1
+
+    def _seam_qubits(self, a, b):
+        (Ia, Ja), (Ib, Jb) = a, b
+        if Ja == Jb and abs(Ia - Ib) == 1:        # vertical pair
+            I = min(Ia, Ib)
+            r = I * (self.d + 1) + self.d
+            c0 = Ja * (self.d + 1)
+            return [r * self.cols_q + c0 + c for c in range(self.d)], "v"
+        if Ia == Ib and abs(Ja - Jb) == 1:        # horizontal pair
+            J = min(Ja, Jb)
+            c = J * (self.d + 1) + self.d
+            r0 = Ia * (self.d + 1)
+            return [(r0 + r) * self.cols_q + c for r in range(self.d)], "h"
+        raise ValueError(f"slots {a}, {b} are not adjacent")
+
+    def _patch_checks(self, slot):
+        r0, c0 = self._origin(slot)
+        return self._embed(self._hz_p, r0, c0, self.d, self.d)
+
+    def _merged_checks(self, a, b, orient):
+        (Ia, Ja), (Ib, Jb) = a, b
+        r0 = min(Ia, Ib) * (self.d + 1)
+        c0 = min(Ja, Jb) * (self.d + 1)
+        if orient == "v":
+            return self._embed(self._hz_v, r0, c0, 2 * self.d + 1, self.d)
+        return self._embed(self._hz_h, r0, c0, self.d, 2 * self.d + 1)
+
+    # -- phase emission --------------------------------------------------------
+
+    def _sep_checks_active(self, exclude=()):
+        checks, act = [], np.zeros(self.n, np.uint8)
+        for slot, pid in sorted(self._occ.items()):
+            if pid in exclude:
+                continue
+            checks.append(self._patch_checks(slot))
+            act |= self._block_mask(slot)
+        return np.concatenate(checks, axis=0), act
+
+    def _push_sep(self):
+        checks, act = self._sep_checks_active()
+        self._phases.append(P.Phase(checks, self.R))
+        self._active.append(act)
+
+    def _push_merged(self, a, b, orient):
+        seam, _ = self._seam_qubits(a, b)
+        merged = [self._merged_checks(a, b, orient)]
+        act = self._block_mask(a) | self._block_mask(b)
+        act[seam] = 1
+        for slot, pid in sorted(self._occ.items()):
+            if slot in (a, b):
+                continue
+            merged.append(self._patch_checks(slot))
+            act |= self._block_mask(slot)
+        self._phases.append(P.Phase(np.concatenate(merged, axis=0), self.R))
+        self._active.append(act)
+        return len(self._phases) - 1
+
+    # -- ops --------------------------------------------------------------------
+
+    def _check_free(self, slot):
+        I, J = slot
+        if not (0 <= I < 2 and 0 <= J < self.slot_cols):
+            raise ValueError(f"slot {slot} outside the grid")
+        if slot in self._occ:
+            raise ValueError(f"slot {slot} is occupied")
+
+    def _prep(self, slot) -> str:
+        """Activate a fresh ancilla patch in |+̄⟩ (declared conjugate
+        init: its first Z-check round is projection randomness, so the
+        builder must emit no init detectors for it)."""
+        self._check_free(slot)
+        pid = f"a{self._anc_count}"
+        self._anc_count += 1
+        self._occ[slot] = pid
+        self._slot_of[pid] = slot
+        self._frames[pid] = []
+        self._push_sep()
+        self._conj.append(P.Readout(len(self._phases) - 1,
+                                    tuple(self._block_qubits(slot))))
+        return pid
+
+    def _zz(self, pa: str, pb: str, ref: str = "last") -> list:
+        """ZZ joint measurement of two vertically adjacent patches
+        (seam |0⟩-init — the seam-even combination is init-agnostic).
+        Returns the m term list. `ref` anchors the previous-phase read
+        (see patches.joint): 'last' when m pairs with a later readout of
+        the same patch (cnot), 'first' when m is consumed standalone off
+        a freshly prepared conjugate patch (the T gadget)."""
+        a, b = self._slot_of[pa], self._slot_of[pb]
+        _, orient = self._seam_qubits(a, b)
+        if orient != "v":
+            raise ValueError("ZZ needs vertically adjacent patches")
+        ph = self._push_merged(a, b, "v")
+        self._push_sep()
+        target = (self._zrep(a) ^ self._zrep(b)).astype(np.uint8)
+        return [P.joint(ph, target, mode="even", ref=ref)]
+
+    def _move(self, pid: str, to_slot):
+        """Move a patch to an adjacent vacant slot (grow + contract)."""
+        self._check_free(to_slot)
+        frm = self._slot_of[pid]
+        seam, orient = self._seam_qubits(frm, to_slot)
+        ph = self._push_merged(frm, to_slot, orient)
+        zrep_old = self._zrep(frm)
+        # relocate, then emit the contracted phase
+        del self._occ[frm]
+        self._occ[to_slot] = pid
+        self._slot_of[pid] = to_slot
+        self._push_sep()
+        split_ph = len(self._phases) - 1
+        zrep_new = self._zrep(to_slot)
+        if orient == "v":
+            # growth region was |+⟩-init (conjugate for the Z sector);
+            # vacated block + seam measured in X: silent. The Z̄ moves
+            # by the seam-even check-combination transfer.
+            grown = self._block_qubits(to_slot) + seam
+            self._conj.append(P.Readout(ph, tuple(grown)))
+            self._frames[pid] = _xor_terms(
+                self._frames[pid],
+                [P.joint(ph, (zrep_old ^ zrep_new).astype(np.uint8),
+                         mode="even")])
+        else:
+            # growth region |0⟩-init (scored); vacated block + seam
+            # measured in Z (scored readout): Z̄ = new row ⊕ readout
+            # parity of the old row + the seam qubit on it.
+            vacated = self._block_qubits(frm) + seam
+            self._readouts.append(P.Readout(split_ph, tuple(vacated)))
+            row_z = self._zrep_row(frm)
+            seam_on_row = [qb for qb in seam
+                           if qb // self.cols_q == row_z]
+            assert len(seam_on_row) == 1
+            sup = zrep_old.copy()
+            sup[seam_on_row[0]] = 1
+            self._frames[pid] = _xor_terms(
+                self._frames[pid],
+                [P.readout_logical(split_ph, sup)])
+
+    def cnot(self, c: int, t: int) -> "LogicalProgram":
+        """Logical CNOT(control=c, target=t), any pair, via an ancilla
+        routed along the routing row."""
+        if not (0 <= c < self.n_data and 0 <= t < self.n_data) or c == t:
+            raise ValueError("bad control/target")
+        a = self._prep((1, 2 * c))
+        m1 = self._zz(f"d{c}", a)
+        step = 1 if t > c else -1
+        col = 2 * c
+        while col != 2 * t - step:
+            self._move(a, (1, col + step))
+            col += step
+        self._move(a, (0, col))           # up, beside the target
+        a_slot, t_slot = (0, col), (0, 2 * t)
+        seam, orient = self._seam_qubits(a_slot, t_slot)
+        assert orient == "h"
+        ph = self._push_merged(a_slot, t_slot, "h")
+        zrep_a = self._zrep(a_slot)
+        # split: A measured out in Z together with the seam
+        del self._occ[a_slot]
+        del self._slot_of[a]
+        self._push_sep()
+        split_ph = len(self._phases) - 1
+        vacated = self._block_qubits(a_slot) + seam
+        self._readouts.append(P.Readout(split_ph, tuple(vacated)))
+        row_z = self._zrep_row(a_slot)
+        seam_on_row = [qb for qb in seam if qb // self.cols_q == row_z]
+        assert len(seam_on_row) == 1
+        m_a = [P.readout_logical(split_ph, zrep_a)]
+        pi = [P.readout_bit(split_ph, seam_on_row[0])]
+        upd = _xor_terms(_xor_terms(m1, self._frames.pop(a)),
+                         _xor_terms(m_a, pi))
+        self._frames[f"d{t}"] = _xor_terms(self._frames[f"d{t}"], upd)
+        return self
+
+    def t(self, q: int) -> "LogicalProgram":
+        """T gadget on data qubit q: ZZ with a magic patch below it,
+        magic patch measured out in X. The m1 outcome selects S̄ vs S̄†
+        — scored as its own observable row (`t{q}_m1`); Z̄_q itself is
+        unchanged by T. The magic patch is a stabilizer stand-in with
+        the identical fault model (physics: experiments/surgery_t.py)."""
+        if not 0 <= q < self.n_data:
+            raise ValueError("bad qubit")
+        m = self._prep((1, 2 * q))
+        m1 = self._zz(f"d{q}", m, ref="first")
+        # measure M out in X: silent deactivation at the next phase
+        slot = self._slot_of.pop(m)
+        del self._occ[slot]
+        self._frames.pop(m)
+        self._push_sep()
+        self._aux_obs.append((f"t{q}_m1_{len(self._aux_obs)}", m1))
+        return self
+
+    def measure(self) -> "LogicalProgram":
+        """Finalize: transversal Z readout of every data patch."""
+        self._obs_names = [name for name, _ in self._aux_obs]
+        self._obs = [terms for _, terms in self._aux_obs]
+        for i in range(self.n_data):
+            pid = f"d{i}"
+            terms = _xor_terms([P.logical(self._zrep(self._slot_of[pid]))],
+                               self._frames[pid])
+            self._obs_names.append(f"z{i}")
+            self._obs.append(terms)
+        return self
+
+    def build(self, p: float | None = None,
+              q: float | None = None,
+              with_recipe: bool = False) -> P.ScheduleModel:
+        if not hasattr(self, "_obs"):
+            self.measure()
+        model = P.build_schedule(
+            self.n, self._phases, np.stack(self._active), self._obs,
+            readouts=tuple(self._readouts),
+            conjugate_init=tuple(self._conj), p=p, q=q,
+            with_recipe=with_recipe)
+        model.meta["obs_names"] = list(self._obs_names)
+        return model
+
+    def run(self, p: float, q: float | None = None, *,
+            batch: int = 1 << 13, seed: int = 0, weighted: bool = False,
+            use_native: bool | None = None) -> dict:
+        """Monte-Carlo the compiled program; per-observable and word
+        failure rates keyed by observable name."""
+        q_ = p if q is None else q
+        kw = dict(p=p, q=q_) if weighted else dict(p=None, q=None)
+        model = self.build(**kw)
+        out = P.schedule_memory(model, p, q_, batch=batch, seed=seed,
+                                use_native=use_native)
+        for i, name in enumerate(model.meta["obs_names"]):
+            out[f"{name}_fail"] = out.pop(f"obs{i}_fail")
+        out.update({"d": self.d, "rounds": self.R,
+                    "n_phases": len(self._phases),
+                    "grid_qubits": self.n})
+        return out

@@ -101,18 +101,32 @@ def logical(support: np.ndarray) -> tuple:
     return ("logical", np.asarray(support, dtype=np.uint8))
 
 
-def joint(phase: int, target: np.ndarray, mode: str = "even") -> tuple:
+def joint(phase: int, target: np.ndarray, mode: str = "even",
+          ref: str = "last") -> tuple:
     """Observable term: the joint measurement a merge performs — the
     GF(2)-solved combination of the new phase's first-round and the
-    previous phase's last-round outcomes whose product is `target`.
+    previous phase's `ref`-round outcomes whose product is `target`.
 
     mode='even' solves over the UNMASKED system (even seam support —
     deterministic for any seam init, immune to seam-init errors);
     mode='masked' solves the off-seam restriction (only valid when the
-    seam initializes in the measured product's basis)."""
+    seam initializes in the measured product's basis).
+
+    ref picks WHICH previous-phase round the classical combination
+    reads — a protocol choice that induces its own fault model (the
+    consistency guards verify whichever is chosen). 'last' (default,
+    the bespoke builders' convention) is right for long-lived Z-definite
+    patches; 'first' anchors at the projection round and is the
+    consistent choice when the previous phase freshly prepared a
+    conjugate-basis patch whose m outcome is consumed STANDALONE (the
+    compiled T gadget: with 'last', a data error mid-prep and a
+    first-round measurement flip share one detector but differ on m —
+    an irreducible degeneracy the guard catches)."""
     if mode not in ("even", "masked"):
         raise ValueError("joint mode must be 'even' or 'masked'")
-    return ("joint", phase, np.asarray(target, dtype=np.uint8), mode)
+    if ref not in ("last", "first"):
+        raise ValueError("joint ref must be 'last' or 'first'")
+    return ("joint", phase, np.asarray(target, dtype=np.uint8), mode, ref)
 
 
 def readout_bit(phase: int, qubit: int) -> tuple:
@@ -120,11 +134,21 @@ def readout_bit(phase: int, qubit: int) -> tuple:
     return ("readout", phase, qubit)
 
 
+def readout_logical(phase: int, support: np.ndarray) -> tuple:
+    """Observable term: a logical operator evaluated from the scored-
+    basis readout bits of the transition into `phase` (e.g. M_A = Z̄_A
+    of an ancilla patch measured out transversally mid-program). Every
+    support qubit must be read out at that transition."""
+    return ("readout_logical", phase, np.asarray(support, dtype=np.uint8))
+
+
 def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                    observables: list[list[tuple]],
                    readouts: tuple[Readout, ...] = (),
+                   conjugate_init: tuple[Readout, ...] = (),
                    p: float | None = None,
-                   q: float | None = None) -> ScheduleModel:
+                   q: float | None = None,
+                   with_recipe: bool = False) -> ScheduleModel:
     """Mechanize a patch schedule into its single-fault model.
 
     `active` is [n_phases, n]: which qubits participate in each phase.
@@ -136,6 +160,25 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
     surgery builders use. Build-time guards: every fault must flip ≤ 2
     detectors, signature-sharing faults must agree on observables, and
     no undetectable fault may touch an observable.
+
+    Deactivation/initialization semantics (what makes mid-program patch
+    measurement and patch MOVEMENT expressible):
+      * qubits deactivated WITH a scored-basis `Readout`: their bits are
+        fault locations, close extended partner transitions, and old
+        checks FULLY supported on them get closure detectors
+        (last-round outcome vs the readout-bit parity) — this is how an
+        ancilla patch measured out transversally mid-program keeps its
+        final EC round protected;
+      * qubits deactivated SILENTLY (conjugate-basis measurement, which
+        the scored sector cannot see): any matched transition detector
+        whose OLD check touches them is dropped — the conjugate readout
+        randomizes the comparison (projection), keeping it would be a
+        wrong detector;
+      * qubits listed in `conjugate_init` (activated in the conjugate
+        basis): matched transition detectors whose NEW check touches
+        them are dropped, and phase-0 first-round raw detectors touching
+        them are dropped — scored-basis initialization (the default) is
+        what makes those rows deterministic.
     """
     n_ph = len(phases)
     active = np.asarray(active, dtype=np.uint8)
@@ -170,6 +213,29 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
             read_idx[(ro.phase, qb)] = len(read_idx)
     n_read = len(read_idx)
 
+    # conjugate-basis initializations -----------------------------------------
+    conj_init_at: dict[int, set[int]] = {}
+    for ci in conjugate_init:
+        if not (0 <= ci.phase < n_ph):
+            raise ValueError("conjugate_init phase out of range")
+        for qb in ci.qubits:
+            if not active[ci.phase, qb]:
+                raise AssertionError(
+                    f"conjugate-init qubit {qb} inactive in phase {ci.phase}")
+            if ci.phase > 0 and active[ci.phase - 1, qb]:
+                raise AssertionError(
+                    f"conjugate-init qubit {qb} was already active")
+            conj_init_at.setdefault(ci.phase, set()).add(qb)
+
+    # silent deactivations (no scored readout): the conjugate-basis
+    # measurement randomizes any old check extending over them
+    silent_at: dict[int, set[int]] = {}
+    for ph in range(1, n_ph):
+        gone = np.nonzero(active[ph - 1] & (1 - active[ph]))[0]
+        sil = {int(qb) for qb in gone if (ph, int(qb)) not in read_idx}
+        if sil:
+            silent_at[ph] = sil
+
     # per-qubit activity intervals -------------------------------------------
     # each interval: (ph_a, ph_b, slot_end_exclusive, read_index | None,
     #                 reaches_final)
@@ -195,10 +261,19 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
             ph += 1
 
     # fault inventory (orderings match the bespoke builders) -----------------
+    # A conjugate-init qubit has NO fault slot at its activation time:
+    # a scored-sector error on the freshly prepared conjugate eigenstate
+    # is the identity (X|+⟩ = |+⟩ for a Z-scored model) — the projection
+    # coin has not been tossed yet, so booking it would over-count a
+    # branch relabel as a logical deviation (it surfaced as a false
+    # undetectable-m1 fault in the compiled T gadget).
     slot_int: dict[tuple[int, int], tuple] = {}
     for qb in range(n):
         for iv in intervals[qb]:
-            for t in range(int(starts[iv[0]]), iv[2]):
+            t_first = int(starts[iv[0]])
+            if qb in conj_init_at.get(iv[0], ()):
+                t_first += 1
+            for t in range(t_first, iv[2]):
                 slot_int[(t, qb)] = iv
     data_faults = [(t, qb) for t in range(total + 1) for qb in range(n)
                    if (t, qb) in slot_int]
@@ -247,88 +322,182 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                 partner[i] = hits[0]
         partners.append(partner)
 
-    # detectors ----------------------------------------------------------------
-    det_rows = []
-    for t in range(phases[0].rounds):
-        det_rows.append(o_ph[0][t] ^ (o_ph[0][t - 1] if t else 0))
-    for ph in range(1, n_ph):
-        partner = partners[ph]
-        matched = np.nonzero(partner >= 0)[0]
-        tr = o_ph[ph][0].copy()
-        tr[matched] ^= o_ph[ph - 1][-1, partner[matched]]
-        # scored readouts of this transition close the extended checks
-        deact = [(qb, ridx) for (ph_r, qb), ridx in read_idx.items()
-                 if ph_r == ph]
-        if deact:
-            h_old = phases[ph - 1].checks
-            for i in matched:
-                for qb, ridx in deact:
-                    if h_old[partner[i], qb]:
-                        tr[i] ^= sread[ridx]
-        det_rows.append(tr[matched])
-        for t in range(1, phases[ph].rounds):
-            det_rows.append(o_ph[ph][t] ^ o_ph[ph][t - 1])
-    h_last = phases[-1].checks
-    final = (h_last.astype(np.int64) @ w_final.astype(np.int64)) & 1
-    det_rows.append((final ^ o_ph[-1][-1]).astype(np.uint8))
-    F = np.concatenate(det_rows, axis=0) & 1
-
-    # observables ---------------------------------------------------------------
-    obs_rows = []
-    for terms in observables:
-        row = np.zeros(nf, dtype=np.uint8)
-        for term in terms:
-            kind = term[0]
-            if kind == "logical":
-                sup = term[1]
-                if (sup & (1 - active[-1])).any():
-                    raise AssertionError(
-                        "final logical touches a qubit inactive at the end")
-                row ^= (sup.astype(np.int64) @ w_final.astype(np.int64)
-                        ).astype(np.uint8) & 1
-            elif kind == "joint":
-                _, ph, target, mode = term
-                if not (1 <= ph < n_ph):
-                    raise ValueError("joint phase out of range")
-                h_m, h_s = phases[ph].checks, phases[ph - 1].checks
-                if mode == "masked":
-                    mask = active[ph - 1].astype(np.uint8)
-                    system = np.concatenate(
-                        [h_m * mask[None, :], h_s], axis=0)
-                    tgt = (target & mask).astype(np.uint8)
-                else:
-                    system = np.concatenate([h_m, h_s], axis=0)
-                    tgt = target.astype(np.uint8)
-                u = _solve_gf2(system, tgt)
-                if u is None:
-                    raise AssertionError(
-                        "joint target is not measured by this merge "
-                        f"(phase {ph}, mode {mode})")
-                u_m, u_s = u[: h_m.shape[0]], u[h_m.shape[0]:]
-                row ^= ((u_m.astype(np.int64)
-                         @ o_ph[ph][0].astype(np.int64))
-                        ^ (u_s.astype(np.int64)
-                           @ o_ph[ph - 1][-1].astype(np.int64))
-                        ).astype(np.uint8) & 1
-            elif kind == "readout":
-                _, ph, qb = term
-                if (ph, qb) not in read_idx:
-                    raise ValueError(f"no scored readout of {qb} at {ph}")
-                row ^= sread[read_idx[(ph, qb)]]
+    # pre-solve every joint-term combination (shared by both assemblies)
+    solved_joints: dict[tuple[int, int], tuple] = {}
+    for i_o, terms in enumerate(observables):
+        for i_t, term in enumerate(terms):
+            if term[0] != "joint":
+                continue
+            _, ph, target, mode, ref = term
+            if not (1 <= ph < n_ph):
+                raise ValueError("joint phase out of range")
+            h_m, h_s = phases[ph].checks, phases[ph - 1].checks
+            if mode == "masked":
+                mask = active[ph - 1].astype(np.uint8)
+                system = np.concatenate([h_m * mask[None, :], h_s], axis=0)
+                tgt = (target & mask).astype(np.uint8)
             else:
-                raise ValueError(f"unknown observable term {kind!r}")
-        obs_rows.append(row)
-    obs = (np.stack(obs_rows) & 1).astype(np.uint8) if obs_rows else \
-        np.zeros((0, nf), dtype=np.uint8)
+                system = np.concatenate([h_m, h_s], axis=0)
+                tgt = target.astype(np.uint8)
+            u = _solve_gf2(system, tgt)
+            if u is None:
+                raise AssertionError(
+                    "joint target is not measured by this merge "
+                    f"(phase {ph}, mode {mode})")
+            solved_joints[(i_o, i_t)] = (ph, u[: h_m.shape[0]],
+                                         u[h_m.shape[0]:],
+                                         0 if ref == "first" else -1)
+
+    def assemble(o_ph, sread, w_final):
+        """Detector and observable rows as linear maps over whatever
+        space the o/sread/w arrays live in (fault deviations for the
+        model; raw-outcome indicators for the protocol recipe)."""
+        det_rows = []
+        ci0 = conj_init_at.get(0, set())
+        if ci0:
+            mask0 = np.ones(n, np.uint8)
+            mask0[list(ci0)] = 0
+            det0 = np.nonzero((phases[0].checks & (1 - mask0)[None, :]
+                               ).sum(axis=1) == 0)[0]
+            det_rows.append(o_ph[0][0][det0])
+        else:
+            det_rows.append(o_ph[0][0])
+        for t in range(1, phases[0].rounds):
+            det_rows.append(o_ph[0][t] ^ o_ph[0][t - 1])
+        for ph in range(1, n_ph):
+            partner = partners[ph]
+            h_old, h_new = phases[ph - 1].checks, phases[ph].checks
+            sil = silent_at.get(ph, set())
+            cin = conj_init_at.get(ph, set())
+            matched = np.array([
+                i for i in np.nonzero(partner >= 0)[0]
+                if not any(h_old[partner[i], qb] for qb in sil)
+                and not any(h_new[i, qb] for qb in cin)], dtype=np.int64)
+            tr = o_ph[ph][0].copy()
+            if matched.size:
+                tr[matched] ^= o_ph[ph - 1][-1, partner[matched]]
+            # scored readouts of this transition close extended checks
+            deact = [(qb, ridx) for (ph_r, qb), ridx in read_idx.items()
+                     if ph_r == ph]
+            if deact:
+                for i in matched:
+                    for qb, ridx in deact:
+                        if h_old[partner[i], qb]:
+                            tr[i] ^= sread[ridx]
+            det_rows.append(tr[matched])
+            # unmatched new checks FULLY inside a scored-basis growth
+            # region (|0⟩-init for a Z-scored model): deterministic
+            # first-round values — raw init detectors, the growth
+            # analogue of the phase-0 rows (without them an error born
+            # at growth-init is invisible: consecutive rounds cancel and
+            # the region's partner trail is empty on both temporal
+            # boundaries)
+            newly = (active[ph] & (1 - active[ph - 1])).astype(bool)
+            scored_new = newly.copy()
+            if cin:
+                scored_new[list(cin)] = False
+            if scored_new.any():
+                unmatched = np.nonzero(partner < 0)[0]
+                init_raw = [i for i in unmatched
+                            if h_new[i].any()
+                            and not h_new[i][~scored_new].any()]
+                if init_raw:
+                    det_rows.append(o_ph[ph][0][np.asarray(init_raw)])
+            # old checks FULLY on read-out qubits: closure detectors
+            # against the readout-bit parity (an ancilla patch's last EC
+            # round stays protected through its transversal measurement)
+            if deact:
+                ro_qubits = {qb for qb, _ in deact}
+                for c in range(h_old.shape[0]):
+                    sup = np.nonzero(h_old[c])[0]
+                    if sup.size and all(int(qb) in ro_qubits for qb in sup):
+                        row = o_ph[ph - 1][-1, c].copy()
+                        for qb in sup:
+                            row ^= sread[read_idx[(ph, int(qb))]]
+                        det_rows.append(row[None, :])
+            for t in range(1, phases[ph].rounds):
+                det_rows.append(o_ph[ph][t] ^ o_ph[ph][t - 1])
+        h_last = phases[-1].checks
+        final = (h_last.astype(np.int64) @ w_final.astype(np.int64)) & 1
+        det_rows.append((final ^ o_ph[-1][-1]).astype(np.uint8))
+        F = np.concatenate(det_rows, axis=0) & 1
+
+        obs_rows = []
+        width = w_final.shape[1]
+        for i_o, terms in enumerate(observables):
+            row = np.zeros(width, dtype=np.uint8)
+            for i_t, term in enumerate(terms):
+                kind = term[0]
+                if kind == "logical":
+                    sup = term[1]
+                    if (sup & (1 - active[-1])).any():
+                        raise AssertionError(
+                            "final logical touches a qubit inactive "
+                            "at the end")
+                    row ^= (sup.astype(np.int64)
+                            @ w_final.astype(np.int64)
+                            ).astype(np.uint8) & 1
+                elif kind == "joint":
+                    ph, u_m, u_s, r_ref = solved_joints[(i_o, i_t)]
+                    row ^= ((u_m.astype(np.int64)
+                             @ o_ph[ph][0].astype(np.int64))
+                            ^ (u_s.astype(np.int64)
+                               @ o_ph[ph - 1][r_ref].astype(np.int64))
+                            ).astype(np.uint8) & 1
+                elif kind == "readout":
+                    _, ph, qb = term
+                    if (ph, qb) not in read_idx:
+                        raise ValueError(
+                            f"no scored readout of {qb} at {ph}")
+                    row ^= sread[read_idx[(ph, qb)]]
+                elif kind == "readout_logical":
+                    _, ph, sup = term
+                    for qb in np.nonzero(sup)[0]:
+                        if (ph, int(qb)) not in read_idx:
+                            raise ValueError(
+                                f"readout_logical qubit {qb} not read "
+                                f"out at phase {ph}")
+                        row ^= sread[read_idx[(ph, int(qb))]]
+                else:
+                    raise ValueError(f"unknown observable term {kind!r}")
+            obs_rows.append(row)
+        obs = (np.stack(obs_rows) & 1).astype(np.uint8) if obs_rows else \
+            np.zeros((0, width), dtype=np.uint8)
+        return F, obs
+
+    F, obs = assemble(o_ph, sread, w_final)
+
+    meta = {"total_rounds": total, "n_detectors": int(F.shape[0])}
+    if with_recipe:
+        # the same rows over RAW-OUTCOME indicator space: check outcomes
+        # in meas_faults order, then readout bits, then the final word —
+        # golds evaluate D @ outcomes == 0 and obs_D @ outcomes for the
+        # protocol's deterministic references
+        n_out = n_meas + n_read + n
+        o2 = [np.zeros((Ph.rounds, Ph.checks.shape[0], n_out),
+                       dtype=np.uint8) for Ph in phases]
+        for j, (ph, t, c) in enumerate(meas_faults):
+            o2[ph][t - int(starts[ph]), c, j] = 1
+        sr2 = np.zeros((max(n_read, 1), n_out), dtype=np.uint8)
+        for ridx in range(n_read):
+            sr2[ridx, n_meas + ridx] = 1
+        w2 = np.zeros((n, n_out), dtype=np.uint8)
+        for qb in range(n):
+            w2[qb, n_meas + n_read + qb] = 1
+        D, obs_D = assemble(o2, sr2, w2)
+        meta["recipe"] = {
+            "D": D, "obs": obs_D,
+            "meas_order": list(meas_faults),
+            "read_order": sorted(read_idx, key=read_idx.get),
+            "n_meas": n_meas, "n_read": n_read,
+        }
 
     graph = _graph_from_signatures(F, obs, n_data, p, q)
     probs_class = np.concatenate([
         np.zeros(n_data, dtype=np.uint8),
         np.ones(nf - n_data, dtype=np.uint8)])
     return ScheduleModel(n=n, n_phases=n_ph, fault_probs_class=probs_class,
-                         F=F, obs=obs, graph=graph,
-                         meta={"total_rounds": total,
-                               "n_detectors": int(F.shape[0])})
+                         F=F, obs=obs, graph=graph, meta=meta)
 
 
 def schedule_memory(model: ScheduleModel, p: float, q: float | None = None,

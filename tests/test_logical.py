@@ -1,0 +1,275 @@
+"""The logical-program compiler (experiments/logical.py).
+
+The tableau golds run the compiled protocol EXACTLY as declared — the
+phases' Z-check rounds, the conjugate-basis initializations (H's), the
+scored Z readouts and silent X measurements at each transition, the
+final transversal Z word — and evaluate the model's own outcome-space
+recipe (`build(with_recipe=True)`): every detector combination must be
+zero noiselessly on every random measurement branch, and the observable
+combinations must equal the program's truth table. This validates every
+compiler rule at once: the seam-even m1 combinations, the move frames
+(check-transfer and readout-parity), the M_A readout parity, the
+Z̄-row-through-the-seam bit, init detectors, and closure detectors."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qcss_tpu.decode.uf import UFDecoder
+from qcss_tpu.experiments.logical import LogicalProgram
+
+
+class TestCompiledCnot:
+    def test_singles_and_quiet(self):
+        prog = LogicalProgram(3, 2).cnot(0, 1)
+        model = prog.build()
+        dec = UFDecoder(model.graph)
+        _, corr = dec.decode_batch(model.F.T.astype(np.uint8),
+                                   want_corrections=False)
+        for i in range(model.obs.shape[0]):
+            assert not ((model.obs[i] ^ ((corr >> i) & 1)) == 1).any()
+        out = prog.run(0.0, 0.0, batch=64)
+        assert out["word_fail"] == 0.0
+
+    def test_long_range_cnot_builds(self):
+        """cnot(0, 2) routes the ancilla across the middle data qubit's
+        column — more moves, same guards."""
+        prog = LogicalProgram(3, 3).cnot(0, 2)
+        model = prog.build()
+        dec = UFDecoder(model.graph)
+        _, corr = dec.decode_batch(model.F.T.astype(np.uint8),
+                                   want_corrections=False)
+        for i in range(model.obs.shape[0]):
+            assert not ((model.obs[i] ^ ((corr >> i) & 1)) == 1).any()
+
+    def test_suppression_with_distance(self):
+        lo = LogicalProgram(3, 2).cnot(0, 1).run(2e-3, batch=1 << 13,
+                                                 seed=3)
+        hi = LogicalProgram(5, 2).cnot(0, 1).run(2e-3, batch=1 << 13,
+                                                 seed=3)
+        assert hi["word_fail"] < lo["word_fail"]
+
+
+class TestTGadgetOp:
+    def test_t_quiet_and_singles(self):
+        prog = LogicalProgram(3, 1).t(0)
+        model = prog.build()
+        assert model.meta["obs_names"][0].startswith("t0_m1")
+        dec = UFDecoder(model.graph)
+        _, corr = dec.decode_batch(model.F.T.astype(np.uint8),
+                                   want_corrections=False)
+        for i in range(model.obs.shape[0]):
+            assert not ((model.obs[i] ^ ((corr >> i) & 1)) == 1).any()
+        out = prog.run(0.0, 0.0, batch=64)
+        assert out["word_fail"] == 0.0
+
+
+# -- tableau gold machinery ---------------------------------------------------
+
+
+def _run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
+                           skip_h_phases=()):
+    """Run the compiled schedule projectively on the tableau engine and
+    return the raw outcome vector in the recipe's order."""
+    import jax
+
+    from qcss_tpu.experiments import surgery
+    from qcss_tpu.sim import tableau as tb
+
+    # drop executables accumulated by earlier tests in this module: the
+    # XLA:CPU compiler segfaults past an in-process executable count
+    # (tests/conftest.py documents the edge; the protocol below compiles
+    # only a few dozen shapes itself)
+    jax.clear_caches()
+
+    n = prog.n
+    anc = n
+    recipe = model.meta["recipe"]
+    n_meas, n_read = recipe["n_meas"], recipe["n_read"]
+    outcomes = np.zeros(n_meas + n_read + n, np.uint8)
+
+    key_box = [rng_key]
+
+    def nk():
+        key_box[0], k = jax.random.split(key_box[0])
+        return k
+
+    t = tb.zero_state(1, n + 1)
+
+    # All tableau calls below use array-indexed / scanned forms with a
+    # FIXED instruction length: XLA:CPU compiles once per shape, not once
+    # per qubit index — the per-int-index forms accumulate thousands of
+    # tiny executables over a 77-qubit protocol and trip the in-process
+    # CPU-compiler segfault tests/conftest.py documents.
+    maxw = max(int(ph.checks.sum(axis=1).max()) for ph in prog._phases) + 2
+
+    def scanned(t, ops, q0, q1):
+        pad = maxw - len(ops)
+        return tb.run_circuit_scanned(
+            t, np.asarray(ops + [0] * pad, np.int32),
+            np.asarray(q0 + [0] * pad, np.int32),
+            np.asarray(q1 + [0] * pad, np.int32))
+
+    def meas_qubits(t, qubits):
+        t, outs = tb.measure_many(t, np.asarray(qubits, np.int32), nk())
+        return t, np.asarray(outs)[0]
+
+    def reset_anc(t, out):
+        if out:
+            t = tb.apply_x_many(t, np.asarray([anc], np.int32))
+        return t
+
+    def meas_z_op(t, support):
+        sup = [int(qb) for qb in np.nonzero(support)[0]]
+        t = scanned(t, [6] * len(sup), sup, [anc] * len(sup))
+        t, out = meas_qubits(t, [anc])
+        return reset_anc(t, out[0]), int(out[0])
+
+    def meas_x_check(t, support):
+        sup = [int(qb) for qb in np.nonzero(support)[0]]
+        t = scanned(t, [4] + [6] * len(sup) + [4],
+                    [anc] + [anc] * len(sup) + [anc],
+                    [0] + sup + [0])
+        t, out = meas_qubits(t, [anc])
+        return reset_anc(t, out[0]), int(out[0])
+
+    # data patches: |0...0⟩ products, X checks projected with Z fixups
+    for i in range(prog.n_data):
+        hx = prog._embed(prog._hx_p, *prog._origin((0, 2 * i)),
+                         prog.d, prog.d)
+        outs = []
+        for c in range(hx.shape[0]):
+            t, out = meas_x_check(t, hx[c])
+            outs.append(out)
+        fix = surgery._solve_gf2(hx.T, np.asarray(outs, np.uint8))
+        assert fix is not None
+        if fix.any():
+            t = tb.apply_z_many(t, np.nonzero(fix)[0].astype(np.int32))
+    if prep_x_flips:
+        t = tb.apply_x_many(t, np.asarray(prep_x_flips, np.int32))
+
+    conj_at = {}
+    for ci in prog._conj:
+        conj_at.setdefault(ci.phase, []).extend(ci.qubits)
+    reads_at = {}
+    for ro in prog._readouts:
+        reads_at.setdefault(ro.phase, []).extend(ro.qubits)
+    read_pos = {k: i for i, k in enumerate(recipe["read_order"])}
+    meas_pos = {k: i for i, k in enumerate(recipe["meas_order"])}
+
+    active = np.stack(prog._active)
+    starts = np.concatenate(
+        [[0], np.cumsum([ph.rounds for ph in prog._phases])])
+    n_ph = len(prog._phases)
+    for ph in range(n_ph):
+        if ph > 0:
+            gone = np.nonzero(active[ph - 1] & (1 - active[ph]))[0]
+            scored = set(reads_at.get(ph, []))
+            # scored Z readouts first, then silent X measurements;
+            # reset each measured-out qubit to |0⟩ so a later
+            # reactivation starts fresh
+            for qb in sorted(scored):
+                t, out = meas_qubits(t, [qb])
+                outcomes[n_meas + read_pos[(ph, int(qb))]] = out[0]
+                if out[0]:
+                    t = tb.apply_x_many(t, np.asarray([qb], np.int32))
+            for qb in gone:
+                if int(qb) in scored:
+                    continue
+                t = tb.apply_h_many(t, np.asarray([qb], np.int32))
+                t, out = meas_qubits(t, [int(qb)])
+                if out[0]:
+                    t = tb.apply_x_many(t, np.asarray([qb], np.int32))
+        # conjugate-basis initializations of this phase (fresh |+⟩)
+        if ph in conj_at and ph not in skip_h_phases:
+            t = tb.apply_h_many(t, np.asarray(sorted(conj_at[ph]),
+                                              np.int32))
+        for tt in range(prog._phases[ph].rounds):
+            t_global = int(starts[ph]) + tt
+            for c in range(prog._phases[ph].checks.shape[0]):
+                t, out = meas_z_op(t, prog._phases[ph].checks[c])
+                outcomes[meas_pos[(ph, t_global, c)]] = out
+    fin_qubits = [int(qb) for qb in np.nonzero(active[-1])[0]]
+    t, word = meas_qubits(t, fin_qubits)
+    for qb, b in zip(fin_qubits, word):
+        outcomes[n_meas + n_read + qb] = b
+    return outcomes
+
+
+def _xflip_qubits(prog, i):
+    """X̄ support of data patch i (its block's first column)."""
+    r0, c0 = prog._origin((0, 2 * i))
+    return [(r0 + r) * prog.cols_q + c0 for r in range(prog.d)]
+
+
+class TestTableauGoldCnot:
+    @pytest.mark.parametrize("zc,zt", [
+        (1, 0),
+        pytest.param(0, 0, marks=pytest.mark.skipif(
+            not os.environ.get("QCSS_SLOW_TESTS"),
+            reason="slow tableau gold; set QCSS_SLOW_TESTS=1")),
+        pytest.param(0, 1, marks=pytest.mark.skipif(
+            not os.environ.get("QCSS_SLOW_TESTS"),
+            reason="slow tableau gold; set QCSS_SLOW_TESTS=1")),
+        pytest.param(1, 1, marks=pytest.mark.skipif(
+            not os.environ.get("QCSS_SLOW_TESTS"),
+            reason="slow tableau gold; set QCSS_SLOW_TESTS=1")),
+    ])
+    def test_truth_table(self, zc, zt):
+        import jax
+
+        prog = LogicalProgram(3, 2).cnot(0, 1)
+        model = prog.build(with_recipe=True)
+        recipe = model.meta["recipe"]
+        flips = ([] if not zc else _xflip_qubits(prog, 0)) + \
+            ([] if not zt else _xflip_qubits(prog, 1))
+        n_seeds = 2 if os.environ.get("QCSS_SLOW_TESTS") else 1
+        for seed in range(n_seeds):
+            o = _run_compiled_protocol(
+                prog, model, jax.random.key(131 + 2 * zc + zt + 10 * seed),
+                prep_x_flips=flips)
+            dets = (recipe["D"].astype(np.int64) @ o.astype(np.int64)) & 1
+            assert not dets.any()
+            vals = (recipe["obs"].astype(np.int64) @ o.astype(np.int64)) & 1
+            names = model.meta["obs_names"]
+            got = dict(zip(names, vals))
+            assert got["z0"] == zc
+            assert got["z1"] == (zt ^ zc)
+
+
+class TestTableauGoldT:
+    @pytest.mark.parametrize("zd,magic_plus", [
+        (1, False),
+        pytest.param(0, False, marks=pytest.mark.skipif(
+            not os.environ.get("QCSS_SLOW_TESTS"),
+            reason="slow tableau gold; set QCSS_SLOW_TESTS=1")),
+        pytest.param(1, True, marks=pytest.mark.skipif(
+            not os.environ.get("QCSS_SLOW_TESTS"),
+            reason="slow tableau gold; set QCSS_SLOW_TESTS=1")),
+    ])
+    def test_gold(self, zd, magic_plus):
+        """With the magic patch as a Z-definite stand-in (|0̄⟩: skip its
+        H's), m1 must equal z_d ⊕ 0 deterministically; with the declared
+        |+̄⟩ prep m1 is projection-random but every detector must still
+        be zero and Z̄_D must read back."""
+        import jax
+
+        prog = LogicalProgram(3, 1).t(0)
+        model = prog.build(with_recipe=True)
+        recipe = model.meta["recipe"]
+        skip = () if magic_plus else tuple(
+            ci.phase for ci in prog._conj)
+        flips = [] if not zd else _xflip_qubits(prog, 0)
+        n_seeds = 2 if os.environ.get("QCSS_SLOW_TESTS") else 1
+        for seed in range(n_seeds):
+            o = _run_compiled_protocol(
+                prog, model, jax.random.key(57 + zd + 10 * seed),
+                prep_x_flips=flips, skip_h_phases=skip)
+            dets = (recipe["D"].astype(np.int64) @ o.astype(np.int64)) & 1
+            assert not dets.any()
+            vals = (recipe["obs"].astype(np.int64) @ o.astype(np.int64)) & 1
+            got = dict(zip(model.meta["obs_names"], vals))
+            assert got["z0"] == zd
+            if not magic_plus:
+                assert got[model.meta["obs_names"][0]] == zd
