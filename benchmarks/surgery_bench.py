@@ -30,6 +30,23 @@ def _compiled_cnot(d, p, q=None, *, batch=1 << 13, seed=0, weighted=False):
         p, q, batch=batch, seed=seed, weighted=weighted)
 
 
+def _compiled_cnot_device(d, p, q=None, *, batch=1 << 13, seed=0,
+                          weighted=False):
+    """The fused on-device form: sample + UF decode + count in ONE
+    compiled program, 4 timed reps after a warm-up rep (host-fenced)."""
+    from qcss_tpu.experiments.logical import LogicalProgram
+
+    prog = LogicalProgram(d, 2).cnot(0, 1)
+    prog.run(p, q, batch=batch, seed=seed, weighted=weighted,
+             decoder="device-uf", reps=1)          # compile + warm
+    t0 = time.perf_counter()
+    out = prog.run(p, q, batch=batch, seed=seed + 1, weighted=weighted,
+                   decoder="device-uf", reps=4)
+    dt = time.perf_counter() - t0
+    out["shots_per_sec"] = round(out["samples"] / dt)
+    return out
+
+
 def _compiled_program(d, p, q=None, *, batch=1 << 13, seed=0,
                       weighted=False):
     """A 3-qubit logical program: CNOT(0,1); T(1); CNOT(1,2) — every op
@@ -47,6 +64,7 @@ EXPERIMENTS = {
     "tgadget": t_gadget_memory,
     "chain": parity_chain_memory,
     "compiled-cnot": _compiled_cnot,
+    "compiled-cnot-device": _compiled_cnot_device,
     "compiled-program": _compiled_program,
 }
 

@@ -386,14 +386,27 @@ class LogicalProgram:
 
     def run(self, p: float, q: float | None = None, *,
             batch: int = 1 << 13, seed: int = 0, weighted: bool = False,
+            decoder: str = "host", reps: int = 1,
             use_native: bool | None = None) -> dict:
         """Monte-Carlo the compiled program; per-observable and word
-        failure rates keyed by observable name."""
+        failure rates keyed by observable name.
+
+        decoder='host' decodes with the C++ union-find;
+        decoder='device-uf' runs the FULLY FUSED pipeline — sampling,
+        detector assembly, union-find decode and failure counting in one
+        compiled device program, only counts crossing the host boundary
+        (`patches.schedule_memory_device`)."""
         q_ = p if q is None else q
         kw = dict(p=p, q=q_) if weighted else dict(p=None, q=None)
         model = self.build(**kw)
-        out = P.schedule_memory(model, p, q_, batch=batch, seed=seed,
-                                use_native=use_native)
+        if decoder == "device-uf":
+            out = P.schedule_memory_device(model, p, q_, batch=batch,
+                                           seed=seed, reps=reps)
+        elif decoder == "host":
+            out = P.schedule_memory(model, p, q_, batch=batch, seed=seed,
+                                    use_native=use_native)
+        else:
+            raise ValueError("decoder must be 'host' or 'device-uf'")
         for i, name in enumerate(model.meta["obs_names"]):
             out[f"{name}_fail"] = out.pop(f"obs{i}_fail")
         out.update({"d": self.d, "rounds": self.R,

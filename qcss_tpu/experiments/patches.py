@@ -528,6 +528,63 @@ def schedule_memory(model: ScheduleModel, p: float, q: float | None = None,
     return out
 
 
+def schedule_memory_device(model: ScheduleModel, p: float,
+                           q: float | None = None, *,
+                           batch: int = 1 << 13, seed: int = 0,
+                           reps: int = 1) -> dict:
+    """The fully inverted pipeline for an arbitrary patch schedule:
+    sampling, detector assembly, union-find decoding and failure
+    counting fuse into ONE compiled device program (`decode.device_uf`)
+    — only per-observable failure counts cross the host boundary. The
+    schedule analogue of `memory_experiment(decoder='device-uf')`;
+    weight the graph by building the model with p/q.
+
+    `reps` re-runs the compiled step with fresh keys and accumulates —
+    the throughput-measurement form (one compile, many batches)."""
+    from qcss_tpu.decode.device_uf import make_obs_decoder
+
+    q = p if q is None else q
+    n_obs = model.obs.shape[0]
+    if n_obs > 24:
+        raise ValueError("device path packs obs rows into one int32")
+    decode_fn = make_obs_decoder(model.graph)
+    cls = jnp.asarray(model.fault_probs_class)
+    f_t = jnp.asarray(model.F.T.astype(np.int32))
+    obs_t = jnp.asarray(model.obs.T.astype(np.int32))
+    bits = jnp.asarray(1 << np.arange(n_obs), jnp.int32)
+
+    @jax.jit
+    def step(key):
+        dets, ob = _sample(key, jnp.float32(p), jnp.float32(q), batch,
+                           cls, f_t, obs_t)
+        flips, conv = decode_fn(dets)
+        truth = (ob.astype(jnp.int32) * bits[None, :]).sum(axis=1)
+        fail = flips.astype(jnp.int32) ^ truth
+        per_obs = ((fail[:, None] & bits[None, :]) > 0).sum(axis=0)
+        word = (fail != 0).sum()
+        return per_obs, word, (1 - conv.astype(jnp.int32)).sum()
+
+    per_obs = np.zeros(n_obs, np.int64)
+    word = bad = 0
+    for r in range(reps):
+        po, w, b = step(jax.random.fold_in(jax.random.key(seed), r))
+        # host-fence each rep (tunnel benches require it; see bench.py)
+        per_obs += np.asarray(po).astype(np.int64)
+        word += int(w)
+        bad += int(b)
+    if bad:
+        raise RuntimeError("device union-find hit its growth cap")
+    total = batch * reps
+    out = {"p": float(p), "q": float(q), "samples": total,
+           "detectors": int(model.F.shape[0]),
+           "edges": int(model.graph.num_edges),
+           "decoder": "device-uf",
+           "word_fail": word / total}
+    for i in range(n_obs):
+        out[f"obs{i}_fail"] = per_obs[i] / total
+    return out
+
+
 # -- composed demo: the logical-level parity-check chain ---------------------
 
 

@@ -14,6 +14,7 @@ from qcss_tpu.parallel.mesh import (
     sharded_bp_memory,
     sharded_ftqc_run,
     sharded_logical_error_rate,
+    sharded_logical_program,
     sharded_magic_factory,
     sharded_mc_step,
     sharded_qldpc_circuit_memory,
@@ -25,6 +26,7 @@ __all__ = [
     "sharded_bp_memory",
     "sharded_ftqc_run",
     "sharded_logical_error_rate",
+    "sharded_logical_program",
     "sharded_magic_factory",
     "sharded_mc_step",
     "sharded_qldpc_circuit_memory",

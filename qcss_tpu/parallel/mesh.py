@@ -546,6 +546,77 @@ def sharded_magic_factory(mesh: Mesh, noise, p_in, batch: int, *,
     }
 
 
+_LOGICAL_PROG_CACHE: dict = {}
+
+
+def sharded_logical_program(model, mesh: Mesh, *, p: float,
+                            q: float | None = None, batch: int,
+                            seed: int = 0) -> dict[str, float]:
+    """Mesh-parallel compiled logical program (eighth validated
+    pipeline): every device samples its shard of the program's fault
+    model AND union-find-decodes it (`decode.device_uf` inside the
+    shard_map); one `psum` of per-observable failure counts is the only
+    collective — logical circuits at pod scale with nothing but counts
+    leaving the devices.
+
+    `model` is a built `experiments.patches.ScheduleModel` (e.g.
+    `LogicalProgram(...).cnot(0, 1).build()`)."""
+    from qcss_tpu.decode.device_uf import make_obs_decoder
+    from qcss_tpu.experiments.surgery import _sample
+
+    q = p if q is None else q
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+    n_obs = model.obs.shape[0]
+    # content digest, NOT id(): a freed model's id can be reused and
+    # alias a different compiled pipeline (see CLAUDE.md invariant)
+    import hashlib
+
+    dig = hashlib.sha1(
+        model.F.tobytes() + model.obs.tobytes()
+        + model.graph.edge_weight.tobytes()).hexdigest()
+    ck = (dig, local, float(p), float(q),
+          tuple(sorted(mesh.shape.items())))
+    fn = _LOGICAL_PROG_CACHE.get(ck)
+    if fn is None:
+        decode_fn = make_obs_decoder(model.graph)
+        cls = jnp.asarray(model.fault_probs_class)
+        f_t = jnp.asarray(model.F.T.astype(np.int32))
+        obs_t = jnp.asarray(model.obs.T.astype(np.int32))
+        bits = jnp.asarray(1 << np.arange(n_obs), jnp.int32)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(),),
+                 out_specs=(P(), P(), P()), check_vma=False)
+        def step(k):
+            my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            dets, ob = _sample(my_key, jnp.float32(p), jnp.float32(q),
+                               local, cls, f_t, obs_t)
+            flips, conv = decode_fn(dets)
+            truth = (ob.astype(jnp.int32) * bits[None, :]).sum(axis=1)
+            fail = flips.astype(jnp.int32) ^ truth
+            per_obs = ((fail[:, None] & bits[None, :]) > 0).sum(axis=0)
+            word = (fail != 0).sum()
+            bad = (1 - conv.astype(jnp.int32)).sum()
+            return (jax.lax.psum(per_obs, axis),
+                    jax.lax.psum(word, axis), jax.lax.psum(bad, axis))
+
+        fn = jax.jit(step)
+        _LOGICAL_PROG_CACHE[ck] = fn
+    per_obs, word, bad = fn(jax.random.key(seed))
+    if int(bad):
+        raise RuntimeError("device union-find hit its growth cap")
+    out = {"word_fail": int(word) / batch, "samples": batch,
+           "devices": n_dev, "p": float(p), "q": float(q)}
+    names = model.meta.get("obs_names",
+                           [f"obs{i}" for i in range(n_obs)])
+    for i, name in enumerate(names):
+        out[f"{name}_fail"] = int(per_obs[i]) / batch
+    return out
+
+
 def sharded_logical_error_rate(
     code,
     p,

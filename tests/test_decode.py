@@ -268,6 +268,26 @@ class TestParallel:
         assert abs(out3["p_accept"] - ref["p_accept"]) < 0.05
         assert abs(out3["p_out"] - ref["p_out"]) < 0.02
 
+    def test_sharded_logical_program(self):
+        """Mesh-parallel compiled logical program (pipeline #8): quiet
+        run exactly zero; noisy psummed rates within MC tolerance of the
+        single-device fused pipeline on the same model."""
+        from qcss_tpu.experiments.logical import LogicalProgram
+        from qcss_tpu.parallel import make_mesh, sharded_logical_program
+
+        mesh = make_mesh()
+        prog = LogicalProgram(3, 2).cnot(0, 1)
+        model = prog.build()
+        quiet = sharded_logical_program(model, mesh, p=1e-9,
+                                        batch=8 * 64, seed=1)
+        assert quiet["word_fail"] == 0.0
+        out = sharded_logical_program(model, mesh, p=3e-3,
+                                      batch=8 * 1024, seed=2)
+        ref = prog.run(3e-3, batch=1 << 13, seed=3, decoder="device-uf")
+        assert abs(out["word_fail"] - ref["word_fail"]) < 0.02
+        assert set(k for k in out if k.endswith("_fail")) >= {
+            "z0_fail", "z1_fail", "word_fail"}
+
     def test_sharded_rate_close_to_single_device(self, steane):
         from qcss_tpu.parallel import make_mesh, sharded_logical_error_rate
 

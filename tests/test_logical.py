@@ -51,6 +51,26 @@ class TestCompiledCnot:
         assert hi["word_fail"] < lo["word_fail"]
 
 
+class TestDevicePipeline:
+    def test_fused_device_matches_host(self):
+        """The fully fused device pipeline (sample + UF decode + count in
+        one compiled program) is quiet-exact and statistically
+        interchangeable with the host decode on the compiled CNOT."""
+        prog = LogicalProgram(3, 2).cnot(0, 1)
+        quiet = prog.run(0.0, 0.0, batch=256, decoder="device-uf")
+        assert quiet["word_fail"] == 0.0
+        host = prog.run(2e-3, batch=1 << 12, seed=5)
+        dev = prog.run(2e-3, batch=1 << 12, seed=5, decoder="device-uf")
+        n = 1 << 12
+        # device pairing may differ from host peeling on degenerate
+        # shots; rates must agree within combined binomial error
+        for k in ("z0_fail", "z1_fail", "word_fail"):
+            sd = (host[k] * (1 - host[k]) / n) ** 0.5 + \
+                (dev[k] * (1 - dev[k]) / n) ** 0.5 + 1e-9
+            assert abs(host[k] - dev[k]) < 5 * sd + 2 / n, (k, host[k],
+                                                            dev[k])
+
+
 class TestTGadgetOp:
     def test_t_quiet_and_singles(self):
         prog = LogicalProgram(3, 1).t(0)
