@@ -158,6 +158,16 @@ def main():
           f"-> 2-level p_out {rep['p_out']:.2e}",
           f"at {rep['injections_per_state']:.0f} injections/state")
 
+    # 14. The logical-program compiler: a Z-basis logical circuit —
+    # lattice-surgery CNOT with a routed ancilla — compiled onto a patch
+    # grid as one declarative schedule and decoded end to end.
+    from qcss_tpu.experiments import LogicalProgram
+
+    out = LogicalProgram(3, 2).cnot(0, 1).run(2e-3, batch=1 << 12)
+    print("compiled logical CNOT @ d=3, p=2e-3:",
+          f"word fail {out['word_fail']:.4f}",
+          f"({out['n_phases']} phases, {out['grid_qubits']} grid qubits)")
+
 
 if __name__ == "__main__":
     main()
