@@ -43,8 +43,32 @@ tests/test_logical.py):
     physics itself (injection ε, distillation, the X-sector OUT
     channel) is `experiments.surgery_t` / `ftqc.magic`'s domain; here
     M is a stabilizer stand-in with the identical fault model.
+  * `mzz(a, b)`: NON-destructive joint measurement Z̄_a·Z̄_b between any
+    data pair — the logical-level syndrome extraction primitive
+    (`patches.parity_chain_model` is its hand-rolled special case). A
+    |+̄⟩ ancilla below `a` takes m1 = ZZ(A, D_a), routes along row 1 to
+    below `b`, takes m2 = ZZ(A, D_b), and is measured out in X
+    (silent). m1 ⊕ m2 ⊕ frame(A) = Z̄_a·Z̄_b exactly because Z̄_A is
+    projection-random but CONSISTENT between the two joints (the move
+    frames transport its representative); the combination is scored as
+    its own observable row `mzz{a}{b}`.
+  * `x(q)`: logical X̄ — a deterministic Pauli frame op. It emits no
+    phases and no fault locations (a noiseless software frame commutes
+    with every Z check, so detectors are untouched); it flips the
+    classical Z-basis bit the program is tracking, so expected
+    outcomes (`meta["obs_expected"]`) and the tableau golds see it at
+    the right program position (`meta["x_ops"]`: physical X̄ chains
+    applied at phase boundaries — mid-program ordering matters:
+    x(c) BEFORE cnot(c, t) flips both outputs, AFTER flips only z_c).
   * `measure()` finalizes: obs row per data qubit = final transversal
     Z̄ readout ⊕ its accumulated frame terms.
+
+Deterministic semantics: Z-basis inputs under {x, cnot, mzz, t} stay
+classical bits, so the compiler tracks the expected value of every
+scored observable (`meta["obs_expected"]`; None for projection-random
+channels — the declared-|+̄⟩ T-gadget m1). Decode failure rates are
+frame-relative and do not depend on the expected table; golds and
+users interpreting raw outcomes do.
 
 The reference has no multi-patch machinery, no logical two-qubit gate,
 and no non-Clifford path at all (reference: ftqc.py:42-120,
@@ -117,8 +141,12 @@ class LogicalProgram:
         self._slot_of: dict[str, tuple[int, int]] = {}
         self._frames: dict[str, list] = {}
         self._aux_obs: list[tuple[str, list]] = []
+        self._aux_expected: list[int | None] = []
         self._anc_count = 0
         self._built = None
+        self._bits = [0] * n_data
+        self._xops: list[tuple[int, tuple[int, ...]]] = []
+        self._op_log: list[tuple] = []
 
         for i in range(n_data):
             pid = f"d{i}"
@@ -339,6 +367,8 @@ class LogicalProgram:
         upd = _xor_terms(_xor_terms(m1, self._frames.pop(a)),
                          _xor_terms(m_a, pi))
         self._frames[f"d{t}"] = _xor_terms(self._frames[f"d{t}"], upd)
+        self._bits[t] ^= self._bits[c]
+        self._op_log.append(("cnot", c, t))
         return self
 
     def t(self, q: int) -> "LogicalProgram":
@@ -357,18 +387,74 @@ class LogicalProgram:
         self._frames.pop(m)
         self._push_sep()
         self._aux_obs.append((f"t{q}_m1_{len(self._aux_obs)}", m1))
+        self._aux_expected.append(None)   # projection-random on |+̄⟩
+        self._op_log.append(("t", q))
+        return self
+
+    def mzz(self, a: int, b: int) -> "LogicalProgram":
+        """Non-destructive joint measurement of Z̄_a·Z̄_b, any data pair:
+        |+̄⟩ ancilla below `a`, ZZ(A, D_a), routed along the routing row
+        to below `b`, ZZ(A, D_b), measured out in X (silent). The scored
+        combination m1 ⊕ m2 ⊕ frame(A) equals Z̄_a·Z̄_b because Z̄_A is
+        random-but-consistent across the two joints (its representative
+        is transported by the move frames). Both patches survive — this
+        is the syndrome-extraction primitive of logical-level codes
+        (`patches.parity_chain_model` hand-rolls the column version)."""
+        if not (0 <= a < self.n_data and 0 <= b < self.n_data) or a == b:
+            raise ValueError("bad mzz pair")
+        anc = self._prep((1, 2 * a))
+        m1 = self._zz(f"d{a}", anc)
+        step = 1 if b > a else -1
+        col = 2 * a
+        while col != 2 * b:
+            self._move(anc, (1, col + step))
+            col += step
+        m2 = self._zz(f"d{b}", anc)
+        # measure A out in X: silent deactivation (same as t's magic
+        # patch) — no observable reads A after m2, so its trailing EC
+        # rounds are gauge
+        slot = self._slot_of.pop(anc)
+        del self._occ[slot]
+        frame_a = self._frames.pop(anc)
+        self._push_sep()
+        terms = _xor_terms(_xor_terms(m1, m2), frame_a)
+        self._aux_obs.append((f"mzz{a}{b}_{len(self._aux_obs)}", terms))
+        self._aux_expected.append(self._bits[a] ^ self._bits[b])
+        self._op_log.append(("mzz", a, b))
+        return self
+
+    def x(self, q: int) -> "LogicalProgram":
+        """Logical X̄ on data qubit q — a deterministic Pauli frame op.
+
+        Emits no phases and no fault locations: a noiseless X̄ chain
+        commutes with every Z stabilizer (detectors untouched) and
+        anticommutes with Z̄_q (later Z readouts flip). The compiler
+        applies it to the tracked classical bits — program ORDER
+        matters through cnot — and records the physical chain + phase
+        boundary in `meta["x_ops"]` so the tableau golds can enact it.
+        (The dual z(q) is the identity on every observable a Z-basis
+        program can score, so there is nothing to compile for it.)"""
+        if not 0 <= q < self.n_data:
+            raise ValueError("bad qubit")
+        self._bits[q] ^= 1
+        r0, c0 = self._origin((0, 2 * q))
+        chain = tuple((r0 + r) * self.cols_q + c0 for r in range(self.d))
+        self._xops.append((len(self._phases), chain))
+        self._op_log.append(("x", q))
         return self
 
     def measure(self) -> "LogicalProgram":
         """Finalize: transversal Z readout of every data patch."""
         self._obs_names = [name for name, _ in self._aux_obs]
         self._obs = [terms for _, terms in self._aux_obs]
+        self._obs_expected = list(self._aux_expected)
         for i in range(self.n_data):
             pid = f"d{i}"
             terms = _xor_terms([P.logical(self._zrep(self._slot_of[pid]))],
                                self._frames[pid])
             self._obs_names.append(f"z{i}")
             self._obs.append(terms)
+            self._obs_expected.append(self._bits[i])
         return self
 
     def build(self, p: float | None = None,
@@ -382,6 +468,9 @@ class LogicalProgram:
             conjugate_init=tuple(self._conj), p=p, q=q,
             with_recipe=with_recipe)
         model.meta["obs_names"] = list(self._obs_names)
+        model.meta["obs_expected"] = list(self._obs_expected)
+        model.meta["x_ops"] = list(self._xops)
+        model.meta["op_log"] = list(self._op_log)
         return model
 
     def run(self, p: float, q: float | None = None, *,

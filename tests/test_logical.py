@@ -169,6 +169,10 @@ def _run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
     if prep_x_flips:
         t = tb.apply_x_many(t, np.asarray(prep_x_flips, np.int32))
 
+    x_at = {}
+    for phx, chain in model.meta.get("x_ops", []):
+        x_at.setdefault(phx, []).extend(chain)
+
     conj_at = {}
     for ci in prog._conj:
         conj_at.setdefault(ci.phase, []).extend(ci.qubits)
@@ -205,11 +209,16 @@ def _run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
         if ph in conj_at and ph not in skip_h_phases:
             t = tb.apply_h_many(t, np.asarray(sorted(conj_at[ph]),
                                               np.int32))
+        # program-order logical X̄ chains landing at this boundary
+        if ph in x_at:
+            t = tb.apply_x_many(t, np.asarray(sorted(x_at[ph]), np.int32))
         for tt in range(prog._phases[ph].rounds):
             t_global = int(starts[ph]) + tt
             for c in range(prog._phases[ph].checks.shape[0]):
                 t, out = meas_z_op(t, prog._phases[ph].checks[c])
                 outcomes[meas_pos[(ph, t_global, c)]] = out
+    if n_ph in x_at:    # X̄ ops trailing the last emitted phase
+        t = tb.apply_x_many(t, np.asarray(sorted(x_at[n_ph]), np.int32))
     fin_qubits = [int(qb) for qb in np.nonzero(active[-1])[0]]
     t, word = meas_qubits(t, fin_qubits)
     for qb, b in zip(fin_qubits, word):
@@ -256,6 +265,75 @@ class TestTableauGoldCnot:
             got = dict(zip(names, vals))
             assert got["z0"] == zc
             assert got["z1"] == (zt ^ zc)
+
+
+class TestMzzOp:
+    def test_singles_quiet_and_expected(self):
+        prog = LogicalProgram(3, 2).x(0).mzz(0, 1)
+        model = prog.build()
+        assert model.meta["obs_names"][0].startswith("mzz01")
+        assert model.meta["obs_expected"] == [1, 1, 0]
+        dec = UFDecoder(model.graph)
+        _, corr = dec.decode_batch(model.F.T.astype(np.uint8),
+                                   want_corrections=False)
+        for i in range(model.obs.shape[0]):
+            assert not ((model.obs[i] ^ ((corr >> i) & 1)) == 1).any()
+        out = prog.run(0.0, 0.0, batch=64)
+        assert out["word_fail"] == 0.0
+
+    def test_x_ordering_through_cnot(self):
+        """x(c) BEFORE cnot(c,t) flips both outputs; AFTER flips only
+        z_c — the tracked bits honor program order."""
+        before = LogicalProgram(3, 2).x(0).cnot(0, 1).build()
+        after = LogicalProgram(3, 2).cnot(0, 1).x(0).build()
+        assert before.meta["obs_expected"] == [1, 1]
+        assert after.meta["obs_expected"] == [1, 0]
+        # the x op itself adds no phases and no fault locations
+        plain = LogicalProgram(3, 2).cnot(0, 1).build()
+        assert before.F.shape == plain.F.shape
+
+    @pytest.mark.skipif(not os.environ.get("QCSS_SLOW_TESTS"),
+                        reason="slow; set QCSS_SLOW_TESTS=1")
+    def test_suppression_with_distance(self):
+        lo = LogicalProgram(3, 2).mzz(0, 1).run(2e-3, batch=1 << 13,
+                                                seed=3)
+        hi = LogicalProgram(5, 2).mzz(0, 1).run(2e-3, batch=1 << 13,
+                                                seed=3)
+        assert hi["word_fail"] < lo["word_fail"]
+
+
+class TestTableauGoldMzz:
+    @pytest.mark.parametrize("za,zb", [
+        (1, 0),
+        pytest.param(1, 1, marks=pytest.mark.skipif(
+            not os.environ.get("QCSS_SLOW_TESTS"),
+            reason="slow tableau gold; set QCSS_SLOW_TESTS=1")),
+    ])
+    def test_gold(self, za, zb):
+        """mzz reads Z̄_a·Z̄_b non-destructively: every detector zero,
+        the mzz combination equals za ⊕ zb, and BOTH patch logicals
+        survive to the final readout — with the inputs set by the
+        compiler's own x() op (exercising meta['x_ops'] end to end)."""
+        import jax
+
+        prog = LogicalProgram(3, 2)
+        if za:
+            prog.x(0)
+        if zb:
+            prog.x(1)
+        prog.mzz(0, 1)
+        model = prog.build(with_recipe=True)
+        recipe = model.meta["recipe"]
+        o = _run_compiled_protocol(prog, model,
+                                   jax.random.key(71 + 2 * za + zb))
+        dets = (recipe["D"].astype(np.int64) @ o.astype(np.int64)) & 1
+        assert not dets.any()
+        vals = (recipe["obs"].astype(np.int64) @ o.astype(np.int64)) & 1
+        got = dict(zip(model.meta["obs_names"], vals))
+        assert got[model.meta["obs_names"][0]] == za ^ zb
+        assert got["z0"] == za
+        assert got["z1"] == zb
+        assert list(vals) == model.meta["obs_expected"]
 
 
 class TestTableauGoldT:
