@@ -17,6 +17,12 @@ from qcss_tpu.experiments.injection import (
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
 from qcss_tpu.experiments.logical import LogicalProgram
+from qcss_tpu.experiments.resources import (
+    fit_suppression,
+    logical_resource_report,
+    program_stats,
+    required_distance,
+)
 from qcss_tpu.experiments.patches import (
     Phase,
     Readout,
@@ -49,7 +55,11 @@ __all__ = [
     "erasure_error_rate",
     "erasure_phenomenological_error_rate",
     "factory_report",
+    "fit_suppression",
+    "logical_resource_report",
     "magic_injection_experiment",
+    "program_stats",
+    "required_distance",
     "memory_experiment",
     "xz_memory_experiment",
     "qldpc_memory_experiment",
