@@ -16,6 +16,10 @@ from qcss_tpu.experiments.injection import (
     magic_injection_experiment,
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+from qcss_tpu.experiments.concatenated import (
+    logical_repetition_memory,
+    repetition_spacetime_graph,
+)
 from qcss_tpu.experiments.logical import LogicalProgram
 from qcss_tpu.experiments.resources import (
     fit_suppression,
@@ -56,7 +60,9 @@ __all__ = [
     "erasure_phenomenological_error_rate",
     "factory_report",
     "fit_suppression",
+    "logical_repetition_memory",
     "logical_resource_report",
+    "repetition_spacetime_graph",
     "magic_injection_experiment",
     "program_stats",
     "required_distance",

@@ -500,12 +500,17 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                          F=F, obs=obs, graph=graph, meta=meta)
 
 
-def schedule_memory(model: ScheduleModel, p: float, q: float | None = None,
-                    *, batch: int = 1 << 13, seed: int = 0,
-                    use_native: bool | None = None) -> dict:
-    """Monte-Carlo a built schedule: device-sample the fault model,
-    union-find decode, score every declared observable. Returns per-
-    observable failure rates plus `word_fail` (any observable wrong)."""
+def schedule_decoded_obs(model: ScheduleModel, p: float,
+                         q: float | None = None, *, batch: int = 1 << 13,
+                         seed: int = 0,
+                         use_native: bool | None = None) -> np.ndarray:
+    """Per-shot DECODED observable deviations, [batch, n_obs] uint8:
+    device-sample the fault model, union-find decode, XOR each
+    observable's raw fault-linear value with the correction's obs
+    flips. A 1 means that observable deviates from its noiseless value
+    after decoding (= a logical failure for that channel); the matrix
+    IS the logical-level measurement record a second decoding layer
+    consumes (`experiments/concatenated.py`)."""
     q = p if q is None else q
     dec = UFDecoder(model.graph, use_native=use_native)
     dets, ob = jax.jit(_sample, static_argnames=("batch",))(
@@ -515,16 +520,25 @@ def schedule_memory(model: ScheduleModel, p: float, q: float | None = None,
         jnp.asarray(model.obs.T.astype(np.int32)))
     dets, ob = np.asarray(dets), np.asarray(ob)
     _, corr = dec.decode_batch(dets, want_corrections=False)
-    fails = [(ob[:, i] ^ ((corr >> i) & 1)) == 1
-             for i in range(model.obs.shape[0])]
-    word = np.zeros(batch, dtype=bool)
+    bits = (corr[:, None] >> np.arange(model.obs.shape[0])[None, :]) & 1
+    return (ob ^ bits).astype(np.uint8)
+
+
+def schedule_memory(model: ScheduleModel, p: float, q: float | None = None,
+                    *, batch: int = 1 << 13, seed: int = 0,
+                    use_native: bool | None = None) -> dict:
+    """Monte-Carlo a built schedule: device-sample the fault model,
+    union-find decode, score every declared observable. Returns per-
+    observable failure rates plus `word_fail` (any observable wrong)."""
+    q = p if q is None else q
+    vals = schedule_decoded_obs(model, p, q, batch=batch, seed=seed,
+                                use_native=use_native)
     out = {"p": float(p), "q": float(q), "samples": batch,
            "detectors": int(model.F.shape[0]),
            "edges": int(model.graph.num_edges)}
-    for i, fl in enumerate(fails):
-        out[f"obs{i}_fail"] = float(fl.mean())
-        word |= fl
-    out["word_fail"] = float(word.mean())
+    for i in range(model.obs.shape[0]):
+        out[f"obs{i}_fail"] = float(vals[:, i].mean())
+    out["word_fail"] = float(vals.any(axis=1).mean())
     return out
 
 
