@@ -35,6 +35,8 @@ ftqc.py:42-120 — one logical qubit, no joint measurements).
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from qcss_tpu.decode.uf import MatchingGraph, UFDecoder
@@ -101,9 +103,36 @@ def repetition_spacetime_graph(k: int, layers: int) -> MatchingGraph:
         edge_weight=np.asarray(wt, np.uint8))
 
 
+def _build_program(d: int, k: int, rounds_l: int):
+    if k < 2 or rounds_l < 1:
+        raise ValueError("need k >= 2 patches and rounds_l >= 1")
+    prog = LogicalProgram(d, k)
+    for _ in range(rounds_l):
+        for i in range(k - 1):
+            prog.mzz(i, i + 1)
+    prog.measure()
+    model = prog.build()
+    # emission order: rounds_l * (k-1) mzz rows, then z0..z{k-1}
+    assert model.meta["obs_names"][-k:] == [f"z{i}" for i in range(k)]
+    return prog, model
+
+
+def _level2_detectors(mzz, z):
+    """Detector layers from the deviation record: first-sweep raw,
+    consecutive-sweep diffs, closure vs the final readouts' adjacent-
+    pair parities. mzz [B, rounds_l, k-1], z [B, k] -> [B, L*(k-1)]."""
+    closure = z[:, :-1] ^ z[:, 1:]
+    layers = jnp.concatenate(
+        [mzz[:, :1], mzz[:, 1:] ^ mzz[:, :-1],
+         (mzz[:, -1] ^ closure)[:, None]], axis=1)
+    return layers.reshape(mzz.shape[0], -1)
+
+
 def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
                               q: float | None = None, *,
                               batch: int = 1 << 12, seed: int = 0,
+                              decoder: str = "host",
+                              reps: int = 1,
                               use_native: bool | None = None) -> dict:
     """Run the two-level memory and decode BOTH levels.
 
@@ -113,36 +142,32 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
     level-1 channel rates. Level 2 pays off when patch failures are
     likely over the program duration but the level-2 spacetime decode
     localizes them (d small / p high / rounds_l ample).
+
+    decoder='host' decodes both levels with the C++ union-find;
+    decoder='device-uf' fuses EVERYTHING — fault sampling, level-1
+    detector assembly, level-1 union-find, level-2 detector assembly
+    from the decoded deviation record, level-2 union-find, and failure
+    counting — into ONE compiled device program (hierarchical decoding
+    with only counts crossing the host boundary; `reps` re-runs the
+    compiled step with fresh keys).
     """
-    if k < 2 or rounds_l < 1:
-        raise ValueError("need k >= 2 patches and rounds_l >= 1")
-    prog = LogicalProgram(d, k)
-    for _ in range(rounds_l):
-        for i in range(k - 1):
-            prog.mzz(i, i + 1)
-    prog.measure()
-    model = prog.build()
-    names = model.meta["obs_names"]
-    # emission order: rounds_l * (k-1) mzz rows, then z0..z{k-1}
+    if decoder == "device-uf":
+        return _device_two_level(d, k, rounds_l, p, q, batch=batch,
+                                 seed=seed, reps=reps)
+    if decoder != "host":
+        raise ValueError("decoder must be 'host' or 'device-uf'")
+    prog, model = _build_program(d, k, rounds_l)
     n_checks = k - 1
-    assert names[-k:] == [f"z{i}" for i in range(k)]
     vals = schedule_decoded_obs(model, p, q, batch=batch, seed=seed,
                                 use_native=use_native)
     mzz = vals[:, : rounds_l * n_checks].reshape(-1, rounds_l, n_checks)
     z = vals[:, rounds_l * n_checks:]
-
-    # detector layers: first-sweep raw, consecutive diffs, closure vs
-    # the final readouts' adjacent-pair parities
-    closure = z[:, :-1] ^ z[:, 1:]
-    layers = np.concatenate(
-        [mzz[:, :1], mzz[:, 1:] ^ mzz[:, :-1],
-         (mzz[:, -1] ^ closure)[:, None]], axis=1)
-    dets = layers.reshape(len(vals), -1)
+    dets = np.asarray(_level2_detectors(jnp.asarray(mzz), jnp.asarray(z)))
 
     graph = repetition_spacetime_graph(k, rounds_l + 1)
     dec = UFDecoder(graph, use_native=use_native)
     _, corr = dec.decode_batch(dets, want_corrections=False)
-    corr_bits = (corr[:, None] >> np.arange(k)[None, :]) & 1
+    corr_bits = (corr[:, None].astype(np.int64) >> np.arange(k)[None, :]) & 1
     z_corrected = z ^ corr_bits.astype(np.uint8)
 
     return {
@@ -155,4 +180,65 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
         "mean_z_fail_l1": float(z.mean()),
         "mean_z_fail_l2": float(z_corrected.mean()),
         "mzz_flip_rate": float(mzz.mean()),
+    }
+
+
+def _device_two_level(d: int, k: int, rounds_l: int, p: float,
+                      q: float | None, *, batch: int, seed: int,
+                      reps: int) -> dict:
+    """The fully fused hierarchical pipeline (see logical_repetition_
+    memory). Level-1 obs rows pack into one int32 (the schedule device
+    path's 24-row cap applies: rounds_l*(k-1) + k <= 24)."""
+    from qcss_tpu.decode.device_uf import make_obs_decoder
+    from qcss_tpu.experiments.patches import _sample
+
+    q = p if q is None else q
+    prog, model = _build_program(d, k, rounds_l)
+    n_checks = k - 1
+    n_obs = model.obs.shape[0]
+    if n_obs > 24:
+        raise ValueError("device path packs obs rows into one int32: "
+                         f"rounds_l*(k-1)+k = {n_obs} > 24")
+    dec1 = make_obs_decoder(model.graph)
+    dec2 = make_obs_decoder(repetition_spacetime_graph(k, rounds_l + 1))
+    cls = jnp.asarray(model.fault_probs_class)
+    f_t = jnp.asarray(model.F.T.astype(np.int32))
+    obs_t = jnp.asarray(model.obs.T.astype(np.int32))
+    bits1 = jnp.asarray(1 << np.arange(n_obs), jnp.int32)
+
+    @jax.jit
+    def step(key):
+        dets, ob = _sample(key, jnp.float32(p), jnp.float32(q), batch,
+                           cls, f_t, obs_t)
+        flips, conv1 = dec1(dets)
+        truth = (ob.astype(jnp.int32) * bits1[None, :]).sum(axis=1)
+        v = flips.astype(jnp.int32) ^ truth          # deviation bitmask
+        mzz = ((v[:, None] >> jnp.arange(rounds_l * n_checks)) & 1
+               ).reshape(-1, rounds_l, n_checks).astype(jnp.uint8)
+        z = ((v[:, None] >> (rounds_l * n_checks + jnp.arange(k))) & 1
+             ).astype(jnp.uint8)
+        dets2 = _level2_detectors(mzz, z)
+        flips2, conv2 = dec2(dets2)
+        zbits = (v >> (rounds_l * n_checks)) & ((1 << k) - 1)
+        zcorr = zbits ^ flips2.astype(jnp.int32)
+        return ((zbits != 0).sum(), (zcorr != 0).sum(),
+                (1 - conv1.astype(jnp.int32)).sum()
+                + (1 - conv2.astype(jnp.int32)).sum())
+
+    l1 = l2 = bad = 0
+    for r in range(reps):
+        a, b, c = step(jax.random.fold_in(jax.random.key(seed), r))
+        # host-fence each rep (tunnel benches require it; see bench.py)
+        l1 += int(a)
+        l2 += int(b)
+        bad += int(c)
+    if bad:
+        raise RuntimeError("device union-find hit its growth cap")
+    total = batch * reps
+    return {
+        "d": d, "k": k, "rounds_l": rounds_l,
+        "p": float(p), "q": float(q), "samples": total,
+        "grid_qubits": prog.n, "decoder": "device-uf",
+        "word_fail_l1": l1 / total,
+        "word_fail_l2": l2 / total,
     }

@@ -58,6 +58,29 @@ class TestTwoLevelMemory:
             logical_repetition_memory(3, 1, 3, 1e-3)
         with pytest.raises(ValueError):
             logical_repetition_memory(3, 3, 0, 1e-3)
+        with pytest.raises(ValueError, match="decoder"):
+            logical_repetition_memory(3, 3, 2, 1e-3, decoder="bogus")
+
+    def test_device_pipeline_matches_host(self):
+        """The fused device pipeline (sampling + both UF levels + counts
+        in one compiled program) agrees with the host path statistically
+        (exact agreement is not expected: the device kernel's
+        pairing-to-representative obs flips differ from host peeling on
+        ambiguous shots — see decode/device_uf.py)."""
+        host = logical_repetition_memory(3, 3, 2, 4e-3, batch=1 << 10,
+                                         seed=5)
+        dev = logical_repetition_memory(3, 3, 2, 4e-3, batch=1 << 10,
+                                        seed=5, decoder="device-uf")
+        assert dev["word_fail_l1"] == pytest.approx(
+            host["word_fail_l1"], abs=0.03)
+        assert dev["word_fail_l2"] <= host["word_fail_l2"] + 0.03
+        assert dev["word_fail_l2"] < dev["word_fail_l1"] / 3
+
+    def test_device_quiet_is_exact(self):
+        out = logical_repetition_memory(3, 3, 2, 0.0, 0.0, batch=64,
+                                        seed=0, decoder="device-uf")
+        assert out["word_fail_l1"] == 0.0
+        assert out["word_fail_l2"] == 0.0
 
     @pytest.mark.skipif(not os.environ.get("QCSS_SLOW_TESTS"),
                         reason="slow; set QCSS_SLOW_TESTS=1")
