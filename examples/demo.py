@@ -168,6 +168,32 @@ def main():
           f"word fail {out['word_fail']:.4f}",
           f"({out['n_phases']} phases, {out['grid_qubits']} grid qubits)")
 
+    # 15. Two-level concatenation: repeated mzz joints form a repetition
+    # code OVER the logical patches; the same union-find kernel decodes
+    # the logical-level spacetime syndrome on top of the patch decodes.
+    from qcss_tpu.experiments import logical_repetition_memory
+
+    two = logical_repetition_memory(3, 3, 3, 4e-3, batch=1 << 10, seed=1)
+    print("two-level memory @ d=3, k=3, p=4e-3: word fail",
+          f"{two['word_fail_l1']:.3f} (level 1) ->",
+          f"{two['word_fail_l2']:.3f} (level 2)")
+
+    # 16. Resource estimation: fit the failure-vs-distance law, solve
+    # for the distance meeting a budget, price the program (and its T
+    # count against a magic-state factory report).
+    from qcss_tpu.experiments import logical_resource_report
+
+    est = logical_resource_report(
+        lambda d: LogicalProgram(d, 2).cnot(0, 1).t(1),
+        2e-3, target=1e-6, fails={3: 2.3e-2, 5: 1.9e-3},  # measured pts
+        factory={"p_out": rep["p_out"],
+                 "injections_per_state": rep["injections_per_state"]})
+    print(f"resource report: Lambda {est['fit']['Lambda']:.1f},",
+          f"d* = {est['d_star']} ->",
+          f"{est['at_d_star']['grid_qubits']} grid qubits,",
+          f"{est['at_d_star']['total_rounds']} rounds,",
+          f"factory ok: {est['magic']['factory_meets_budget']}")
+
 
 if __name__ == "__main__":
     main()
