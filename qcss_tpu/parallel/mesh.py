@@ -617,6 +617,89 @@ def sharded_logical_program(model, mesh: Mesh, *, p: float,
     return out
 
 
+_TWO_LEVEL_CACHE: dict = {}
+
+
+def sharded_two_level_memory(d: int, k: int, rounds_l: int, mesh: Mesh,
+                             *, p: float, q: float | None = None,
+                             batch: int, seed: int = 0) -> dict:
+    """Mesh-parallel hierarchical (two-level concatenated) memory —
+    the ninth validated pipeline. Every device runs the FUSED
+    two-level step of `experiments.concatenated`: sample the compiled
+    mzz-sweep logical program's fault model, union-find-decode level 1,
+    assemble the level-2 repetition-code spacetime detectors from the
+    decoded deviation record, union-find-decode level 2 — and one
+    `psum` of the level-1/level-2 failure counts is the only
+    collective. Hierarchical decoding at pod scale with nothing but
+    counts leaving the devices (no analogue in the reference's
+    one-code-block world — reference: ftqc.py:42-120)."""
+    from qcss_tpu.decode.device_uf import make_obs_decoder
+    from qcss_tpu.experiments.concatenated import (
+        _build_program, _level2_detectors, repetition_spacetime_graph)
+    from qcss_tpu.experiments.surgery import _sample
+
+    q = p if q is None else q
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+    ck = (d, k, rounds_l, local, float(p), float(q),
+          tuple(sorted(mesh.shape.items())))
+    entry = _TWO_LEVEL_CACHE.get(ck)
+    if entry is None:
+        prog, model = _build_program(d, k, rounds_l)
+        n_checks = k - 1
+        n_obs = model.obs.shape[0]
+        if n_obs > 24:
+            raise ValueError(
+                "device path packs obs rows into one int32: "
+                f"rounds_l*(k-1)+k = {n_obs} > 24")
+        dec1 = make_obs_decoder(model.graph)
+        dec2 = make_obs_decoder(repetition_spacetime_graph(k, rounds_l + 1))
+        cls = jnp.asarray(model.fault_probs_class)
+        f_t = jnp.asarray(model.F.T.astype(np.int32))
+        obs_t = jnp.asarray(model.obs.T.astype(np.int32))
+        bits1 = jnp.asarray(1 << np.arange(n_obs), jnp.int32)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(),),
+                 out_specs=(P(), P(), P()), check_vma=False)
+        def step(key):
+            my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            dets, ob = _sample(my_key, jnp.float32(p), jnp.float32(q),
+                               local, cls, f_t, obs_t)
+            flips, conv1 = dec1(dets)
+            truth = (ob.astype(jnp.int32) * bits1[None, :]).sum(axis=1)
+            v = flips.astype(jnp.int32) ^ truth      # deviation bitmask
+            mzz = ((v[:, None] >> jnp.arange(rounds_l * n_checks)) & 1
+                   ).reshape(-1, rounds_l, n_checks).astype(jnp.uint8)
+            z = ((v[:, None] >> (rounds_l * n_checks + jnp.arange(k))) & 1
+                 ).astype(jnp.uint8)
+            dets2 = _level2_detectors(mzz, z)
+            flips2, conv2 = dec2(dets2)
+            zbits = (v >> (rounds_l * n_checks)) & ((1 << k) - 1)
+            zcorr = zbits ^ flips2.astype(jnp.int32)
+            bad = ((1 - conv1.astype(jnp.int32)).sum()
+                   + (1 - conv2.astype(jnp.int32)).sum())
+            return (jax.lax.psum((zbits != 0).sum(), axis),
+                    jax.lax.psum((zcorr != 0).sum(), axis),
+                    jax.lax.psum(bad, axis))
+
+        entry = (jax.jit(step), prog.n)
+        _TWO_LEVEL_CACHE[ck] = entry
+    fn, grid_qubits = entry
+    l1, l2, bad = fn(jax.random.key(seed))
+    if int(bad):
+        raise RuntimeError("device union-find hit its growth cap")
+    return {
+        "d": d, "k": k, "rounds_l": rounds_l,
+        "p": float(p), "q": float(q), "samples": batch,
+        "devices": n_dev, "grid_qubits": grid_qubits,
+        "word_fail_l1": int(l1) / batch,
+        "word_fail_l2": int(l2) / batch,
+    }
+
+
 def sharded_logical_error_rate(
     code,
     p,

@@ -288,6 +288,27 @@ class TestParallel:
         assert set(k for k in out if k.endswith("_fail")) >= {
             "z0_fail", "z1_fail", "word_fail"}
 
+    def test_sharded_two_level_memory(self):
+        """Mesh-parallel hierarchical memory (pipeline #9): quiet run
+        exactly zero at both levels; noisy psummed rates within MC
+        tolerance of the single-device fused two-level pipeline, with
+        level 2 correcting below level 1."""
+        from qcss_tpu.experiments import logical_repetition_memory
+        from qcss_tpu.parallel import make_mesh, sharded_two_level_memory
+
+        mesh = make_mesh()
+        quiet = sharded_two_level_memory(3, 3, 2, mesh, p=1e-9,
+                                         batch=8 * 64, seed=1)
+        assert quiet["word_fail_l1"] == 0.0
+        assert quiet["word_fail_l2"] == 0.0
+        out = sharded_two_level_memory(3, 3, 2, mesh, p=4e-3,
+                                       batch=8 * 512, seed=2)
+        assert out["word_fail_l2"] < out["word_fail_l1"]
+        ref = logical_repetition_memory(3, 3, 2, 4e-3, batch=1 << 12,
+                                        seed=3, decoder="device-uf")
+        assert abs(out["word_fail_l1"] - ref["word_fail_l1"]) < 0.05
+        assert abs(out["word_fail_l2"] - ref["word_fail_l2"]) < 0.03
+
     def test_sharded_rate_close_to_single_device(self, steane):
         from qcss_tpu.parallel import make_mesh, sharded_logical_error_rate
 
