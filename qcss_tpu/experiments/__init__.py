@@ -34,6 +34,10 @@ from qcss_tpu.experiments.patches import (
     parity_chain_memory,
     schedule_memory,
 )
+from qcss_tpu.experiments.schedule_circuit import (
+    build_circuit_schedule,
+    circuit_schedule_memory,
+)
 from qcss_tpu.experiments.surgery_circuit import (
     build_xx_merge_circuit,
     xx_merge_circuit_memory,
@@ -70,6 +74,8 @@ __all__ = [
     "xz_memory_experiment",
     "qldpc_memory_experiment",
     "qldpc_stream_memory_rate",
+    "build_circuit_schedule",
+    "circuit_schedule_memory",
     "build_surgery_cnot",
     "build_xx_merge",
     "build_xx_merge_circuit",

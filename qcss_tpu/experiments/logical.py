@@ -130,10 +130,11 @@ class LogicalProgram:
         self.n = self.rows_q * self.cols_q
         hx, hz = families.surface_rect_checks(d, d)
         self._hx_p, self._hz_p = hx, hz
-        self._hz_v = families.surface_rect_checks(2 * d + 1, d)[1]
-        self._hz_h = families.surface_rect_checks(d, 2 * d + 1)[1]
+        self._hx_v, self._hz_v = families.surface_rect_checks(2 * d + 1, d)
+        self._hx_h, self._hz_h = families.surface_rect_checks(d, 2 * d + 1)
 
         self._phases: list[P.Phase] = []
+        self._conj_checks: list[np.ndarray] = []
         self._active: list[np.ndarray] = []
         self._readouts: list[P.Readout] = []
         self._conj: list[P.Readout] = []
@@ -212,45 +213,54 @@ class LogicalProgram:
             return [(r0 + r) * self.cols_q + c for r in range(self.d)], "h"
         raise ValueError(f"slots {a}, {b} are not adjacent")
 
-    def _patch_checks(self, slot):
+    def _patch_checks(self, slot, sector="z"):
         r0, c0 = self._origin(slot)
-        return self._embed(self._hz_p, r0, c0, self.d, self.d)
+        h = self._hz_p if sector == "z" else self._hx_p
+        return self._embed(h, r0, c0, self.d, self.d)
 
-    def _merged_checks(self, a, b, orient):
+    def _merged_checks(self, a, b, orient, sector="z"):
         (Ia, Ja), (Ib, Jb) = a, b
         r0 = min(Ia, Ib) * (self.d + 1)
         c0 = min(Ja, Jb) * (self.d + 1)
         if orient == "v":
-            return self._embed(self._hz_v, r0, c0, 2 * self.d + 1, self.d)
-        return self._embed(self._hz_h, r0, c0, self.d, 2 * self.d + 1)
+            h = self._hz_v if sector == "z" else self._hx_v
+            return self._embed(h, r0, c0, 2 * self.d + 1, self.d)
+        h = self._hz_h if sector == "z" else self._hx_h
+        return self._embed(h, r0, c0, self.d, 2 * self.d + 1)
 
     # -- phase emission --------------------------------------------------------
 
     def _sep_checks_active(self, exclude=()):
-        checks, act = [], np.zeros(self.n, np.uint8)
+        checks, conj, act = [], [], np.zeros(self.n, np.uint8)
         for slot, pid in sorted(self._occ.items()):
             if pid in exclude:
                 continue
             checks.append(self._patch_checks(slot))
+            conj.append(self._patch_checks(slot, "x"))
             act |= self._block_mask(slot)
-        return np.concatenate(checks, axis=0), act
+        return (np.concatenate(checks, axis=0),
+                np.concatenate(conj, axis=0), act)
 
     def _push_sep(self):
-        checks, act = self._sep_checks_active()
+        checks, conj, act = self._sep_checks_active()
         self._phases.append(P.Phase(checks, self.R))
+        self._conj_checks.append(conj)
         self._active.append(act)
 
     def _push_merged(self, a, b, orient):
         seam, _ = self._seam_qubits(a, b)
         merged = [self._merged_checks(a, b, orient)]
+        conj = [self._merged_checks(a, b, orient, "x")]
         act = self._block_mask(a) | self._block_mask(b)
         act[seam] = 1
         for slot, pid in sorted(self._occ.items()):
             if slot in (a, b):
                 continue
             merged.append(self._patch_checks(slot))
+            conj.append(self._patch_checks(slot, "x"))
             act |= self._block_mask(slot)
         self._phases.append(P.Phase(np.concatenate(merged, axis=0), self.R))
+        self._conj_checks.append(np.concatenate(conj, axis=0))
         self._active.append(act)
         return len(self._phases) - 1
 
@@ -496,6 +506,42 @@ class LogicalProgram:
                                     use_native=use_native)
         else:
             raise ValueError("decoder must be 'host' or 'device-uf'")
+        for i, name in enumerate(model.meta["obs_names"]):
+            out[f"{name}_fail"] = out.pop(f"obs{i}_fail")
+        out.update({"d": self.d, "rounds": self.R,
+                    "n_phases": len(self._phases),
+                    "grid_qubits": self.n})
+        return out
+
+    def build_circuit(self, noise):
+        """Circuit-level fault model: the same compiled schedule with
+        REAL two-sector extraction circuits (hook faults, measurement /
+        reset / init errors — see experiments.schedule_circuit)."""
+        from qcss_tpu.experiments import schedule_circuit as SC
+
+        if not hasattr(self, "_obs"):
+            self.measure()
+        model = SC.build_circuit_schedule(
+            self.n, self._phases, np.stack(self._active), self._obs,
+            self._conj_checks, readouts=tuple(self._readouts),
+            conjugate_init=tuple(self._conj), noise=noise)
+        model.meta["obs_names"] = list(self._obs_names)
+        model.meta["obs_expected"] = list(self._obs_expected)
+        model.meta["op_log"] = list(self._op_log)
+        return model
+
+    def run_circuit(self, noise, *, batch: int = 1 << 12, seed: int = 0,
+                    iters: int = 48, alpha: float = 0.8,
+                    osd: bool = True) -> dict:
+        """Monte-Carlo the compiled program at CIRCUIT-LEVEL noise:
+        frame-sampled extraction circuits, recipe detector assembly,
+        BP(+device OSD) decode on the circuit fault Tanner graph."""
+        from qcss_tpu.experiments import schedule_circuit as SC
+
+        model = self.build_circuit(noise)
+        out = SC.circuit_schedule_memory(model, noise, batch=batch,
+                                         seed=seed, iters=iters,
+                                         alpha=alpha, osd=osd)
         for i, name in enumerate(model.meta["obs_names"]):
             out[f"{name}_fail"] = out.pop(f"obs{i}_fail")
         out.update({"d": self.d, "rounds": self.R,

@@ -1,0 +1,184 @@
+"""Circuit-level declarative schedules: enumerator-vs-sampler exactness.
+
+The load-bearing test is the differential: every enumerated circuit
+fault component's detector signature and observable effect must be
+reproduced by injecting that exact fault into the frame engine running
+the SAME per-phase extraction circuits (prefix-propagate, inject,
+suffix-propagate) — the guard that keeps dem/dem2/surgery_circuit
+honest, extended to the generic schedule tier (time-varying checks,
+transitions, readouts, conjugate inits, moves)."""
+
+import jax
+import numpy as np
+import pytest
+
+from qcss_tpu.experiments import schedule_circuit as SC
+from qcss_tpu.experiments.logical import LogicalProgram
+from qcss_tpu.sim import frame as fr
+from qcss_tpu.sim.noise import NoiseModel
+
+NOISE = NoiseModel(p_gate1=1e-3, p_gate2=1e-3, p_meas=1e-3, p_reset=1e-3)
+
+# eager lax.scan dispatches op-by-op; one jitted wrapper per gate-array
+# shape serves every injection
+_PROP = jax.jit(fr.propagate_arrays)
+
+
+def _inject_and_assemble(plan, meta):
+    """Raw-outcome deviation vector of one fault via frame propagation
+    through the actual circuits — independent of the enumerator's walk."""
+    kind = meta[0]
+    f = fr.zero_frames(1, plan.nq)
+    outs_all = []
+    read_bits = [0] * plan.n_read
+
+    def put_x(wires):
+        pat = np.zeros(plan.nq, np.uint8)
+        pat[list(wires)] = 1
+        return fr.Frames(f.x ^ np.asarray(pat[None, :]), f.z)
+
+    for ph in range(plan.n_ph):
+        if ph > 0 and plan.ro_at[ph]:
+            q_ro = np.asarray([qb for qb, _ in plan.ro_at[ph]])
+            _, bits = fr.measure_deviations(f, q_ro)
+            bits = np.asarray(bits)[0]
+            for i, (qb, ridx) in enumerate(plan.ro_at[ph]):
+                b = int(bits[i])
+                if kind == "read" and meta[1] == ph and meta[2] == qb:
+                    b ^= 1
+                read_bits[ridx] = b
+        if ph > 0 and plan.gone_at[ph]:
+            f = fr.reset_qubits(f, np.asarray(plan.gone_at[ph]))
+        if kind == "init" and meta[1] == ph:
+            f = put_x([meta[2]])
+        ops_a, q0_a, q1_a = (np.asarray(a) for a in plan.arrays[ph])
+        idx = np.arange(ops_a.shape[0])
+        anc_z = np.arange(plan.n, plan.n + plan.rz[ph])
+        anc_rest = np.arange(plan.n + plan.rz[ph], plan.nq)
+        for t_rel in range(plan.rounds[ph]):
+            t_abs = plan.starts[ph] + t_rel
+            if (kind in ("2q", "1q") and meta[1] == ph
+                    and meta[-1] == t_abs):
+                k = meta[2]
+                # fixed-shape prefix/suffix (gates masked to I)
+                f = _PROP(
+                    f, np.where(idx <= k, ops_a, 0), q0_a, q1_a)
+                if kind == "2q":
+                    op = plan.ops[ph][k]
+                    wires = {"c": [op[1]], "t": [op[2]],
+                             "ct": [op[1], op[2]]}[meta[3]]
+                else:
+                    wires = [meta[3]]
+                f = put_x(wires)
+                f = _PROP(
+                    f, np.where(idx > k, ops_a, 0), q0_a, q1_a)
+            else:
+                f = _PROP(f, ops_a, q0_a, q1_a)
+            _, o = fr.measure_deviations(f, anc_z)
+            o = np.asarray(o)[0].copy()
+            if kind == "meas" and meta[1] == ph and meta[3] == t_abs:
+                o[meta[2]] ^= 1
+            outs_all.append(o)
+            f = fr.reset_qubits(f, anc_z)
+            if anc_rest.size:
+                f = fr.reset_qubits(f, anc_rest)
+            if kind == "reset" and meta[1] == ph and meta[3] == t_abs:
+                f = put_x([plan.n + meta[2]])
+
+    final = np.asarray(f.x)[0, : plan.n]
+    raw = np.concatenate(
+        [np.concatenate(outs_all),
+         np.asarray(read_bits, np.uint8),
+         final]).astype(np.int64)
+    dets = (plan.D.astype(np.int64) @ raw) & 1
+    obs = (plan.obs_D.astype(np.int64) @ raw) & 1
+    return dets, obs
+
+
+def _model(prog):
+    return prog.build_circuit(NOISE)
+
+
+@pytest.fixture(scope="module")
+def cnot_model():
+    return _model(LogicalProgram(3, 2).cnot(0, 1))
+
+
+class TestDifferential:
+    def test_enumerator_matches_frame_injection(self, cnot_model):
+        """Every fault class of the compiled CNOT, sampled across
+        phases/rounds, reproduces in the frame engine."""
+        m = cnot_model
+        rng = np.random.default_rng(0)
+        by_kind: dict[str, list] = {}
+        for dets, ob, meta in m.fault_sigs:
+            by_kind.setdefault(meta[0], []).append((dets, ob, meta))
+        assert set(by_kind) == {"2q", "1q", "meas", "reset", "init",
+                                "read"}
+        checked = 0
+        for kind, sigs in by_kind.items():
+            take = min(len(sigs), 14 if kind in ("2q", "1q") else 8)
+            for i in rng.choice(len(sigs), size=take, replace=False):
+                dets_want, ob_want, meta = sigs[int(i)]
+                dets, obs = _inject_and_assemble(m.plan, meta)
+                got = tuple(np.nonzero(dets)[0])
+                ob_got = 0
+                for j in range(obs.shape[0]):
+                    ob_got |= int(obs[j]) << j
+                assert got == dets_want, (meta, got, dets_want)
+                assert ob_got == ob_want, (meta, ob_got, ob_want)
+                checked += 1
+        assert checked >= 50
+
+    def test_mzz_program_differential(self):
+        """The mzz op's schedule (seam reuse, silent ancilla exit)
+        also reproduces — a structurally different program."""
+        m = _model(LogicalProgram(3, 2).mzz(0, 1))
+        rng = np.random.default_rng(1)
+        idx = rng.choice(len(m.fault_sigs), size=24, replace=False)
+        for i in idx:
+            dets_want, ob_want, meta = m.fault_sigs[int(i)]
+            dets, obs = _inject_and_assemble(m.plan, meta)
+            assert tuple(np.nonzero(dets)[0]) == dets_want, meta
+            ob_got = 0
+            for j in range(obs.shape[0]):
+                ob_got |= int(obs[j]) << j
+            assert ob_got == ob_want, meta
+
+
+class TestEndToEnd:
+    def test_quiet_run_exactly_zero(self, cnot_model):
+        dets, obs = SC.sample_circuit_schedule(
+            cnot_model, NoiseModel(), batch=16, seed=0)
+        assert not dets.any() and not obs.any()
+
+    def test_single_faults_decode_exactly(self, cnot_model):
+        """Every merged fault variable's own syndrome decodes to its
+        own observable effect (sampled subset; weight-1 exactness)."""
+        from qcss_tpu.decode.bp import BPDecoder
+
+        m = cnot_model
+        rng = np.random.default_rng(2)
+        idx = rng.choice(m.F.shape[1], size=96, replace=False)
+        dets = m.F[:, idx].T.astype(np.uint8)
+        dec = BPDecoder(m.F, np.clip(m.priors, 1e-12, 0.499),
+                        logicals=m.obs, iters=48, alpha=0.8, osd=True)
+        flips, _ = dec.decode_obs(dets)
+        want = m.obs[:, idx].T
+        assert (flips.astype(np.uint8) == want).all()
+
+    def test_compiled_cnot_under_circuit_noise(self, cnot_model):
+        out = SC.circuit_schedule_memory(cnot_model, NOISE,
+                                         batch=2048, seed=3)
+        assert out["bp_converged"] > 0.9
+        assert out["word_fail"] < 0.06
+        # noise is ON: some detectors must fire
+        dets, _ = SC.sample_circuit_schedule(cnot_model, NOISE,
+                                             batch=64, seed=4)
+        assert dets.any()
+
+    def test_run_circuit_names_and_rates(self):
+        out = LogicalProgram(3, 2).cnot(0, 1).run_circuit(
+            NOISE, batch=1024, seed=5)
+        assert {"z0_fail", "z1_fail", "word_fail"} <= set(out)
+        assert 0.0 <= out["word_fail"] <= 0.1
