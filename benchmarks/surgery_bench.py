@@ -57,6 +57,30 @@ def _compiled_program(d, p, q=None, *, batch=1 << 13, seed=0,
         p, q, batch=batch, seed=seed, weighted=weighted)
 
 
+def _circuit_cnot(d, p, q=None, *, batch=1 << 12, seed=0,
+                  weighted=False):
+    """Compiled CNOT at CIRCUIT-LEVEL noise: real two-sector extraction
+    circuits, BP(+OSD) on the circuit fault Tanner graph (q ignored —
+    uniform p on gate/meas/reset locations)."""
+    from qcss_tpu.experiments.logical import LogicalProgram
+    from qcss_tpu.sim.noise import NoiseModel
+
+    noise = NoiseModel(p_gate1=p, p_gate2=p, p_meas=p, p_reset=p)
+    return LogicalProgram(d, 2).cnot(0, 1).run_circuit(
+        noise, batch=batch, seed=seed)
+
+
+def _circuit_program(d, p, q=None, *, batch=1 << 12, seed=0,
+                     weighted=False):
+    """CNOT(0,1); T(1); CNOT(1,2) at circuit-level noise."""
+    from qcss_tpu.experiments.logical import LogicalProgram
+    from qcss_tpu.sim.noise import NoiseModel
+
+    noise = NoiseModel(p_gate1=p, p_gate2=p, p_meas=p, p_reset=p)
+    return LogicalProgram(d, 3).cnot(0, 1).t(1).cnot(1, 2).run_circuit(
+        noise, batch=batch, seed=seed)
+
+
 EXPERIMENTS = {
     "merge": xx_merge_memory,
     "cycle": xx_merge_split_memory,
@@ -66,6 +90,8 @@ EXPERIMENTS = {
     "compiled-cnot": _compiled_cnot,
     "compiled-cnot-device": _compiled_cnot_device,
     "compiled-program": _compiled_program,
+    "circuit-cnot": _circuit_cnot,
+    "circuit-program": _circuit_program,
 }
 
 

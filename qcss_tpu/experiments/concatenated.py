@@ -133,6 +133,7 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
                               batch: int = 1 << 12, seed: int = 0,
                               decoder: str = "host",
                               reps: int = 1,
+                              noise=None,
                               use_native: bool | None = None) -> dict:
     """Run the two-level memory and decode BOTH levels.
 
@@ -150,7 +151,20 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
     counting — into ONE compiled device program (hierarchical decoding
     with only counts crossing the host boundary; `reps` re-runs the
     compiled step with fresh keys).
+
+    Passing `noise` (a NoiseModel) runs level 1 at CIRCUIT LEVEL
+    instead: real two-sector extraction circuits frame-sampled and
+    BP(+OSD)-decoded (`experiments.schedule_circuit`; p/q ignored).
+    The level-2 graph is unchanged — its mechanism FAMILIES are
+    schedule-structural (patch flips, failed joints, merge-window pair
+    rides, within-sweep diagonals), only their rates shift.
     """
+    if noise is not None:
+        if decoder != "host":
+            raise ValueError("circuit-level two-level memory decodes "
+                             "level 1 on the host BP path")
+        from qcss_tpu.experiments.schedule_circuit import (
+            build_circuit_schedule, circuit_decoded_obs)
     if decoder == "device-uf":
         return _device_two_level(d, k, rounds_l, p, q, batch=batch,
                                  seed=seed, reps=reps)
@@ -158,8 +172,15 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
         raise ValueError("decoder must be 'host' or 'device-uf'")
     prog, model = _build_program(d, k, rounds_l)
     n_checks = k - 1
-    vals = schedule_decoded_obs(model, p, q, batch=batch, seed=seed,
-                                use_native=use_native)
+    if noise is not None:
+        cmodel = build_circuit_schedule(
+            prog.n, prog._phases, np.stack(prog._active), prog._obs,
+            prog._conj_checks, readouts=tuple(prog._readouts),
+            conjugate_init=tuple(prog._conj), noise=noise)
+        vals = circuit_decoded_obs(cmodel, noise, batch=batch, seed=seed)
+    else:
+        vals = schedule_decoded_obs(model, p, q, batch=batch, seed=seed,
+                                    use_native=use_native)
     mzz = vals[:, : rounds_l * n_checks].reshape(-1, rounds_l, n_checks)
     z = vals[:, rounds_l * n_checks:]
     dets = np.asarray(_level2_detectors(jnp.asarray(mzz), jnp.asarray(z)))
@@ -173,6 +194,7 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
     return {
         "d": d, "k": k, "rounds_l": rounds_l,
         "p": float(p), "q": float(p if q is None else q),
+        "level": "circuit" if noise is not None else "phenomenological",
         "samples": len(vals),
         "grid_qubits": prog.n,
         "word_fail_l1": float(z.any(axis=1).mean()),

@@ -516,17 +516,30 @@ class LogicalProgram:
     def build_circuit(self, noise):
         """Circuit-level fault model: the same compiled schedule with
         REAL two-sector extraction circuits (hook faults, measurement /
-        reset / init errors — see experiments.schedule_circuit)."""
+        reset / init errors — see experiments.schedule_circuit).
+
+        Projection-random observables (`obs_expected is None` — the
+        standalone T-gadget m1 rows) are EXCLUDED from circuit-level
+        scoring: their raw deviation is gauge-dependent (a stabilizer-
+        at-birth X frame relabels the coin without being an error), so
+        the Z-scored single-sector tier cannot measure that channel —
+        `experiments.surgery_t` (both sectors) is its circuit-level
+        home. Dropped names are recorded in `meta["dropped_obs"]`."""
         from qcss_tpu.experiments import schedule_circuit as SC
 
         if not hasattr(self, "_obs"):
             self.measure()
+        drop = tuple(i for i, e in enumerate(self._obs_expected)
+                     if e is None)
         model = SC.build_circuit_schedule(
             self.n, self._phases, np.stack(self._active), self._obs,
             self._conj_checks, readouts=tuple(self._readouts),
-            conjugate_init=tuple(self._conj), noise=noise)
-        model.meta["obs_names"] = list(self._obs_names)
-        model.meta["obs_expected"] = list(self._obs_expected)
+            conjugate_init=tuple(self._conj), noise=noise,
+            drop_obs=drop)
+        keep = model.meta["kept_obs"]
+        model.meta["obs_names"] = [self._obs_names[i] for i in keep]
+        model.meta["obs_expected"] = [self._obs_expected[i] for i in keep]
+        model.meta["dropped_obs"] = [self._obs_names[i] for i in drop]
         model.meta["op_log"] = list(self._op_log)
         return model
 

@@ -35,8 +35,13 @@ see them; Z errors are the mirror-image sector and are never booked
 ancilla Z errors either stay on the ancilla or land on conjugate
 outcomes that are discarded). The noise channel decomposition uses
 EXCLUSIVE X-support classes (ctrl-only / tgt-only / both at 4p/15 per
-CNOT; 2p/3 per H) — the same partition `decode.dem2._fault_species`
-uses, avoiding the X⊗X double-booking bug calibration caught there.
+CNOT) — the same partition `decode.dem2._fault_species` uses,
+avoiding the X⊗X double-booking bug calibration caught there. The
+X-ancilla H sandwich carries no scored-relevant noise (every
+component is either the identity on the fresh |+⟩ or a flip of the
+discarded conjugate outcome — see `round_ops`), so `p_gate1` is not
+charged in this tier; these circuits contain two-qubit gates,
+measurements and resets only.
 
 What stays idealized (documented, matching the bespoke circuit tier
 `surgery_circuit.py`): the FINAL transversal readout is perfect (the
@@ -69,31 +74,52 @@ from qcss_tpu.sim import noise as noise_mod
 def round_ops(hz: np.ndarray, hx: np.ndarray, n: int, rz_max: int):
     """One extraction round as op tuples + frame-engine gate arrays —
     ONE source of truth for gate order (enumerator and sampler agree on
-    hook timing). Conjugate (X) checks first: H on each X ancilla, per-
-    check CNOT fan-outs ancilla→data, H back; then scored (Z) checks:
-    per-check CNOT collections data→ancilla. All ancillas measure/reset
-    simultaneously at round end (handled outside these ops)."""
+    hook timing). Conjugate (X) checks first: per-check CNOT fan-outs
+    ancilla→data; then scored (Z) checks: per-check CNOT collections
+    data→ancilla. All ancillas measure/reset simultaneously at round
+    end (handled outside these ops).
+
+    The X-ancillas' H sandwich is NOT emitted — every component of
+    both H noise locations is provably scored-gauge: on the opening H
+    the ancilla is a fresh product |+⟩, so the X component is the
+    IDENTITY (booking it over-counts a branch relabel of projection-
+    random joints as a logical deviation — the circuit-level form of
+    the conjugate-init fault exemption; it fired the undetectable-
+    logical guard on the compiled T gadget's m1 as a detector-silent
+    full-check frame) and Y/Z flip only the X-check outcome, which is
+    DISCARDED (not a scored detector input); on the closing H every
+    component flips at most that same discarded outcome. Likewise an
+    X-ancilla |+⟩-reset error is gauge (X component identity, Z flips
+    the discarded outcome), so the sampler clears those wires
+    noiselessly. The mid-fan-out hook channel (2q depolarizing on the
+    fan-out CNOTs) is untouched and complete — a ctrl-X after the j-th
+    CNOT hooks into the remaining targets, the real physics — EXCEPT on
+    the FIRST fan-out CNOT of each X-check, where the post-gate state
+    is stabilized by X_anc·X_target (CNOT|+⟩|ψ⟩ is the entangled pair),
+    so the depolarizing classes reduce modulo that stabilizer:
+    both-sides ≡ identity, ctrl-only ≡ tgt-only — ONE class, X on the
+    target at 8p/15 (`first_flags` marks these gates; enumerator and
+    sampler both apply the reduced channel there). Booking the generic
+    classes instead re-creates the same detector-silent gauge frame
+    through the X⊗X component."""
     from qcss_tpu.circuits.ir import Circuit
 
     rz, rx = hz.shape[0], hx.shape[0]
     ax0 = n + rz_max
     ops = []
+    flags = []
     circ = Circuit()
     for c in range(rx):
-        ops.append(("h", ax0 + c))
-        circ.h(ax0 + c)
-    for c in range(rx):
-        for j in np.nonzero(hx[c])[0]:
+        for i, j in enumerate(np.nonzero(hx[c])[0]):
             ops.append(("cnot", ax0 + c, int(j)))
+            flags.append(1 if i == 0 else 0)
             circ.cnot(ax0 + c, int(j))
-    for c in range(rx):
-        ops.append(("h", ax0 + c))
-        circ.h(ax0 + c)
     for c in range(rz):
         for j in np.nonzero(hz[c])[0]:
             ops.append(("cnot", int(j), n + c))
+            flags.append(0)
             circ.cnot(int(j), n + c)
-    return ops, circ.to_arrays()
+    return ops, circ.to_arrays(), np.asarray(flags, np.int32)
 
 
 def _walk(ops, nq: int, start: int, x0: np.ndarray):
@@ -144,6 +170,7 @@ class _Plan:
     starts: tuple[int, ...]
     ops: tuple            # per phase: op tuple list
     arrays: tuple         # per phase: (ops, q0, q1) numpy gate arrays
+    flags: tuple          # per phase: first-fan-out CNOT marks [n_ops]
     # transitions INTO phase ph (ph >= 1):
     ro_at: tuple          # per phase: tuple of (qubit, ridx)
     gone_at: tuple        # per phase: tuple of qubits cleared
@@ -161,13 +188,27 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
                            conj_checks: list[np.ndarray],
                            readouts: tuple[P.Readout, ...] = (),
                            conjugate_init: tuple[P.Readout, ...] = (),
-                           *, noise: noise_mod.NoiseModel
+                           *, noise: noise_mod.NoiseModel,
+                           drop_obs: tuple[int, ...] = ()
                            ) -> CircuitScheduleModel:
     """Assemble the circuit-level fault Tanner graph of a declarative
     schedule. Inputs are `patches.build_schedule`'s, plus `conj_checks`:
     the conjugate sector's check matrices per phase (the real patches'
     X stabilizers — the hook-fault source a scored-sector-only circuit
-    cannot model)."""
+    cannot model).
+
+    `drop_obs` excludes observable rows from circuit-level scoring.
+    Needed for PROJECTION-RANDOM standalone joints (the compiled T
+    gadget's m1, `obs_expected is None`): their raw deviation is
+    GAUGE-DEPENDENT — an X-frame that stabilizes a fresh |+̄⟩ patch at
+    birth (e.g. a hook landing pre-collect in the projection round) is
+    physically the identity yet relabels the m1 coin, so no
+    outcome-space row can score that channel at circuit level in a
+    single-sector model (the undetectable-logical guard rejects the
+    attempt). Gauge-INVARIANT rows — final logicals, mzz combinations
+    (both joints relabel consistently), cnot m1 composed with its
+    readout terms — score fine. The m1 channel's circuit-level physics
+    lives in the two-sector bespoke tier (`experiments.surgery_t`)."""
     if noise.p_idle:
         raise ValueError("circuit-level schedules charge no idle "
                          "locations (see NoiseModel.p_idle docs)")
@@ -186,6 +227,11 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
                             with_recipe=True)
     rec = base.meta["recipe"]
     D, obs_D = rec["D"], rec["obs"]
+    if drop_obs:
+        keep_obs = [i for i in range(obs_D.shape[0]) if i not in drop_obs]
+        obs_D = obs_D[keep_obs]
+    else:
+        keep_obs = list(range(obs_D.shape[0]))
     meas_order, read_order = rec["meas_order"], rec["read_order"]
     n_meas, n_read = rec["n_meas"], rec["n_read"]
     n_out = n_meas + n_read + n
@@ -255,14 +301,20 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
         return v
 
     # -- enumerate per-phase circuit components ------------------------------
-    all_ops, all_arrays = [], []
+    all_ops, all_arrays, all_flags = [], [], []
     for ph in range(n_ph):
-        ops, arrays = round_ops(phases[ph].checks, conj_checks[ph],
-                                n, rz_max)
+        ops, arrays, flags = round_ops(phases[ph].checks, conj_checks[ph],
+                                       n, rz_max)
         all_ops.append(tuple(ops))
         all_arrays.append(arrays)
+        all_flags.append(flags)
 
-    p2, p1 = noise.p_gate2, noise.p_gate1
+    if noise.pauli2 is not None:
+        raise ValueError("circuit-level schedules assume uniform 2q "
+                         "depolarizing (the exclusive-class and "
+                         "first-fan-out reductions are depolarizing "
+                         "identities)")
+    p2 = noise.p_gate2
 
     def phase_components(ph: int):
         """(own flips over scored checks, residual x over data, prob,
@@ -277,15 +329,19 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
             out.append((np.nonzero(x[n: n + rz[ph]])[0],
                         x[:n].copy(), prob, meta))
 
+        flags = all_flags[ph]
         for k, op in enumerate(ops):
             if op[0] == "cnot" and p2:
                 a, b = op[1], op[2]
+                if flags[k]:
+                    # first fan-out CNOT: channel reduced modulo the
+                    # X_anc·X_tgt pair stabilizer (see round_ops)
+                    add(k, [b], 8 * p2 / 15, ("2qf", ph, k))
+                    continue
                 # exclusive X-support classes of 2q depolarizing
                 add(k, [a], 4 * p2 / 15, ("2q", ph, k, "c"))
                 add(k, [b], 4 * p2 / 15, ("2q", ph, k, "t"))
                 add(k, [a, b], 4 * p2 / 15, ("2q", ph, k, "ct"))
-            elif op[0] == "h" and p1:
-                add(k, [op[1]], 2 * p1 / 3, ("1q", ph, k, op[1]))
         if noise.p_meas:
             for c in range(rz[ph]):
                 out.append((np.asarray([c]), np.zeros(n, np.uint8),
@@ -295,14 +351,50 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
     comps = [phase_components(ph) for ph in range(n_ph)]
 
     # -- place components into raw-outcome space -----------------------------
+    # chunked: the raw placement count scales as (phases x rounds x
+    # circuit locations) — d=5 compiled programs reach ~10^5 columns,
+    # so F_raw is computed per chunk and merged incrementally instead
+    # of materializing the full [n_out, nf] incidence
     cols: list[np.ndarray] = []
     metas: list[tuple] = []
     probs: list[float] = []
+    merged: dict[tuple, float] = {}
+    fault_sigs: list[tuple] = []
+    _CHUNK = 16384
+
+    def flush():
+        if not cols:
+            return
+        O = np.stack(cols, axis=1)
+        # GF(2) matmuls in float32 (exact: row sums << 2^24)
+        f_raw = (D.astype(np.float32)
+                 @ O.astype(np.float32)).astype(np.int64) & 1
+        o_raw = (obs_D.astype(np.float32)
+                 @ O.astype(np.float32)).astype(np.int64) & 1
+        for f in range(O.shape[1]):
+            dets = tuple(np.nonzero(f_raw[:, f])[0])
+            ob = 0
+            for i in range(o_raw.shape[0]):
+                ob |= int(o_raw[i, f]) << i
+            fault_sigs.append((dets, ob, metas[f]))
+            if not dets:
+                if ob:
+                    raise AssertionError(
+                        f"undetectable logical circuit fault {metas[f]}")
+                continue
+            key = (dets, ob)
+            old = merged.get(key, 0.0)
+            merged[key] = old * (1 - probs[f]) + probs[f] * (1 - old)
+        cols.clear()
+        metas.clear()
+        probs.clear()
 
     def place(vec, prob, meta):
         cols.append(vec)
         probs.append(prob)
         metas.append(meta)
+        if len(cols) >= _CHUNK:
+            flush()
 
     for ph in range(n_ph):
         t_lo, t_hi = int(starts[ph]), int(starts[ph + 1])
@@ -359,28 +451,10 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
             vec[n_meas + ridx] ^= 1
             place(vec, noise.p_meas, ("read", ph, qb))
 
-    O = np.stack(cols, axis=1) if cols else np.zeros((n_out, 0), np.uint8)
-    # GF(2) matmuls in float32 (exact: row sums << 2^24)
-    F_raw = (D.astype(np.float32) @ O.astype(np.float32)).astype(np.int64) & 1
-    obs_raw = (obs_D.astype(np.float32)
-               @ O.astype(np.float32)).astype(np.int64) & 1
-
-    merged: dict[tuple, float] = {}
-    fault_sigs = []
-    for f in range(O.shape[1]):
-        dets = tuple(np.nonzero(F_raw[:, f])[0])
-        ob = 0
-        for i in range(obs_raw.shape[0]):
-            ob |= int(obs_raw[i, f]) << i
-        fault_sigs.append((dets, ob, metas[f]))
-        if not dets:
-            if ob:
-                raise AssertionError(
-                    f"undetectable logical circuit fault {metas[f]}")
-            continue
-        key = (dets, ob)
-        old = merged.get(key, 0.0)
-        merged[key] = old * (1 - probs[f]) + probs[f] * (1 - old)
+    flush()
+    if not merged:
+        raise ValueError("noise model books no circuit fault locations "
+                         "(all rates zero?) — nothing to decode")
 
     n_det = D.shape[0]
     nv = len(merged)
@@ -415,18 +489,49 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
         rounds=tuple(Ph.rounds for Ph in phases),
         starts=tuple(int(s) for s in starts),
         ops=tuple(all_ops), arrays=tuple(all_arrays),
+        flags=tuple(all_flags),
         ro_at=tuple(ro_at), gone_at=tuple(gone_at),
         init_scored_at=tuple(init_s_at), init_conj_at=tuple(init_c_at),
         n_meas=n_meas, n_read=n_read, D=D, obs_D=obs_D)
     meta = dict(base.meta)
     meta.pop("recipe", None)
     meta["n_fault_vars"] = nv
+    meta["kept_obs"] = keep_obs
     return CircuitScheduleModel(
         n=n, n_phases=n_ph, F=F, priors=priors, obs=obs,
         fault_sigs=fault_sigs, plan=plan, meta=meta)
 
 
 # -- the frame sampler --------------------------------------------------------
+
+
+def _run_round_noisy(f, ops_a, q0_a, q1_a, flags_a, noise, key):
+    """One round's gates with per-gate 2q depolarizing — the
+    `fr.run_arrays_noisy` channel, except that gates flagged as an
+    X-check's FIRST fan-out CNOT get the stabilizer-reduced channel
+    (X on the target at 8p/15; see `round_ops`). These circuits are
+    CNOT-only, so no 1q locations exist."""
+    if not noise.p_gate2:
+        return fr.propagate_arrays(f, ops_a, q0_a, q1_a)
+    p_first = jnp.float32(8 * noise.p_gate2 / 15)
+    keys = jax.random.split(key, max(int(ops_a.shape[0]), 1))
+
+    def body(carry, xs):
+        op, a, b, fl, k = xs
+        carry = jax.lax.switch(op, fr._FRAME_BRANCHES, carry, a, b)
+
+        def flagged(s):
+            hit = jax.random.bernoulli(
+                k, p_first, (s.batch,)).astype(jnp.uint8)
+            return fr.Frames(s.x.at[:, b].set(s.x[:, b] ^ hit), s.z)
+
+        def generic(s):
+            return fr._inject2(s, a, b, noise.rate2, k)
+
+        return jax.lax.cond(fl == 1, flagged, generic, carry), None
+
+    f, _ = jax.lax.scan(body, f, (ops_a, q0_a, q1_a, flags_a, keys))
+    return f
 
 
 def _sample_plan(key, batch: int, plan: _Plan,
@@ -458,14 +563,16 @@ def _sample_plan(key, batch: int, plan: _Plan,
                 f, jnp.asarray(plan.init_conj_at[ph], jnp.int32))
 
         ops_a, q0_a, q1_a = (jnp.asarray(a) for a in plan.arrays[ph])
+        flags_a = jnp.asarray(plan.flags[ph])
         anc_z = jnp.arange(n, n + plan.rz[ph], dtype=jnp.int32)
         anc_rest = jnp.arange(n + plan.rz[ph], nq, dtype=jnp.int32)
 
         def round_body(carry, k, ops_a=ops_a, q0_a=q0_a, q1_a=q1_a,
-                       anc_z=anc_z, anc_rest=anc_rest):
+                       flags_a=flags_a, anc_z=anc_z, anc_rest=anc_rest):
             fc = carry
             ka, kb, kc = jax.random.split(k, 3)
-            fc = fr.run_arrays_noisy(fc, ops_a, q0_a, q1_a, noise, ka)
+            fc = _run_round_noisy(fc, ops_a, q0_a, q1_a, flags_a,
+                                  noise, ka)
             fc, outs = fr.measure_deviations(fc, anc_z, kb, noise.p_meas)
             fc = fr.reset_qubits(fc, anc_z, kc, noise.p_reset)
             # conjugate + unused scored slots clear noiselessly: a reset
@@ -501,6 +608,26 @@ def sample_circuit_schedule(model: CircuitScheduleModel,
     dets = (raw32 @ d_t) & 1
     obs = (raw32 @ o_t) & 1
     return (np.asarray(dets, np.uint8), np.asarray(obs, np.uint8))
+
+
+def circuit_decoded_obs(model: CircuitScheduleModel,
+                        noise: noise_mod.NoiseModel, *,
+                        batch: int = 1 << 12, seed: int = 0,
+                        iters: int = 48, alpha: float = 0.8,
+                        osd: bool = True) -> np.ndarray:
+    """Sample + decode; return the per-shot DECODED observable
+    deviations [B, n_obs] uint8 (sampled deviation XOR decoder flip) —
+    the circuit-tier mirror of `patches.schedule_decoded_obs`, feeding
+    higher-level consumers (the two-level concatenated memory)."""
+    from qcss_tpu.decode.bp import BPDecoder
+
+    dets, obs_dev = sample_circuit_schedule(model, noise, batch=batch,
+                                            seed=seed)
+    dec = BPDecoder(model.F, np.clip(model.priors, 1e-12, 0.499),
+                    logicals=model.obs, iters=iters, alpha=alpha,
+                    osd=osd)
+    flips, _ = dec.decode_obs(dets)
+    return obs_dev ^ flips.astype(np.uint8)
 
 
 def circuit_schedule_memory(model: CircuitScheduleModel,

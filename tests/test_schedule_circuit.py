@@ -57,18 +57,18 @@ def _inject_and_assemble(plan, meta):
         anc_rest = np.arange(plan.n + plan.rz[ph], plan.nq)
         for t_rel in range(plan.rounds[ph]):
             t_abs = plan.starts[ph] + t_rel
-            if (kind in ("2q", "1q") and meta[1] == ph
+            if (kind in ("2q", "2qf") and meta[1] == ph
                     and meta[-1] == t_abs):
                 k = meta[2]
                 # fixed-shape prefix/suffix (gates masked to I)
                 f = _PROP(
                     f, np.where(idx <= k, ops_a, 0), q0_a, q1_a)
+                op = plan.ops[ph][k]
                 if kind == "2q":
-                    op = plan.ops[ph][k]
                     wires = {"c": [op[1]], "t": [op[2]],
                              "ct": [op[1], op[2]]}[meta[3]]
-                else:
-                    wires = [meta[3]]
+                else:            # first fan-out: reduced channel
+                    wires = [op[2]]
                 f = put_x(wires)
                 f = _PROP(
                     f, np.where(idx > k, ops_a, 0), q0_a, q1_a)
@@ -113,11 +113,11 @@ class TestDifferential:
         by_kind: dict[str, list] = {}
         for dets, ob, meta in m.fault_sigs:
             by_kind.setdefault(meta[0], []).append((dets, ob, meta))
-        assert set(by_kind) == {"2q", "1q", "meas", "reset", "init",
+        assert set(by_kind) == {"2q", "2qf", "meas", "reset", "init",
                                 "read"}
         checked = 0
         for kind, sigs in by_kind.items():
-            take = min(len(sigs), 14 if kind in ("2q", "1q") else 8)
+            take = min(len(sigs), 16 if kind == "2q" else 8)
             for i in rng.choice(len(sigs), size=take, replace=False):
                 dets_want, ob_want, meta = sigs[int(i)]
                 dets, obs = _inject_and_assemble(m.plan, meta)
@@ -136,6 +136,26 @@ class TestDifferential:
         m = _model(LogicalProgram(3, 2).mzz(0, 1))
         rng = np.random.default_rng(1)
         idx = rng.choice(len(m.fault_sigs), size=24, replace=False)
+        for i in idx:
+            dets_want, ob_want, meta = m.fault_sigs[int(i)]
+            dets, obs = _inject_and_assemble(m.plan, meta)
+            assert tuple(np.nonzero(dets)[0]) == dets_want, meta
+            ob_got = 0
+            for j in range(obs.shape[0]):
+                ob_got |= int(obs[j]) << j
+            assert ob_got == ob_want, meta
+
+
+    def test_t_program_differential(self):
+        """The T-gadget path: projection-random m1 rows are DROPPED
+        (gauge-dependent at circuit level), and every booked fault of
+        the 3-op program reproduces in the frame engine against the
+        kept (gauge-invariant) rows."""
+        m = _model(LogicalProgram(3, 2).t(0).cnot(0, 1))
+        assert m.meta["dropped_obs"] == ["t0_m1_0"]
+        assert m.meta["obs_names"] == ["z0", "z1"]
+        rng = np.random.default_rng(3)
+        idx = rng.choice(len(m.fault_sigs), size=16, replace=False)
         for i in idx:
             dets_want, ob_want, meta = m.fault_sigs[int(i)]
             dets, obs = _inject_and_assemble(m.plan, meta)
