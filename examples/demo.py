@@ -168,6 +168,17 @@ def main():
           f"word fail {out['word_fail']:.4f}",
           f"({out['n_phases']} phases, {out['grid_qubits']} grid qubits)")
 
+    # 14b. The same compiled program at CIRCUIT-LEVEL noise: real
+    # two-sector extraction circuits (hook faults, meas/reset/init
+    # errors), BP(+device OSD) on the circuit fault Tanner graph.
+    circ = LogicalProgram(3, 2).cnot(0, 1).run_circuit(
+        NoiseModel(p_gate2=1e-3, p_meas=1e-3, p_reset=1e-3),
+        batch=1 << 12)
+    print("circuit-level compiled CNOT @ d=3, p=1e-3:",
+          f"word fail {circ['word_fail']:.4f}",
+          f"({circ['fault_vars']} circuit fault variables,",
+          f"BP conv {circ['bp_converged']:.2f})")
+
     # 15. Two-level concatenation: repeated mzz joints form a repetition
     # code OVER the logical patches; the same union-find kernel decodes
     # the logical-level spacetime syndrome on top of the patch decodes.
