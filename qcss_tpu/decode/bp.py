@@ -425,7 +425,12 @@ class BPDecoder:
             return host(synd, soft)
         h_t = jnp.asarray(h_mat.T)
         out = np.zeros((synd.shape[0], n), np.uint8)
-        chunk = min(2048, synd.shape[0])
+        # adapt the device chunk to the elimination system: HBM holds
+        # O(chunk * r) per-row coefficient state across the block scan,
+        # so large-r graphs (d=7 compiled-program circuit models reach
+        # r > 5000) must shrink the chunk or OOM a 16 GB chip
+        chunk = min(2048, max(64, int((1 << 33) // max(r * C, 1))))
+        chunk = min(chunk, synd.shape[0])
         for lo in range(0, synd.shape[0], chunk):
             hi = min(lo + chunk, synd.shape[0])
             s_c = np.zeros((chunk, r), synd.dtype)

@@ -44,7 +44,8 @@ from qcss_tpu.experiments.logical import LogicalProgram
 from qcss_tpu.experiments.patches import schedule_decoded_obs
 
 
-def repetition_spacetime_graph(k: int, layers: int) -> MatchingGraph:
+def repetition_spacetime_graph(k: int, layers: int,
+                               layout: str = "chain") -> MatchingGraph:
     """Level-2 spacetime matching graph over `k` chain patches and
     `layers` detector layers of k-1 checks each (layer L-1 is the
     closure layer). Four mechanism families, all ≤ 2 detectors:
@@ -92,8 +93,16 @@ def repetition_spacetime_graph(k: int, layers: int) -> MatchingGraph:
     for r in range(layers - 1):
         for i in range(n_checks):
             add(node(r, i), node(r + 1, i), 0, 2)
-        for j in range(1, n_checks):       # within-sweep diagonal
-            add(node(r, j), node(r + 1, j - 1), 1 << j, 3)
+        # within-sweep diagonals: a flip on interior patch j BETWEEN its
+        # two adjacent joints fires the later-measured joint this sweep
+        # and the earlier-measured one next sweep. 'chain' measures
+        # joints in index order (earlier = j-1); 'brickwork' measures
+        # the even-indexed layer first (see _build_program)
+        for j in range(1, n_checks):
+            f, s = j - 1, j
+            if layout == "brickwork" and (j - 1) % 2 == 1:
+                f, s = j, j - 1
+            add(node(r, s), node(r + 1, f), 1 << j, 3)
     return MatchingGraph(
         num_nodes=layers * n_checks,
         edges=np.asarray(edges, np.int32),
@@ -103,18 +112,41 @@ def repetition_spacetime_graph(k: int, layers: int) -> MatchingGraph:
         edge_weight=np.asarray(wt, np.uint8))
 
 
-def _build_program(d: int, k: int, rounds_l: int):
+def _build_program(d: int, k: int, rounds_l: int, layout: str = "chain"):
+    """Compile the mzz-sweep program. layout='chain' runs the k-1
+    joints of each sweep sequentially on the routing-row bus;
+    'brickwork' runs them as TWO parallel `mzz_layer`s (odd pairs,
+    then even pairs) — the schedule a real architecture uses, with
+    per-sweep phase count independent of k (fewer phases = fewer
+    fault locations; pays for k >= 4). Returns (prog, model, perm)
+    where perm reorders the mzz observable columns into
+    (sweep, check-index) order."""
     if k < 2 or rounds_l < 1:
         raise ValueError("need k >= 2 patches and rounds_l >= 1")
+    if layout not in ("chain", "brickwork"):
+        raise ValueError("layout must be 'chain' or 'brickwork'")
     prog = LogicalProgram(d, k)
+    order: list[int] = []
     for _ in range(rounds_l):
-        for i in range(k - 1):
-            prog.mzz(i, i + 1)
+        if layout == "chain":
+            for i in range(k - 1):
+                prog.mzz(i, i + 1)
+                order.append(i)
+        else:
+            for start in (0, 1):
+                pairs = [(i, i + 1) for i in range(start, k - 1, 2)]
+                if pairs:
+                    prog.mzz_layer(pairs)
+                    order.extend(i for i, _ in pairs)
     prog.measure()
     model = prog.build()
     # emission order: rounds_l * (k-1) mzz rows, then z0..z{k-1}
     assert model.meta["obs_names"][-k:] == [f"z{i}" for i in range(k)]
-    return prog, model
+    n_checks = k - 1
+    perm = np.empty(rounds_l * n_checks, np.int64)
+    for j, i in enumerate(order):
+        perm[(j // n_checks) * n_checks + i] = j
+    return prog, model, perm
 
 
 def _level2_detectors(mzz, z):
@@ -134,6 +166,7 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
                               decoder: str = "host",
                               reps: int = 1,
                               noise=None,
+                              layout: str = "chain",
                               use_native: bool | None = None) -> dict:
     """Run the two-level memory and decode BOTH levels.
 
@@ -158,6 +191,12 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
     The level-2 graph is unchanged — its mechanism FAMILIES are
     schedule-structural (patch flips, failed joints, merge-window pair
     rides, within-sweep diagonals), only their rates shift.
+
+    layout='brickwork' runs each sweep's joints as TWO parallel
+    `mzz_layer`s instead of the serialized routing-row bus — per-sweep
+    phase count independent of k (fewer phases = fewer level-1 fault
+    locations; pays for k >= 4). The level-2 graph's within-sweep
+    diagonals follow the layer measurement order.
     """
     if noise is not None:
         if decoder != "host":
@@ -167,10 +206,10 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
             build_circuit_schedule, circuit_decoded_obs)
     if decoder == "device-uf":
         return _device_two_level(d, k, rounds_l, p, q, batch=batch,
-                                 seed=seed, reps=reps)
+                                 seed=seed, reps=reps, layout=layout)
     if decoder != "host":
         raise ValueError("decoder must be 'host' or 'device-uf'")
-    prog, model = _build_program(d, k, rounds_l)
+    prog, model, perm = _build_program(d, k, rounds_l, layout)
     n_checks = k - 1
     if noise is not None:
         cmodel = build_circuit_schedule(
@@ -181,11 +220,11 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
     else:
         vals = schedule_decoded_obs(model, p, q, batch=batch, seed=seed,
                                     use_native=use_native)
-    mzz = vals[:, : rounds_l * n_checks].reshape(-1, rounds_l, n_checks)
+    mzz = vals[:, perm].reshape(-1, rounds_l, n_checks)
     z = vals[:, rounds_l * n_checks:]
     dets = np.asarray(_level2_detectors(jnp.asarray(mzz), jnp.asarray(z)))
 
-    graph = repetition_spacetime_graph(k, rounds_l + 1)
+    graph = repetition_spacetime_graph(k, rounds_l + 1, layout)
     dec = UFDecoder(graph, use_native=use_native)
     _, corr = dec.decode_batch(dets, want_corrections=False)
     corr_bits = (corr[:, None].astype(np.int64) >> np.arange(k)[None, :]) & 1
@@ -207,7 +246,7 @@ def logical_repetition_memory(d: int, k: int, rounds_l: int, p: float,
 
 def _device_two_level(d: int, k: int, rounds_l: int, p: float,
                       q: float | None, *, batch: int, seed: int,
-                      reps: int) -> dict:
+                      reps: int, layout: str = "chain") -> dict:
     """The fully fused hierarchical pipeline (see logical_repetition_
     memory). Level-1 obs rows pack into one int32 (the schedule device
     path's 24-row cap applies: rounds_l*(k-1) + k <= 24)."""
@@ -215,14 +254,15 @@ def _device_two_level(d: int, k: int, rounds_l: int, p: float,
     from qcss_tpu.experiments.patches import _sample
 
     q = p if q is None else q
-    prog, model = _build_program(d, k, rounds_l)
+    prog, model, perm = _build_program(d, k, rounds_l, layout)
     n_checks = k - 1
     n_obs = model.obs.shape[0]
     if n_obs > 24:
         raise ValueError("device path packs obs rows into one int32: "
                          f"rounds_l*(k-1)+k = {n_obs} > 24")
     dec1 = make_obs_decoder(model.graph)
-    dec2 = make_obs_decoder(repetition_spacetime_graph(k, rounds_l + 1))
+    dec2 = make_obs_decoder(
+        repetition_spacetime_graph(k, rounds_l + 1, layout))
     cls = jnp.asarray(model.fault_probs_class)
     f_t = jnp.asarray(model.F.T.astype(np.int32))
     obs_t = jnp.asarray(model.obs.T.astype(np.int32))
@@ -235,7 +275,7 @@ def _device_two_level(d: int, k: int, rounds_l: int, p: float,
         flips, conv1 = dec1(dets)
         truth = (ob.astype(jnp.int32) * bits1[None, :]).sum(axis=1)
         v = flips.astype(jnp.int32) ^ truth          # deviation bitmask
-        mzz = ((v[:, None] >> jnp.arange(rounds_l * n_checks)) & 1
+        mzz = ((v[:, None] >> jnp.asarray(perm)) & 1
                ).reshape(-1, rounds_l, n_checks).astype(jnp.uint8)
         z = ((v[:, None] >> (rounds_l * n_checks + jnp.arange(k))) & 1
              ).astype(jnp.uint8)

@@ -344,6 +344,163 @@ class LogicalProgram:
                 self._frames[pid],
                 [P.readout_logical(split_ph, sup)])
 
+    # -- parallel op layers ----------------------------------------------------
+    #
+    # The single-op emitters above serialize on the routing row (one op
+    # at a time). The *_many forms emit SEVERAL disjoint ops into the
+    # same phases — the brickwork layers a real surgery architecture
+    # runs. For one entry they produce bit-identical schedules to the
+    # single-op forms (asserted in tests/test_logical.py), so the
+    # single-op paths stay untouched (their bespoke bit-identity is
+    # pinned; see CLAUDE.md).
+
+    def _prep_many(self, slots) -> list[str]:
+        pids = []
+        for slot in slots:
+            self._check_free(slot)
+            pid = f"a{self._anc_count}"
+            self._anc_count += 1
+            self._occ[slot] = pid
+            self._slot_of[pid] = slot
+            self._frames[pid] = []
+            pids.append(pid)
+        self._push_sep()
+        ph = len(self._phases) - 1
+        for slot in slots:
+            self._conj.append(P.Readout(ph, tuple(self._block_qubits(slot))))
+        return pids
+
+    def _push_merged_many(self, merges):
+        """One phase merging several DISJOINT slot pairs at once.
+        `merges` is [(slot_a, slot_b, orient)]; all other patches keep
+        their separate checks."""
+        in_merge = set()
+        for a, b, _ in merges:
+            in_merge.update((a, b))
+        checks, conj, act = [], [], np.zeros(self.n, np.uint8)
+        for a, b, orient in merges:
+            seam, _ = self._seam_qubits(a, b)
+            checks.append(self._merged_checks(a, b, orient))
+            conj.append(self._merged_checks(a, b, orient, "x"))
+            act |= self._block_mask(a) | self._block_mask(b)
+            act[seam] = 1
+        for slot, pid in sorted(self._occ.items()):
+            if slot in in_merge:
+                continue
+            checks.append(self._patch_checks(slot))
+            conj.append(self._patch_checks(slot, "x"))
+            act |= self._block_mask(slot)
+        self._phases.append(P.Phase(np.concatenate(checks, axis=0), self.R))
+        self._conj_checks.append(np.concatenate(conj, axis=0))
+        self._active.append(act)
+        return len(self._phases) - 1
+
+    def _zz_many(self, pairs, ref: str = "last") -> list[list]:
+        """Simultaneous ZZ joint measurements of disjoint vertically
+        adjacent patch pairs; returns one m-term list per pair."""
+        merges = []
+        for pa, pb in pairs:
+            a, b = self._slot_of[pa], self._slot_of[pb]
+            _, orient = self._seam_qubits(a, b)
+            if orient != "v":
+                raise ValueError("ZZ needs vertically adjacent patches")
+            merges.append((a, b, "v"))
+        ph = self._push_merged_many(merges)
+        self._push_sep()
+        return [[P.joint(ph, (self._zrep(a) ^ self._zrep(b)
+                              ).astype(np.uint8), mode="even", ref=ref)]
+                for a, b, _ in merges]
+
+    def _move_many(self, moves):
+        """Simultaneously move several patches to disjoint adjacent
+        vacant slots (grow + contract in one phase pair)."""
+        plan = []
+        for pid, to_slot in moves:
+            self._check_free(to_slot)
+            frm = self._slot_of[pid]
+            seam, orient = self._seam_qubits(frm, to_slot)
+            plan.append((pid, frm, to_slot, seam, orient))
+        ph = self._push_merged_many(
+            [(frm, to, orient) for _, frm, to, _, orient in plan])
+        for pid, frm, to_slot, _, _ in plan:
+            del self._occ[frm]
+            self._occ[to_slot] = pid
+            self._slot_of[pid] = to_slot
+        self._push_sep()
+        split_ph = len(self._phases) - 1
+        for pid, frm, to_slot, seam, orient in plan:
+            zrep_old, zrep_new = self._zrep(frm), self._zrep(to_slot)
+            if orient == "v":
+                grown = self._block_qubits(to_slot) + seam
+                self._conj.append(P.Readout(ph, tuple(grown)))
+                self._frames[pid] = _xor_terms(
+                    self._frames[pid],
+                    [P.joint(ph, (zrep_old ^ zrep_new).astype(np.uint8),
+                             mode="even")])
+            else:
+                vacated = self._block_qubits(frm) + seam
+                self._readouts.append(P.Readout(split_ph, tuple(vacated)))
+                row_z = self._zrep_row(frm)
+                seam_on_row = [qb for qb in seam
+                               if qb // self.cols_q == row_z]
+                assert len(seam_on_row) == 1
+                sup = zrep_old.copy()
+                sup[seam_on_row[0]] = 1
+                self._frames[pid] = _xor_terms(
+                    self._frames[pid],
+                    [P.readout_logical(split_ph, sup)])
+
+    def mzz_layer(self, pairs) -> "LogicalProgram":
+        """One BRICKWORK LAYER of non-destructive joint measurements:
+        Z̄_a·Z̄_b for several DISJOINT data pairs SIMULTANEOUSLY, each
+        via its own routed ancilla — the parallel form of `mzz` (a real
+        architecture runs all its logical-level checks at once; the
+        serialized bus costs idle exposure and rounds). Phase count is
+        O(max route length), independent of the number of pairs.
+
+        Pairs must have disjoint routing footprints: the ancilla for
+        (a, b) occupies routing-row columns between 2a and 2b."""
+        pairs = [(int(a), int(b)) for a, b in pairs]
+        if not pairs:
+            raise ValueError("need at least one pair")
+        spans = []
+        for a, b in pairs:
+            if not (0 <= a < self.n_data and 0 <= b < self.n_data) \
+                    or a == b:
+                raise ValueError(f"bad mzz pair {(a, b)}")
+            spans.append((min(2 * a, 2 * b), max(2 * a, 2 * b)))
+        order = sorted(range(len(pairs)), key=lambda i: spans[i][0])
+        for i, j in zip(order, order[1:]):
+            if spans[i][1] >= spans[j][0]:
+                raise ValueError("mzz_layer pairs overlap on the "
+                                 "routing row")
+        ancs = self._prep_many([(1, 2 * a) for a, _ in pairs])
+        m1s = self._zz_many([(f"d{a}", anc)
+                             for (a, _), anc in zip(pairs, ancs)])
+        cols = [2 * a for a, _ in pairs]
+        tgts = [2 * b for _, b in pairs]
+        while any(c != t for c, t in zip(cols, tgts)):
+            moves = []
+            for i, (c, t) in enumerate(zip(cols, tgts)):
+                if c != t:
+                    step = 1 if t > c else -1
+                    moves.append((ancs[i], (1, c + step)))
+                    cols[i] = c + step
+            self._move_many(moves)
+        m2s = self._zz_many([(f"d{b}", anc)
+                             for (_, b), anc in zip(pairs, ancs)])
+        for anc in ancs:     # measure out in X: silent deactivation
+            del self._occ[self._slot_of.pop(anc)]
+        frames_a = [self._frames.pop(anc) for anc in ancs]
+        self._push_sep()
+        for (a, b), m1, m2, fa in zip(pairs, m1s, m2s, frames_a):
+            terms = _xor_terms(_xor_terms(m1, m2), fa)
+            self._aux_obs.append((f"mzz{a}{b}_{len(self._aux_obs)}",
+                                  terms))
+            self._aux_expected.append(self._bits[a] ^ self._bits[b])
+        self._op_log.append(("mzz_layer", tuple(pairs)))
+        return self
+
     def cnot(self, c: int, t: int) -> "LogicalProgram":
         """Logical CNOT(control=c, target=t), any pair, via an ancilla
         routed along the routing row."""

@@ -648,7 +648,7 @@ def sharded_two_level_memory(d: int, k: int, rounds_l: int, mesh: Mesh,
           tuple(sorted(mesh.shape.items())))
     entry = _TWO_LEVEL_CACHE.get(ck)
     if entry is None:
-        prog, model = _build_program(d, k, rounds_l)
+        prog, model, perm = _build_program(d, k, rounds_l)
         n_checks = k - 1
         n_obs = model.obs.shape[0]
         if n_obs > 24:
@@ -671,7 +671,7 @@ def sharded_two_level_memory(d: int, k: int, rounds_l: int, mesh: Mesh,
             flips, conv1 = dec1(dets)
             truth = (ob.astype(jnp.int32) * bits1[None, :]).sum(axis=1)
             v = flips.astype(jnp.int32) ^ truth      # deviation bitmask
-            mzz = ((v[:, None] >> jnp.arange(rounds_l * n_checks)) & 1
+            mzz = ((v[:, None] >> jnp.asarray(perm)) & 1
                    ).reshape(-1, rounds_l, n_checks).astype(jnp.uint8)
             z = ((v[:, None] >> (rounds_l * n_checks + jnp.arange(k))) & 1
                  ).astype(jnp.uint8)

@@ -96,6 +96,25 @@ class TestTwoLevelMemory:
         assert out["word_fail_l1"] > 0.15
         assert out["word_fail_l2"] < out["word_fail_l1"] / 2
 
+    def test_brickwork_layout(self):
+        """Brickwork sweeps (parallel mzz layers): fewer phases per
+        sweep at k=5, the permuted mzz record assembles the same
+        detector structure, and level 2 still corrects."""
+        from qcss_tpu.experiments.concatenated import _build_program
+
+        prog_b, _, perm_b = _build_program(3, 5, 2, "brickwork")
+        prog_c, _, perm_c = _build_program(3, 5, 2, "chain")
+        assert len(prog_b._phases) < len(prog_c._phases) * 0.7
+        assert (np.sort(perm_b) == np.arange(8)).all()
+        assert (perm_c == np.arange(8)).all()
+        out = logical_repetition_memory(3, 5, 2, 4e-3, batch=1 << 10,
+                                        seed=3, layout="brickwork")
+        assert out["word_fail_l2"] < out["word_fail_l1"] / 2
+        quiet = logical_repetition_memory(3, 5, 2, 0.0, 0.0, batch=32,
+                                          seed=0, layout="brickwork")
+        assert quiet["word_fail_l1"] == 0.0
+        assert quiet["word_fail_l2"] == 0.0
+
     @pytest.mark.skipif(not os.environ.get("QCSS_SLOW_TESTS"),
                         reason="slow; set QCSS_SLOW_TESTS=1")
     def test_longer_chain(self):

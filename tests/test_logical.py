@@ -371,3 +371,53 @@ class TestTableauGoldT:
             assert got["z0"] == zd
             if not magic_plus:
                 assert got[model.meta["obs_names"][0]] == zd
+
+
+class TestMzzLayer:
+    def test_one_pair_bit_identical_to_mzz(self):
+        """A single-pair layer compiles the EXACT schedule mzz emits —
+        the parallel emitters share the single-op semantics."""
+        a = LogicalProgram(3, 2).mzz(0, 1).build()
+        b = LogicalProgram(3, 2).mzz_layer([(0, 1)]).build()
+        assert (a.F == b.F).all()
+        assert (a.obs == b.obs).all()
+        assert (a.graph.edges == b.graph.edges).all()
+        assert (a.graph.edge_obs == b.graph.edge_obs).all()
+
+    def test_parallel_layer_builds_and_decodes(self):
+        """Two simultaneous disjoint joints: phase count independent of
+        the pair count (the bus serialization removed), every guard
+        passes, singles decode exactly, expected values track x ops."""
+        prog = LogicalProgram(3, 4).x(1).mzz_layer([(0, 1), (2, 3)])
+        model = prog.build()
+        seq = LogicalProgram(3, 4).mzz(0, 1).mzz(2, 3)
+        seq.measure()
+        assert len(prog._phases) < len(seq._phases) * 0.6
+        assert model.meta["obs_expected"] == [1, 0, 0, 1, 0, 0]
+        dec = UFDecoder(model.graph)
+        _, corr = dec.decode_batch(model.F.T.astype(np.uint8),
+                                   want_corrections=False)
+        for i in range(model.obs.shape[0]):
+            assert not ((model.obs[i] ^ ((corr >> i) & 1)) == 1).any()
+        out = prog.run(0.0, 0.0, batch=64)
+        assert out["word_fail"] == 0.0
+
+    def test_overlap_guard(self):
+        with pytest.raises(ValueError, match="overlap"):
+            LogicalProgram(3, 3).mzz_layer([(0, 1), (1, 2)])
+
+    @pytest.mark.skipif(not os.environ.get("QCSS_SLOW_TESTS"),
+                        reason="slow tableau gold; set QCSS_SLOW_TESTS=1")
+    def test_gold_two_pairs(self):
+        """Tableau gold of a 2-pair brickwork layer (189-qubit grid):
+        every detector zero, both joints and all four finals exact."""
+        import jax
+
+        prog = LogicalProgram(3, 4).x(1).x(2).mzz_layer([(0, 1), (2, 3)])
+        model = prog.build(with_recipe=True)
+        recipe = model.meta["recipe"]
+        o = _run_compiled_protocol(prog, model, jax.random.key(97))
+        dets = (recipe["D"].astype(np.int64) @ o.astype(np.int64)) & 1
+        assert not dets.any()
+        vals = (recipe["obs"].astype(np.int64) @ o.astype(np.int64)) & 1
+        assert list(vals) == model.meta["obs_expected"]
