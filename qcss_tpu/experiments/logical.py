@@ -93,6 +93,8 @@ def _term_key(term):
         return (kind, term[1], term[2])
     if kind == "readout_logical":
         return (kind, term[1], term[2].tobytes())
+    if kind == "logical_at":
+        return (kind, term[1], term[2].tobytes())
     raise ValueError(kind)
 
 
@@ -148,6 +150,12 @@ class LogicalProgram:
         self._bits = [0] * n_data
         self._xops: list[tuple[int, tuple[int, ...]]] = []
         self._op_log: list[tuple] = []
+        # X-CHECK-sector bookkeeping (Z-error faults; see build_x):
+        # X-basis measure-outs are SCORED readouts there, Z-basis inits
+        # are conjugate inits there, and each t() books its OUT channel
+        self._x_reads: list[P.Readout] = []
+        self._x_conj: list[P.Readout] = []
+        self._x_obs: list[tuple[str, list]] = []
 
         for i in range(n_data):
             pid = f"d{i}"
@@ -155,6 +163,10 @@ class LogicalProgram:
             self._slot_of[pid] = (0, 2 * i)
             self._frames[pid] = []
         self._push_sep()
+        data_qubits = []
+        for i in range(n_data):
+            data_qubits += self._block_qubits((0, 2 * i))
+        self._x_conj.append(P.Readout(0, tuple(data_qubits)))
 
     # -- geometry ------------------------------------------------------------
 
@@ -198,6 +210,22 @@ class LogicalProgram:
 
     def _zrep_row(self, slot) -> int:
         return self._origin(slot)[0] + 1
+
+    def _xrep(self, slot, col: int = 1):
+        """X̄ representative: an INTERIOR column of the block (column 1
+        — the mirror of `_zrep`'s interior-row rule). The bespoke
+        `surgery_t.build_merge_readout_sector` uses column 0, but it
+        models an ongoing memory whose first X-check round is already
+        deterministic; the compiled program models the real |0...0⟩
+        init, whose phase-0 X rounds are projection-random — there a
+        boundary-column rep's coverage-1 corner collides with a
+        first-round measurement flip (same single detector, different
+        OUT) and the signature-consistency guard rejects it."""
+        r0, c0 = self._origin(slot)
+        v = np.zeros(self.n, np.uint8)
+        for r in range(self.d):
+            v[(r0 + r) * self.cols_q + c0 + col] = 1
+        return v
 
     def _seam_qubits(self, a, b):
         (Ia, Ja), (Ib, Jb) = a, b
@@ -288,19 +316,43 @@ class LogicalProgram:
                                     tuple(self._block_qubits(slot))))
         return pid
 
-    def _zz(self, pa: str, pb: str, ref: str = "last") -> list:
-        """ZZ joint measurement of two vertically adjacent patches
-        (seam |0⟩-init — the seam-even combination is init-agnostic).
+    def _zz(self, pa: str, pb: str, ref: str = "last",
+            seam_basis: str = "z") -> list:
+        """ZZ joint measurement of two vertically adjacent patches.
         Returns the m term list. `ref` anchors the previous-phase read
         (see patches.joint): 'last' when m pairs with a later readout of
         the same patch (cnot), 'first' when m is consumed standalone off
-        a freshly prepared conjugate patch (the T gadget)."""
+        a freshly prepared conjugate patch (the T gadget).
+
+        `seam_basis` picks the seam initialization — the m combination
+        is solved seam-EVEN, so the Z sector is init-agnostic, but the
+        X sector is not: with a |0⟩ seam ('z', default) the extended X
+        checks enter the merge projection-randomized, and a Z fault in
+        the FIRST merged round on a coverage-1 qubit of an extended
+        check is provably undetectable (the no-undetectable-logical
+        guard caught exactly this building the compiled T gadget's OUT
+        channel). Ops that score an X-sector observable through the
+        merge (the T gadget) must use a |+⟩ seam ('x' — the bespoke
+        `surgery_t` choice); ops whose X sector carries no observable
+        (cnot, mzz) keep 'z'. Either way the seam is measured out in X
+        at the split (silent for the Z sector, a scored readout for the
+        X sector)."""
         a, b = self._slot_of[pa], self._slot_of[pb]
-        _, orient = self._seam_qubits(a, b)
+        seam, orient = self._seam_qubits(a, b)
         if orient != "v":
             raise ValueError("ZZ needs vertically adjacent patches")
         ph = self._push_merged(a, b, "v")
         self._push_sep()
+        if seam_basis == "x":
+            # |+⟩ seam: conjugate init for the Z sector (seam X faults
+            # at activation are gauge), SCORED init for the X sector
+            # (extended X checks keep their merge-entry detectors)
+            self._conj.append(P.Readout(ph, tuple(seam)))
+        else:
+            # |0⟩ seam: scored init for the Z sector, conjugate for the
+            # X sector (extended X checks lose their entry comparison)
+            self._x_conj.append(P.Readout(ph, tuple(seam)))
+        self._x_reads.append(P.Readout(ph + 1, tuple(seam)))
         target = (self._zrep(a) ^ self._zrep(b)).astype(np.uint8)
         return [P.joint(ph, target, mode="even", ref=ref)]
 
@@ -324,6 +376,11 @@ class LogicalProgram:
             # by the seam-even check-combination transfer.
             grown = self._block_qubits(to_slot) + seam
             self._conj.append(P.Readout(ph, tuple(grown)))
+            # X sector mirror: |+⟩ growth is a SCORED init there, and
+            # the X measure-out of the vacated block + seam is a scored
+            # readout there
+            self._x_reads.append(P.Readout(
+                split_ph, tuple(self._block_qubits(frm) + seam)))
             self._frames[pid] = _xor_terms(
                 self._frames[pid],
                 [P.joint(ph, (zrep_old ^ zrep_new).astype(np.uint8),
@@ -334,6 +391,10 @@ class LogicalProgram:
             # parity of the old row + the seam qubit on it.
             vacated = self._block_qubits(frm) + seam
             self._readouts.append(P.Readout(split_ph, tuple(vacated)))
+            # X sector mirror: |0⟩ growth is a conjugate init there; the
+            # Z measure-out is silent there
+            self._x_conj.append(P.Readout(
+                ph, tuple(self._block_qubits(to_slot) + seam)))
             row_z = self._zrep_row(frm)
             seam_on_row = [qb for qb in seam
                            if qb // self.cols_q == row_z]
@@ -407,6 +468,10 @@ class LogicalProgram:
             merges.append((a, b, "v"))
         ph = self._push_merged_many(merges)
         self._push_sep()
+        for a, b, _ in merges:
+            seam, _ = self._seam_qubits(a, b)
+            self._x_conj.append(P.Readout(ph, tuple(seam)))
+            self._x_reads.append(P.Readout(ph + 1, tuple(seam)))
         return [[P.joint(ph, (self._zrep(a) ^ self._zrep(b)
                               ).astype(np.uint8), mode="even", ref=ref)]
                 for a, b, _ in merges]
@@ -433,6 +498,8 @@ class LogicalProgram:
             if orient == "v":
                 grown = self._block_qubits(to_slot) + seam
                 self._conj.append(P.Readout(ph, tuple(grown)))
+                self._x_reads.append(P.Readout(
+                    split_ph, tuple(self._block_qubits(frm) + seam)))
                 self._frames[pid] = _xor_terms(
                     self._frames[pid],
                     [P.joint(ph, (zrep_old ^ zrep_new).astype(np.uint8),
@@ -440,6 +507,8 @@ class LogicalProgram:
             else:
                 vacated = self._block_qubits(frm) + seam
                 self._readouts.append(P.Readout(split_ph, tuple(vacated)))
+                self._x_conj.append(P.Readout(
+                    ph, tuple(self._block_qubits(to_slot) + seam)))
                 row_z = self._zrep_row(frm)
                 seam_on_row = [qb for qb in seam
                                if qb // self.cols_q == row_z]
@@ -489,10 +558,16 @@ class LogicalProgram:
             self._move_many(moves)
         m2s = self._zz_many([(f"d{b}", anc)
                              for (_, b), anc in zip(pairs, ancs)])
+        anc_slots = []
         for anc in ancs:     # measure out in X: silent deactivation
-            del self._occ[self._slot_of.pop(anc)]
+            slot = self._slot_of.pop(anc)
+            del self._occ[slot]
+            anc_slots.append(slot)
         frames_a = [self._frames.pop(anc) for anc in ancs]
         self._push_sep()
+        for slot in anc_slots:   # scored readouts in the X sector
+            self._x_reads.append(P.Readout(
+                len(self._phases) - 1, tuple(self._block_qubits(slot))))
         for (a, b), m1, m2, fa in zip(pairs, m1s, m2s, frames_a):
             terms = _xor_terms(_xor_terms(m1, m2), fa)
             self._aux_obs.append((f"mzz{a}{b}_{len(self._aux_obs)}",
@@ -518,6 +593,9 @@ class LogicalProgram:
         seam, orient = self._seam_qubits(a_slot, t_slot)
         assert orient == "h"
         ph = self._push_merged(a_slot, t_slot, "h")
+        # X sector: the XX merge's |0⟩ seam is a conjugate init there;
+        # the split's Z measure-out of A + seam is silent there
+        self._x_conj.append(P.Readout(ph, tuple(seam)))
         zrep_a = self._zrep(a_slot)
         # split: A measured out in Z together with the seam
         del self._occ[a_slot]
@@ -547,12 +625,31 @@ class LogicalProgram:
         if not 0 <= q < self.n_data:
             raise ValueError("bad qubit")
         m = self._prep((1, 2 * q))
-        m1 = self._zz(f"d{q}", m, ref="first")
+        m1 = self._zz(f"d{q}", m, ref="first", seam_basis="x")
+        seam_ro = self._x_reads[-1]       # the ZZ seam's X readout
         # measure M out in X: silent deactivation at the next phase
         slot = self._slot_of.pop(m)
         del self._occ[slot]
         self._frames.pop(m)
         self._push_sep()
+        ph_last = len(self._phases) - 1
+        self._x_reads.append(P.Readout(ph_last,
+                                       tuple(self._block_qubits(slot))))
+        # X-sector OUT channel: the preserved product X̄_D X̄_M rides the
+        # merged column THROUGH the seam qubit (surgery_t's X sector,
+        # re-derived on the compiled layout). M_X = transversal X
+        # readout of M; the seam qubit on the X̄ column was read in X at
+        # the ZZ split; X̄_D is ANCHORED at M's readout — Z faults on D
+        # after the frame is consumed are harmless and must not score.
+        # OUT failing = wrong M_X-conditioned Z̄ frame on D = a logical
+        # error of the gadget the Z sector cannot see.
+        c_rep = self._origin((0, 2 * q))[1] + 1   # the interior X̄ column
+        s0 = [qb for qb in seam_ro.qubits if qb % self.cols_q == c_rep]
+        assert len(s0) == 1
+        terms = [P.logical_at(ph_last, self._xrep((0, 2 * q))),
+                 P.readout_logical(ph_last, self._xrep(slot)),
+                 P.readout_bit(seam_ro.phase, s0[0])]
+        self._x_obs.append((f"t{q}_out_{len(self._x_obs)}", terms))
         self._aux_obs.append((f"t{q}_m1_{len(self._aux_obs)}", m1))
         self._aux_expected.append(None)   # projection-random on |+̄⟩
         self._op_log.append(("t", q))
@@ -584,6 +681,8 @@ class LogicalProgram:
         del self._occ[slot]
         frame_a = self._frames.pop(anc)
         self._push_sep()
+        self._x_reads.append(P.Readout(len(self._phases) - 1,
+                                       tuple(self._block_qubits(slot))))
         terms = _xor_terms(_xor_terms(m1, m2), frame_a)
         self._aux_obs.append((f"mzz{a}{b}_{len(self._aux_obs)}", terms))
         self._aux_expected.append(self._bits[a] ^ self._bits[b])
@@ -639,6 +738,87 @@ class LogicalProgram:
         model.meta["x_ops"] = list(self._xops)
         model.meta["op_log"] = list(self._op_log)
         return model
+
+    def build_x(self, p: float | None = None,
+                q: float | None = None,
+                with_recipe: bool = False) -> P.ScheduleModel:
+        """The X-CHECK sector of the compiled program (Z-error faults) —
+        the mirror schedule over the SAME phases: scored checks are the
+        patches' X stabilizers (`self._conj_checks`), X-basis events
+        swap roles (|+̄⟩ preps and |+⟩ move-growth regions become scored
+        inits; X measure-outs of mzz/t ancillas, ZZ seams and vertical-
+        move vacated blocks become scored readouts with closure
+        detectors) and Z-basis events become conjugate inits (initial
+        data patches, |0⟩ seams, horizontal-move growth) or silent
+        deactivations (cnot's ancilla split, horizontal-move vacated
+        blocks).
+
+        Observables: one OUT channel per t() gadget — the preserved
+        X̄_D·X̄_M product read through M's transversal X readout and the
+        seam's split-time X bit, with X̄_D anchored at the readout
+        phase (`patches.logical_at`). OUT failing corrupts the
+        M_X-conditioned Z̄ frame: the gadget failure channel the
+        Z-sector model documents as out-of-scope
+        (`experiments.surgery_t.build_merge_readout_sector` is the
+        bespoke original; cnot/mzz book no X-sector channel — their
+        X readouts are gauge for Z-basis programs).
+
+        The final time boundary keeps the bespoke convention: a perfect
+        transversal X readout closes the spacetime graph (reference
+        anchor for the convention: surgery_t.py X sector). Z-basis
+        programs never physically read X̄ finals; every OUT anchor
+        precedes the boundary, and post-anchor Z faults are harmless,
+        so the fictitious closure only sharpens decoding of faults that
+        cannot score."""
+        if not hasattr(self, "_obs"):
+            self.measure()
+        model = P.build_schedule(
+            self.n, [P.Phase(h, self.R) for h in self._conj_checks],
+            np.stack(self._active),
+            [terms for _, terms in self._x_obs],
+            readouts=tuple(self._x_reads),
+            conjugate_init=tuple(self._x_conj), p=p, q=q,
+            with_recipe=with_recipe)
+        model.meta["obs_names"] = [name for name, _ in self._x_obs]
+        model.meta["op_log"] = list(self._op_log)
+        return model
+
+    def run_full(self, p: float, q: float | None = None, *,
+                 batch: int = 1 << 13, seed: int = 0,
+                 weighted: bool = False,
+                 use_native: bool | None = None) -> dict:
+        """Monte-Carlo BOTH fault sectors of the compiled program: the
+        Z-sector schedule (X-error faults -> Z outputs, m1 channels) and
+        the X-sector schedule (Z-error faults -> the t gadgets' OUT
+        frame channels), independently sampled — the X and Z error
+        processes are independent under this noise model — and composed
+        per shot (`word_fail` = any channel of either sector wrong),
+        exactly `surgery_t.t_gadget_memory`'s accounting generalized to
+        whole compiled programs."""
+        q_ = p if q is None else q
+        kw = dict(p=p, q=q_) if weighted else dict(p=None, q=None)
+        model_z = self.build(**kw)
+        vals = P.schedule_decoded_obs(model_z, p, q_, batch=batch,
+                                      seed=seed, use_native=use_native)
+        out = {"p": float(p), "q": float(q_), "samples": batch,
+               "detectors_z": int(model_z.F.shape[0])}
+        for i, name in enumerate(model_z.meta["obs_names"]):
+            out[f"{name}_fail"] = float(vals[:, i].mean())
+        fail_any = vals.any(axis=1)
+        if self._x_obs:
+            model_x = self.build_x(**kw)
+            vals_x = P.schedule_decoded_obs(model_x, p, q_, batch=batch,
+                                            seed=seed + 7919,
+                                            use_native=use_native)
+            out["detectors_x"] = int(model_x.F.shape[0])
+            for i, name in enumerate(model_x.meta["obs_names"]):
+                out[f"{name}_fail"] = float(vals_x[:, i].mean())
+            fail_any = fail_any | vals_x.any(axis=1)
+        out["word_fail"] = float(fail_any.mean())
+        out.update({"d": self.d, "rounds": self.R,
+                    "n_phases": len(self._phases),
+                    "grid_qubits": self.n})
+        return out
 
     def run(self, p: float, q: float | None = None, *,
             batch: int = 1 << 13, seed: int = 0, weighted: bool = False,

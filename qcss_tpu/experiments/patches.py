@@ -142,6 +142,25 @@ def readout_logical(phase: int, support: np.ndarray) -> tuple:
     return ("readout_logical", phase, np.asarray(support, dtype=np.uint8))
 
 
+def logical_at(phase: int, support: np.ndarray) -> tuple:
+    """Observable term: the scored-sector logical `support` ANCHORED at
+    the transition into `phase` — flipped by data faults that occur
+    STRICTLY before the anchor (slot < the phase's first round) and are
+    still live on their qubit there. Needed for frame-consumption
+    channels: when a mid-program readout fixes a software correction
+    (the T gadget's M_X-conditioned Z̄ frame), faults after the anchor
+    can no longer corrupt it, so the final-boundary `logical` term
+    over-counts them. Support qubits must stay active from the anchor
+    to the schedule end.
+
+    In the outcome-space recipe (`with_recipe=True`) this term falls
+    back to the FINAL transversal readout row — exact for noiseless
+    golds (no fault ever separates the anchor from the final value) but
+    NOT a valid fault-placement map for circuit-tier consumers; the
+    builder marks the recipe accordingly (`recipe['has_anchored']`)."""
+    return ("logical_at", phase, np.asarray(support, dtype=np.uint8))
+
+
 def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                    observables: list[list[tuple]],
                    readouts: tuple[Readout, ...] = (),
@@ -322,6 +341,24 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                 partner[i] = hits[0]
         partners.append(partner)
 
+    # anchored-logical terms: validate and collect the anchor phases
+    anchors: set[int] = set()
+    for terms in observables:
+        for term in terms:
+            if term[0] != "logical_at":
+                continue
+            _, ph_a, sup = term
+            if not (1 <= ph_a < n_ph):
+                raise ValueError("logical_at anchor must be an interior "
+                                 "phase boundary (use `logical` for the "
+                                 "final readout)")
+            for ph in range(ph_a - 1, n_ph):
+                if (sup & (1 - active[ph])).any():
+                    raise AssertionError(
+                        "logical_at support must stay active from the "
+                        f"anchor to the end (inactive in phase {ph})")
+            anchors.add(ph_a)
+
     # pre-solve every joint-term combination (shared by both assemblies)
     solved_joints: dict[tuple[int, int], tuple] = {}
     for i_o, terms in enumerate(observables):
@@ -348,7 +385,7 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                                          u[h_m.shape[0]:],
                                          0 if ref == "first" else -1)
 
-    def assemble(o_ph, sread, w_final):
+    def assemble(o_ph, sread, w_final, w_at=None):
         """Detector and observable rows as linear maps over whatever
         space the o/sread/w arrays live in (fault deviations for the
         model; raw-outcome indicators for the protocol recipe)."""
@@ -458,6 +495,11 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                                 f"readout_logical qubit {qb} not read "
                                 f"out at phase {ph}")
                         row ^= sread[read_idx[(ph, int(qb))]]
+                elif kind == "logical_at":
+                    _, ph, sup = term
+                    row ^= (sup.astype(np.int64)
+                            @ w_at[ph].astype(np.int64)
+                            ).astype(np.uint8) & 1
                 else:
                     raise ValueError(f"unknown observable term {kind!r}")
             obs_rows.append(row)
@@ -465,7 +507,18 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
             np.zeros((0, width), dtype=np.uint8)
         return F, obs
 
-    F, obs = assemble(o_ph, sread, w_final)
+    # fault-space rows of anchored logicals: fault (t0, qb) flips the
+    # anchor iff it precedes the anchor phase's first round AND its
+    # activity interval is still live at the anchor
+    w_at_model: dict[int, np.ndarray] = {}
+    for ph_a in anchors:
+        w = np.zeros((n, nf), dtype=np.uint8)
+        for f, (t0, qb) in enumerate(data_faults):
+            if t0 < int(starts[ph_a]) and slot_int[(t0, qb)][1] >= ph_a - 1:
+                w[qb, f] = 1
+        w_at_model[ph_a] = w
+
+    F, obs = assemble(o_ph, sread, w_final, w_at_model)
 
     meta = {"total_rounds": total, "n_detectors": int(F.shape[0])}
     if with_recipe:
@@ -484,12 +537,23 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
         w2 = np.zeros((n, n_out), dtype=np.uint8)
         for qb in range(n):
             w2[qb, n_meas + n_read + qb] = 1
-        D, obs_D = assemble(o2, sr2, w2)
+        # anchored logicals fall back to the final readout row in
+        # outcome space (noiselessly identical; see `logical_at`)
+        D, obs_D = assemble(o2, sr2, w2, {ph: w2 for ph in anchors})
+        # expose each anchored term so a circuit-tier consumer can XOR
+        # the fallback back OUT of its obs row and place those faults
+        # exactly (schedule_circuit handles them in fault space)
+        anchored_terms = [
+            (i_o, int(term[1]), term[2].astype(np.uint8).copy())
+            for i_o, terms in enumerate(observables)
+            for term in terms if term[0] == "logical_at"]
         meta["recipe"] = {
             "D": D, "obs": obs_D,
             "meas_order": list(meas_faults),
             "read_order": sorted(read_idx, key=read_idx.get),
             "n_meas": n_meas, "n_read": n_read,
+            "has_anchored": bool(anchors),
+            "anchored": anchored_terms,
         }
 
     graph = _graph_from_signatures(F, obs, n_data, p, q)

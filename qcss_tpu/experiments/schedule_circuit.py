@@ -226,6 +226,11 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
                             conjugate_init=conjugate_init,
                             with_recipe=True)
     rec = base.meta["recipe"]
+    if rec.get("has_anchored"):
+        raise ValueError(
+            "circuit-level schedules cannot consume logical_at terms: "
+            "the recipe's anchored rows fall back to the final readout, "
+            "which mis-places circuit faults that occur after the anchor")
     D, obs_D = rec["D"], rec["obs"]
     if drop_obs:
         keep_obs = [i for i in range(obs_D.shape[0]) if i not in drop_obs]

@@ -88,142 +88,12 @@ class TestTGadgetOp:
 # -- tableau gold machinery ---------------------------------------------------
 
 
-def _run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
-                           skip_h_phases=()):
-    """Run the compiled schedule projectively on the tableau engine and
-    return the raw outcome vector in the recipe's order."""
-    import jax
-
-    from qcss_tpu.experiments import surgery
-    from qcss_tpu.sim import tableau as tb
-
-    # drop executables accumulated by earlier tests in this module: the
-    # XLA:CPU compiler segfaults past an in-process executable count
-    # (tests/conftest.py documents the edge; the protocol below compiles
-    # only a few dozen shapes itself)
-    jax.clear_caches()
-
-    n = prog.n
-    anc = n
-    recipe = model.meta["recipe"]
-    n_meas, n_read = recipe["n_meas"], recipe["n_read"]
-    outcomes = np.zeros(n_meas + n_read + n, np.uint8)
-
-    key_box = [rng_key]
-
-    def nk():
-        key_box[0], k = jax.random.split(key_box[0])
-        return k
-
-    t = tb.zero_state(1, n + 1)
-
-    # All tableau calls below use array-indexed / scanned forms with a
-    # FIXED instruction length: XLA:CPU compiles once per shape, not once
-    # per qubit index — the per-int-index forms accumulate thousands of
-    # tiny executables over a 77-qubit protocol and trip the in-process
-    # CPU-compiler segfault tests/conftest.py documents.
-    maxw = max(int(ph.checks.sum(axis=1).max()) for ph in prog._phases) + 2
-
-    def scanned(t, ops, q0, q1):
-        pad = maxw - len(ops)
-        return tb.run_circuit_scanned(
-            t, np.asarray(ops + [0] * pad, np.int32),
-            np.asarray(q0 + [0] * pad, np.int32),
-            np.asarray(q1 + [0] * pad, np.int32))
-
-    def meas_qubits(t, qubits):
-        t, outs = tb.measure_many(t, np.asarray(qubits, np.int32), nk())
-        return t, np.asarray(outs)[0]
-
-    def reset_anc(t, out):
-        if out:
-            t = tb.apply_x_many(t, np.asarray([anc], np.int32))
-        return t
-
-    def meas_z_op(t, support):
-        sup = [int(qb) for qb in np.nonzero(support)[0]]
-        t = scanned(t, [6] * len(sup), sup, [anc] * len(sup))
-        t, out = meas_qubits(t, [anc])
-        return reset_anc(t, out[0]), int(out[0])
-
-    def meas_x_check(t, support):
-        sup = [int(qb) for qb in np.nonzero(support)[0]]
-        t = scanned(t, [4] + [6] * len(sup) + [4],
-                    [anc] + [anc] * len(sup) + [anc],
-                    [0] + sup + [0])
-        t, out = meas_qubits(t, [anc])
-        return reset_anc(t, out[0]), int(out[0])
-
-    # data patches: |0...0⟩ products, X checks projected with Z fixups
-    for i in range(prog.n_data):
-        hx = prog._embed(prog._hx_p, *prog._origin((0, 2 * i)),
-                         prog.d, prog.d)
-        outs = []
-        for c in range(hx.shape[0]):
-            t, out = meas_x_check(t, hx[c])
-            outs.append(out)
-        fix = surgery._solve_gf2(hx.T, np.asarray(outs, np.uint8))
-        assert fix is not None
-        if fix.any():
-            t = tb.apply_z_many(t, np.nonzero(fix)[0].astype(np.int32))
-    if prep_x_flips:
-        t = tb.apply_x_many(t, np.asarray(prep_x_flips, np.int32))
-
-    x_at = {}
-    for phx, chain in model.meta.get("x_ops", []):
-        x_at.setdefault(phx, []).extend(chain)
-
-    conj_at = {}
-    for ci in prog._conj:
-        conj_at.setdefault(ci.phase, []).extend(ci.qubits)
-    reads_at = {}
-    for ro in prog._readouts:
-        reads_at.setdefault(ro.phase, []).extend(ro.qubits)
-    read_pos = {k: i for i, k in enumerate(recipe["read_order"])}
-    meas_pos = {k: i for i, k in enumerate(recipe["meas_order"])}
-
-    active = np.stack(prog._active)
-    starts = np.concatenate(
-        [[0], np.cumsum([ph.rounds for ph in prog._phases])])
-    n_ph = len(prog._phases)
-    for ph in range(n_ph):
-        if ph > 0:
-            gone = np.nonzero(active[ph - 1] & (1 - active[ph]))[0]
-            scored = set(reads_at.get(ph, []))
-            # scored Z readouts first, then silent X measurements;
-            # reset each measured-out qubit to |0⟩ so a later
-            # reactivation starts fresh
-            for qb in sorted(scored):
-                t, out = meas_qubits(t, [qb])
-                outcomes[n_meas + read_pos[(ph, int(qb))]] = out[0]
-                if out[0]:
-                    t = tb.apply_x_many(t, np.asarray([qb], np.int32))
-            for qb in gone:
-                if int(qb) in scored:
-                    continue
-                t = tb.apply_h_many(t, np.asarray([qb], np.int32))
-                t, out = meas_qubits(t, [int(qb)])
-                if out[0]:
-                    t = tb.apply_x_many(t, np.asarray([qb], np.int32))
-        # conjugate-basis initializations of this phase (fresh |+⟩)
-        if ph in conj_at and ph not in skip_h_phases:
-            t = tb.apply_h_many(t, np.asarray(sorted(conj_at[ph]),
-                                              np.int32))
-        # program-order logical X̄ chains landing at this boundary
-        if ph in x_at:
-            t = tb.apply_x_many(t, np.asarray(sorted(x_at[ph]), np.int32))
-        for tt in range(prog._phases[ph].rounds):
-            t_global = int(starts[ph]) + tt
-            for c in range(prog._phases[ph].checks.shape[0]):
-                t, out = meas_z_op(t, prog._phases[ph].checks[c])
-                outcomes[meas_pos[(ph, t_global, c)]] = out
-    if n_ph in x_at:    # X̄ ops trailing the last emitted phase
-        t = tb.apply_x_many(t, np.asarray(sorted(x_at[n_ph]), np.int32))
-    fin_qubits = [int(qb) for qb in np.nonzero(active[-1])[0]]
-    t, word = meas_qubits(t, fin_qubits)
-    for qb, b in zip(fin_qubits, word):
-        outcomes[n_meas + n_read + qb] = b
-    return outcomes
+# The protocol runner is a package feature (batched per-round segments,
+# both sectors, premeasured reference operators); the golds here drive
+# it and assert the recipes.
+from qcss_tpu.experiments.protocol import (  # noqa: E402
+    run_compiled_protocol as _run_compiled_protocol,
+)
 
 
 def _xflip_qubits(prog, i):
@@ -371,6 +241,80 @@ class TestTableauGoldT:
             assert got["z0"] == zd
             if not magic_plus:
                 assert got[model.meta["obs_names"][0]] == zd
+
+
+class TestXSector:
+    """The compiled programs' X-CHECK sector (build_x): Z-error faults,
+    the t gadgets' OUT frame channels (see surgery_t's bespoke X
+    sector)."""
+
+    def test_t_builds_and_singles(self):
+        prog = LogicalProgram(3, 1).t(0)
+        mx = prog.build_x()
+        assert mx.meta["obs_names"] == ["t0_out_0"]
+        dec = UFDecoder(mx.graph)
+        _, corr = dec.decode_batch(mx.F.T.astype(np.uint8),
+                                   want_corrections=False)
+        for i in range(mx.obs.shape[0]):
+            assert not ((mx.obs[i] ^ ((corr >> i) & 1)) == 1).any()
+
+    def test_cnot_x_sector_guards(self):
+        """A cnot program's X sector carries no observable (its X
+        readouts are gauge for Z-basis programs) but the mirror
+        schedule must still pass every build-time guard."""
+        prog = LogicalProgram(3, 2).cnot(0, 1)
+        mx = prog.build_x()
+        assert mx.obs.shape[0] == 0
+        assert mx.F.shape[0] > 0
+
+    def test_run_full_quiet_and_noisy(self):
+        out = LogicalProgram(3, 1).t(0).run_full(0.0, 0.0, batch=64)
+        assert out["word_fail"] == 0.0
+        assert "t0_out_0_fail" in out and "t0_m1_0_fail" in out
+        noisy = LogicalProgram(3, 1).t(0).run_full(4e-3, batch=1 << 12,
+                                                   seed=2)
+        assert noisy["t0_out_0_fail"] > 0
+        assert noisy["word_fail"] >= noisy["t0_out_0_fail"]
+
+    @pytest.mark.skipif(not os.environ.get("QCSS_SLOW_TESTS"),
+                        reason="slow; set QCSS_SLOW_TESTS=1")
+    def test_out_suppression_with_distance(self):
+        lo = LogicalProgram(3, 1).t(0).run_full(4e-3, batch=1 << 13,
+                                                seed=3)
+        hi = LogicalProgram(5, 1).t(0).run_full(4e-3, batch=1 << 13,
+                                                seed=3)
+        assert hi["t0_out_0_fail"] < lo["t0_out_0_fail"]
+
+
+class TestTableauGoldTXSector:
+    def test_gold(self):
+        """The X-sector recipe of the compiled T gadget, golded on the
+        tableau engine: ONE projective run measures both sectors' checks
+        every round, the X measure-outs, and the final word in X; the
+        preserved product X̄_D X̄_M is premeasured right after the magic
+        patch's |+̄⟩ prep, and the model's OUT combination must
+        reproduce it on every branch (the |+⟩ seam transfers it:
+        X̄_merged = X̄_D X_s X̄_M with X_s = +1 at merge start, and the
+        split's seam X readout returns X_s)."""
+        import jax
+
+        prog = LogicalProgram(3, 1).t(0)
+        model = prog.build(with_recipe=True)
+        mx = prog.build_x(with_recipe=True)
+        recipe_x = mx.meta["recipe"]
+        sup = (prog._xrep((0, 0)) ^ prog._xrep((1, 0))).astype(np.uint8)
+        prep_ph = prog._conj[0].phase   # the magic patch's prep phase
+        for seed in (11, 12):
+            _, ox, pre = _run_compiled_protocol(
+                prog, model, jax.random.key(seed), x_model=mx,
+                final_basis="x", premeasure_x=(prep_ph, sup))
+            dets = (recipe_x["D"].astype(np.int64)
+                    @ ox.astype(np.int64)) & 1
+            assert not dets.any()
+            vals = (recipe_x["obs"].astype(np.int64)
+                    @ ox.astype(np.int64)) & 1
+            assert len(pre) == 1
+            assert int(vals[0]) == pre[0]
 
 
 class TestMzzLayer:
