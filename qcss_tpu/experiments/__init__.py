@@ -16,6 +16,10 @@ from qcss_tpu.experiments.injection import (
     magic_injection_experiment,
 )
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+from qcss_tpu.experiments.soft import (
+    soft_bp_phenomenological_error_rate,
+    soft_phenomenological_error_rate,
+)
 from qcss_tpu.experiments.concatenated import (
     logical_repetition_memory,
     repetition_spacetime_graph,

@@ -1,0 +1,119 @@
+"""Soft-readout (analog measurement) decoding — experiments/soft.py.
+
+Tiers tested: the Gaussian readout model's calibration (hard-decision
+error rate, posterior flip probability), the per-shot override wiring
+(static-valued overrides must reproduce the static decode exactly), and
+the physics payoff (soft beats hard-decision decoding on the same shots
+in a measurement-noise-dominated regime, for both the union-find and BP
+tiers)."""
+
+import numpy as np
+import pytest
+
+from qcss_tpu.codes import families
+from qcss_tpu.experiments import soft
+
+
+class TestReadoutModel:
+    def test_flip_prob_matches_monte_carlo(self):
+        rng = np.random.default_rng(7)
+        sigma = 0.62
+        u = 1.0 + sigma * rng.standard_normal(1 << 20)
+        emp = float((u < 0).mean())
+        assert abs(emp - soft.flip_prob(sigma)) < 1e-3
+
+    def test_sigma_for_flip_prob_inverts(self):
+        for q in (0.3, 0.1, 0.02, 1e-3):
+            assert abs(soft.flip_prob(soft.sigma_for_flip_prob(q)) - q) \
+                < 1e-12
+
+    def test_posterior_flip_prob_is_the_true_posterior(self):
+        """Bin observed amplitudes; the empirical flip fraction in each
+        bin must match the likelihood-ratio posterior."""
+        rng = np.random.default_rng(3)
+        sigma = 0.7
+        u = 1.0 + sigma * rng.standard_normal(1 << 21)
+        amp, flip = np.abs(u), u < 0
+        for lo in (0.05, 0.25, 0.45, 0.65):
+            sel = (amp >= lo) & (amp < lo + 0.1)
+            emp = float(flip[sel].mean())
+            pred = float(soft.posterior_flip_prob(amp[sel], sigma).mean())
+            assert abs(emp - pred) < 0.015, (lo, emp, pred)
+
+
+class TestOverrideWiring:
+    """A per-shot override whose values equal the static configuration
+    must reproduce the static decode exactly — the wiring guard."""
+
+    def test_uf_static_shot_weights_identity(self):
+        import jax
+        import jax.numpy as jnp
+
+        from qcss_tpu.decode.uf import (
+            UFDecoder, graph_from_checks, spacetime_graph)
+
+        code = families.rotated_surface(3)
+        h, lz = code.raw_parity_check_c2, code.z_operator_matrix()
+        q_eff = soft.flip_prob(0.62)
+        graph = spacetime_graph(h, lz, 3, p_space=5e-3, p_time=q_eff)
+        dec = UFDecoder(graph)
+        dets, _, _ = map(np.asarray, soft._sample_soft_stream(
+            jax.random.key(0), jnp.float32(5e-3), jnp.float32(0.62),
+            256, 3, code.n, jnp.asarray(h, jnp.uint8),
+            jnp.asarray(lz, jnp.uint8)))
+        _, obs0 = dec.decode_batch(dets, want_corrections=False)
+        sw = np.tile(np.asarray(graph.edge_weight), (256, 1))
+        _, obs1 = dec.decode_batch(dets, want_corrections=False,
+                                   shot_weights=sw)
+        np.testing.assert_array_equal(obs0, obs1)
+
+    def test_bp_static_priors_identity(self):
+        import jax
+        import jax.numpy as jnp
+
+        from qcss_tpu.decode.bp import BPDecoder, spacetime_tanner
+
+        code = families.rotated_surface(3)
+        h, lz = code.raw_parity_check_c2, code.z_operator_matrix()
+        q_eff = soft.flip_prob(0.62)
+        tan, priors, obs, _ = spacetime_tanner(h, 3, 5e-3, q_eff,
+                                               logicals=lz)
+        dec = BPDecoder(tan, priors, logicals=obs, iters=32, osd=True)
+        dets, _, _ = map(np.asarray, soft._sample_soft_stream(
+            jax.random.key(1), jnp.float32(5e-3), jnp.float32(0.62),
+            256, 3, code.n, jnp.asarray(h, jnp.uint8),
+            jnp.asarray(lz, jnp.uint8)))
+        f0, c0 = dec.decode_obs(dets)
+        f1, c1 = dec.decode_obs(dets, priors=np.tile(priors, (256, 1)))
+        np.testing.assert_array_equal(f0, f1)
+        np.testing.assert_array_equal(c0, c1)
+
+
+class TestSoftBeatsHard:
+    def test_uf_tier(self):
+        """d=5, measurement-noise-dominated (q_eff = 7.7% vs p = 0.3%):
+        the analog side information roughly halves the logical failure
+        rate on the same shots (measured 18 vs 37 / 32k at this seed)."""
+        code = families.rotated_surface(5)
+        kw = dict(rounds=5, samples=1 << 15, batch=1 << 13, seed=1)
+        rs = soft.soft_phenomenological_error_rate(
+            code, 3e-3, 0.7, soft=True, **kw)
+        rh = soft.soft_phenomenological_error_rate(
+            code, 3e-3, 0.7, soft=False, **kw)
+        fs = rs["logical_fail"] * rs["samples"]
+        fh = rh["logical_fail"] * rh["samples"]
+        assert fh >= 25, (fs, fh)     # the regime has enough events
+        assert fs < 0.75 * fh, (fs, fh)
+
+    def test_bp_tier(self):
+        """Same regime, spacetime BP: per-shot priors must not hurt the
+        failure rate and must HELP min-sum convergence (the low-variance
+        signal; measured 0.84 vs 0.79 over 4k shots)."""
+        code = families.rotated_surface(5)
+        kw = dict(rounds=5, samples=1 << 12, batch=1 << 12, seed=1)
+        bs = soft.soft_bp_phenomenological_error_rate(
+            code, 3e-3, 0.7, soft=True, **kw)
+        bh = soft.soft_bp_phenomenological_error_rate(
+            code, 3e-3, 0.7, soft=False, **kw)
+        assert bs["logical_fail"] <= bh["logical_fail"]
+        assert bs["bp_converged"] > bh["bp_converged"] + 0.02
