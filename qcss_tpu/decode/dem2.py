@@ -57,6 +57,11 @@ class TwoSectorDEM:
     graph_z_errors: MatchingGraph
     pairs: np.ndarray
     cheap_weight: int = 2
+    #: per-edge merged fault probabilities, keyed "x_errors"/"z_errors"
+    #: (aligned with the graphs' edge order) — what per-shot soft
+    #: reweighting needs to separate a component's share out of a merged
+    #: edge (`experiments.soft`)
+    edge_probs: dict | None = None
 
 
 class _RoundCircuit:
@@ -360,6 +365,7 @@ def build_two_sector_dem(code, rounds: int, noise, *,
 
     graphs = {}
     index = {}
+    edge_probs = {}
     for sector in ("z", "x"):
         r_c = n_checks[sector]
         edges, eobs, probs = [], [], []
@@ -381,6 +387,8 @@ def build_two_sector_dem(code, rounds: int, noise, *,
             edge_weight=weights_from_probs(probs),
         )
         index[sector] = idx
+        edge_probs["x_errors" if sector == "z" else "z_errors"] = \
+            np.asarray(probs, np.float64)
 
     pair_acc: dict[tuple, float] = {}
     for (kx_comp, kz_comp), joint in pair_probs.items():
@@ -396,6 +404,7 @@ def build_two_sector_dem(code, rounds: int, noise, *,
         graph_x_errors=graphs["z"],
         graph_z_errors=graphs["x"],
         pairs=pairs,
+        edge_probs=edge_probs,
     )
     if return_index:
         # index[sector]: (dets_tuple, obs) -> edge id in that sector's

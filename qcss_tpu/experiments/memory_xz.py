@@ -39,11 +39,20 @@ from qcss_tpu.sim import noise as noise_mod
 
 
 def _sample_two_sector(key, batch, rounds, code, noise, z_arrays, x_arrays,
-                       z_comp, x_comp, rz, rx):
+                       z_comp, x_comp, rz, rx, sigma=None):
     """Frames sampler for the interleaved two-sector schedule. Returns
     (syns_z [R, B, rz], syns_x [R, B, rx], x_err [B, n], z_err [B, n]).
     The reference run is deterministic in both sectors (|0~> is a +1
-    eigenstate of every stabilizer), so deviations are outcomes."""
+    eigenstate of every stabilizer), so deviations are outcomes.
+
+    ``sigma`` (static) switches measurement noise to the ANALOG readout
+    model (`experiments.soft`): instead of Bernoulli(p_meas) flips, each
+    measurement draws u ~ N(1, sigma) — hard flip iff u < 0 — and the
+    amplitudes |u| are appended to the return tuple
+    (amps_z [R, B, rz], amps_x [R, B, rx]). The sampled flip rate is
+    then Phi(-1/sigma); callers must build decoding models with
+    p_meas = soft.flip_prob(sigma). sigma=None keeps the original path
+    (and key stream) bit-identical."""
     n = code.n
     nq = n + rz + rx
     zanc = jnp.arange(n, n + rz, dtype=jnp.int32)
@@ -75,20 +84,43 @@ def _sample_two_sector(key, batch, rounds, code, noise, z_arrays, x_arrays,
             f = fr.run_compiled_noisy(f, z_comp, noise, kz)
         else:
             f = fr.run_arrays_noisy(f, *z_arrays, noise, kz)
-        f, syn_z = fr.measure_deviations(f, zanc, kzm, noise.p_meas)
+        if sigma is None:
+            f, syn_z = fr.measure_deviations(f, zanc, kzm, noise.p_meas)
+            amp_z = None
+        else:
+            f, syn_z = fr.measure_deviations(f, zanc)
+            u = 1.0 + jnp.float32(sigma) * jax.random.normal(
+                kzm, (batch, rz), dtype=jnp.float32)
+            syn_z = syn_z ^ (u < 0.0).astype(jnp.uint8)
+            amp_z = jnp.abs(u)
         f = fr.reset_qubits(f, zanc, kzr, noise.p_reset)
         if x_comp is not None:
             f = fr.run_compiled_noisy(f, x_comp, noise, kx)
         else:
             f = fr.run_arrays_noisy(f, *x_arrays, noise, kx)
-        f, syn_x = fr.measure_deviations(f, xanc, kxm, noise.p_meas)
+        if sigma is None:
+            f, syn_x = fr.measure_deviations(f, xanc, kxm, noise.p_meas)
+            amp_x = None
+        else:
+            f, syn_x = fr.measure_deviations(f, xanc)
+            u = 1.0 + jnp.float32(sigma) * jax.random.normal(
+                kxm, (batch, rx), dtype=jnp.float32)
+            syn_x = syn_x ^ (u < 0.0).astype(jnp.uint8)
+            amp_x = jnp.abs(u)
         f = fr.reset_qubits(f, xanc, kxr, noise.p_reset)
-        return f, (syn_z, syn_x)
+        if sigma is None:
+            return f, (syn_z, syn_x)
+        return f, (syn_z, syn_x, amp_z, amp_x)
 
     keys = jax.random.split(key, rounds)
-    f, (syns_z, syns_x) = jax.lax.scan(round_body, f, keys)
+    f, outs = jax.lax.scan(round_body, f, keys)
     data = jnp.arange(n, dtype=jnp.int32)
-    return syns_z, syns_x, f.x[:, data], f.z[:, data]
+    if sigma is None:
+        syns_z, syns_x = outs
+        return syns_z, syns_x, f.x[:, data], f.z[:, data]
+    syns_z, syns_x, amps_z, amps_x = outs
+    return (syns_z, syns_x, f.x[:, data], f.z[:, data],
+            jnp.moveaxis(amps_z, 0, 1), jnp.moveaxis(amps_x, 0, 1))
 
 
 def xz_memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
