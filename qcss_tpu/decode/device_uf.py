@@ -410,7 +410,7 @@ def build_device_graph(graph: MatchingGraph,
     )
 
 
-def decode_labels(dg: DeviceGraph, detectors):
+def decode_labels(dg: DeviceGraph, detectors, shot_weights=None):
     """Decode a batch of detection-event vectors entirely on device.
 
     detectors: [B, num_nodes] 0/1 (any integer dtype). Returns
@@ -422,7 +422,18 @@ def decode_labels(dg: DeviceGraph, detectors):
     fallback); with default (None) caps every shot converges. Pure and
     jit-composable: embed it after a sampler so the whole pipeline
     compiles into one device program.
+
+    ``shot_weights`` ([B, E] int32, values in [1, 2^20]) overrides the
+    static growth saturations PER SHOT — device-side heralded erasure
+    and analog-readout (soft) decoding. Routed to the packed/unpacked
+    XLA kernels: the Mosaic stencil kernels bake weights into their
+    per-offset species tables, so per-shot weights do not apply there.
     """
+    if shot_weights is not None:
+        if dg.pack_shift is not None and not (
+                dg.stencil is not None and dg.stencil.chunks):
+            return _decode_packed(dg, detectors, shot_weights)
+        return _decode_unpacked(dg, detectors, shot_weights)
     if dg.stencil is not None:
         if (dg.prop_cap is None and dg.act_cap is None
                 and _pallas_available()):
@@ -655,10 +666,12 @@ def _capped_while(body, init, cap):
     return tuple(state), changed_shot
 
 
-def _decode_packed(dg: DeviceGraph, detectors):
+def _decode_packed(dg: DeviceGraph, detectors, shot_weights=None):
     """Packed-label kernel: comp<<L | lanes in one int32, per-slot
     gathers tree-reduced with `jnp.minimum` (no [B, V, D]
-    materialization, no argmin/one-hot — an adoption is XOR + min)."""
+    materialization, no argmin/one-hot — an adoption is XOR + min).
+    ``shot_weights`` ([B, E] int, values >= 1) overrides the static
+    growth saturations PER SHOT (heralded erasure, analog readout)."""
     dets = jnp.asarray(detectors)
     B = dets.shape[0]
     V = dg.num_nodes + 1
@@ -667,6 +680,8 @@ def _decode_packed(dg: DeviceGraph, detectors):
     bn = dg.num_nodes
     L = dg.pack_shift
     eu, ev, wt = dg.eu, dg.ev, dg.wt
+    wtB = (wt[None, :] if shot_weights is None
+           else jnp.asarray(shot_weights, jnp.int32))
     inc_cols = [dg.inc_e[:, j] for j in range(D)]
     other_cols = [dg.other_v[:, j] for j in range(D)]
     plab_cols = [dg.packed_inc[:, j] for j in range(D)]
@@ -736,7 +751,7 @@ def _decode_packed(dg: DeviceGraph, detectors):
         comp_ev = packed[:, ev] >> L
         au = act[:, eu].astype(jnp.int32)
         av = act[:, ev].astype(jnp.int32)
-        grow = (support < wt[None, :]) & (comp_eu != comp_ev)
+        grow = (support < wtB) & (comp_eu != comp_ev)
         inc = jnp.where(grow, au + av, 0)
         # delta-stepped growth: advance every growing edge by the
         # per-shot minimum number of unit rounds until SOME edge
@@ -744,12 +759,12 @@ def _decode_packed(dg: DeviceGraph, detectors):
         # between saturations — in O(#merges) rounds)
         slack = jnp.where(
             inc > 0,
-            -(-(wt[None, :] - support) // jnp.maximum(inc, 1)), BIG)
+            -(-(wtB - support) // jnp.maximum(inc, 1)), BIG)
         delta = jnp.maximum(jnp.min(slack, axis=1, keepdims=True), 1)
         delta = jnp.where(delta >= BIG, 1, delta)
         support = support + inc * delta
         grew = jnp.any(inc > 0)
-        sat = support >= wt[None, :]
+        sat = support >= wtB
         satE = jnp.concatenate([sat, false_col], axis=1)
         satB = sat[:, dg.b_edges] & dg.b_mask[None, :]
         packed, still_p = propagate(packed, satE, satB)
@@ -787,11 +802,12 @@ def _decode_packed(dg: DeviceGraph, detectors):
     return labels, converged
 
 
-def _decode_unpacked(dg: DeviceGraph, detectors):
+def _decode_unpacked(dg: DeviceGraph, detectors, shot_weights=None):
     """Generic kernel for wide label lanes (e.g. the streaming decoder's
     multi-lane carry): separate [B, V] parity array per lane, adoptions
     select their delivering edge by argmin + one-hot so all lanes travel
-    one consistent path."""
+    one consistent path. ``shot_weights`` ([B, E] int, values >= 1)
+    overrides the static growth saturations per shot."""
     dets = jnp.asarray(detectors)
     B = dets.shape[0]
     V = dg.num_nodes + 1
@@ -799,6 +815,8 @@ def _decode_unpacked(dg: DeviceGraph, detectors):
     D = dg.inc_e.shape[1]
     bn = dg.num_nodes
     eu, ev, wt = dg.eu, dg.ev, dg.wt
+    wtB = (wt[None, :] if shot_weights is None
+           else jnp.asarray(shot_weights, jnp.int32))
     n_lanes = len(dg.obs)
     inc_flat = dg.inc_e.reshape(-1)      # [V*D] static
     other_flat = dg.other_v.reshape(-1)  # [V*D] static
@@ -883,16 +901,16 @@ def _decode_unpacked(dg: DeviceGraph, detectors):
         comp, cpar, support, act, suspect, _, i = state
         au = act[:, eu].astype(jnp.int32)
         av = act[:, ev].astype(jnp.int32)
-        grow = (support < wt[None, :]) & (comp[:, eu] != comp[:, ev])
+        grow = (support < wtB) & (comp[:, eu] != comp[:, ev])
         inc = jnp.where(grow, au + av, 0)
         slack = jnp.where(
             inc > 0,
-            -(-(wt[None, :] - support) // jnp.maximum(inc, 1)), BIG)
+            -(-(wtB - support) // jnp.maximum(inc, 1)), BIG)
         delta = jnp.maximum(jnp.min(slack, axis=1, keepdims=True), 1)
         delta = jnp.where(delta >= BIG, 1, delta)
         support = support + inc * delta
         grew = jnp.any(inc > 0)
-        sat = (support >= wt[None, :])
+        sat = (support >= wtB)
         satD = jnp.concatenate(
             [sat, jnp.zeros((B, 1), bool)], axis=1
         )[:, inc_flat].reshape(B, V, D)
@@ -929,10 +947,11 @@ def _decode_unpacked(dg: DeviceGraph, detectors):
     return tuple(labels), converged
 
 
-def decode_obs(dg: DeviceGraph, detectors) -> tuple[jax.Array, jax.Array]:
+def decode_obs(dg: DeviceGraph, detectors,
+               shot_weights=None) -> tuple[jax.Array, jax.Array]:
     """Single-lane convenience wrapper over `decode_labels`: returns
     (obs [B] int32 observable-flip bitmasks, converged [B] bool)."""
-    labels, converged = decode_labels(dg, detectors)
+    labels, converged = decode_labels(dg, detectors, shot_weights)
     return labels[0], converged
 
 
@@ -977,7 +996,13 @@ class DeviceUFDecoder:
         self._decode = jax.jit(make_obs_decoder(
             graph, max_growth_rounds, prop_cap=prop_cap, act_cap=act_cap))
 
-    def decode_batch(self, syndromes, want_corrections: bool = False):
+    def decode_batch(self, syndromes, want_corrections: bool = False,
+                     shot_weights=None):
+        """``shot_weights`` ([B, E] int, values in [1, 250]) overrides
+        the static growth saturations per shot (heralded erasure / soft
+        readout) — same contract as `uf.UFDecoder.decode_batch`; the
+        host fallback re-decodes truncated shots with the same
+        weights."""
         if want_corrections:
             raise ValueError(
                 "DeviceUFDecoder computes observable flips only; use the "
@@ -987,7 +1012,16 @@ class DeviceUFDecoder:
             raise ValueError(
                 f"syndromes must be [B, {self.graph.num_nodes}], "
                 f"got {syndromes.shape}")
-        obs, converged = self._decode(jnp.asarray(syndromes))
+        if shot_weights is None:
+            obs, converged = self._decode(jnp.asarray(syndromes))
+        else:
+            shot_weights = np.asarray(shot_weights)
+            if shot_weights.shape != (syndromes.shape[0],
+                                      self.graph.num_edges):
+                raise ValueError("shot_weights must be [B, num_edges]")
+            obs, converged = self._decode(
+                jnp.asarray(syndromes),
+                jnp.asarray(shot_weights, jnp.int32))
         obs = np.asarray(obs).astype(np.uint32)
         conv = np.asarray(converged)
         if not conv.all():
@@ -1001,6 +1035,8 @@ class DeviceUFDecoder:
                 self._host = UFDecoder(self.graph)
             bad = np.nonzero(~conv)[0]
             _, obs_h = self._host.decode_batch(
-                syndromes[bad], want_corrections=False)
+                syndromes[bad], want_corrections=False,
+                shot_weights=None if shot_weights is None else
+                np.clip(shot_weights[bad], 1, 250).astype(np.uint8))
             obs[bad] = obs_h
         return None, obs

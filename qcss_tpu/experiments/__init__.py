@@ -18,6 +18,7 @@ from qcss_tpu.experiments.injection import (
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
 from qcss_tpu.experiments.soft import (
     soft_bp_phenomenological_error_rate,
+    soft_device_memory_rate,
     soft_phenomenological_error_rate,
     soft_qldpc_circuit_memory,
     soft_xz_memory_experiment,

@@ -212,11 +212,15 @@ def erasure_phenomenological_error_rate(
     seed: int = 0,
     heralded: bool = True,
     use_native: bool | None = None,
+    decoder: str = "host",
 ) -> dict[str, float]:
     """Multi-round phenomenological X-memory with per-round heralded data
     erasures, decoded with spacetime union-find whose space edges carry
     per-shot herald weights. `q` defaults to p; `rounds` to the distance.
-    ``heralded=False`` is the same-physics ablation (static weights)."""
+    ``heralded=False`` is the same-physics ablation (static weights).
+    ``decoder='device'`` decodes on the accelerator (the device union-
+    find kernel's per-shot ``shot_weights`` input) instead of the host
+    C++ kernel."""
     h = code.raw_parity_check_c2
     lz = code.z_operator_matrix()
     if rounds is None:
@@ -240,7 +244,14 @@ def erasure_phenomenological_error_rate(
         num_nodes=graph.num_nodes, edges=graph.edges,
         edge_qubit=graph.edge_qubit, edge_obs=graph.edge_obs,
         n_qubits=graph.n_qubits, edge_weight=np.minimum(static_w, 250))
-    dec = UFDecoder(graph, use_native=use_native)
+    if decoder == "device":
+        from qcss_tpu.decode.device_uf import DeviceUFDecoder
+
+        dec = DeviceUFDecoder(graph)
+    elif decoder == "host":
+        dec = UFDecoder(graph, use_native=use_native)
+    else:
+        raise ValueError("decoder must be 'host' or 'device'")
     se_idx = _space_edge_index(graph, base, rounds)  # [rounds+1, n]
     h_j, lz_j = jnp.asarray(h, jnp.uint8), jnp.asarray(lz, jnp.uint8)
 

@@ -192,6 +192,89 @@ def soft_phenomenological_error_rate(
     }
 
 
+def soft_device_memory_rate(
+    code,
+    p: float,
+    sigma: float,
+    *,
+    rounds: int | None = None,
+    batch: int = 1 << 12,
+    reps: int = 4,
+    seed: int = 0,
+    resolution: int = 8,
+) -> dict[str, float]:
+    """FUSED analog-readout pipeline ON DEVICE: stream sampling, analog
+    amplitudes -> per-shot posterior LLR weights, union-find decode, and
+    failure counting compile into ONE device program — the amplitudes
+    (the largest per-shot side-information array) never cross the host
+    boundary; only failure counts do. This is the soft-decoding form of
+    the framework's only-failures-cross-the-boundary inversion
+    (`decode.device_uf`; per-shot saturations ride the packed XLA
+    kernel's new ``shot_weights`` input)."""
+    from qcss_tpu.decode import device_uf
+
+    h = code.raw_parity_check_c2
+    lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+    if rounds is None:
+        rounds = 2 * code.t + 1
+    q_eff = max(flip_prob(sigma), 1e-9)
+    p_eff = max(p, 1e-9)
+    base_g = graph_from_checks(h, lz)
+    graph = spacetime_graph(h, lz, rounds, p_space=p_eff, p_time=q_eff)
+    r = h.shape[0]
+    n_space = base_g.num_edges * (rounds + 1)
+    base_ln = np.log(max(p_eff, q_eff))
+    w_space = _llr_weights(np.full(n_space, p_eff), base_ln,
+                           resolution=resolution)
+    dg = device_uf.build_device_graph(graph, stencil=False)
+    w_space_j = jnp.asarray(w_space, jnp.int32)
+    h_j, lz_j = jnp.asarray(np.asarray(h, np.uint8)), jnp.asarray(lz)
+    k = lz.shape[0]
+    pow2 = jnp.asarray(1 << np.arange(k), jnp.int32)
+    sig2 = float(sigma) * float(sigma)
+
+    @partial(jax.jit, static_argnames=())
+    def step(key):
+        dets, par, amp = _sample_soft_stream(
+            key, jnp.float32(p), jnp.float32(sigma), batch, rounds,
+            code.n, h_j, lz_j)
+        pf = jnp.clip(jax.nn.sigmoid(-2.0 * amp.reshape(batch, -1) / sig2),
+                      1e-9, 0.499)
+        wt_t = jnp.clip(jnp.rint(resolution * jnp.log(pf) / base_ln),
+                        1, 250).astype(jnp.int32)
+        sw = jnp.concatenate(
+            [jnp.broadcast_to(w_space_j[None, :], (batch, n_space)), wt_t],
+            axis=1)
+        labels, conv = device_uf.decode_labels(dg, dets, shot_weights=sw)
+        par_bits = jnp.sum(par.astype(jnp.int32) * pow2[None, :], axis=1)
+        return jnp.sum(labels[0] != par_bits), jnp.all(conv)
+
+    import time as _time
+
+    keys = jax.random.split(jax.random.key(seed), reps + 2)
+    # double warm-up: tunnel backends can return stale values right
+    # after compilation (see CLAUDE.md) — host-fence each rep via int()
+    int(step(keys[-1])[0])
+    int(step(keys[-2])[0])
+    fails = 0
+    t0 = _time.perf_counter()
+    for i in range(reps):
+        nf, conv = step(keys[i])
+        fails += int(nf)
+        assert bool(conv)
+    dt = _time.perf_counter() - t0
+    n_samples = reps * batch
+    return {
+        "logical_fail": fails / n_samples,
+        "samples": n_samples,
+        "rounds": rounds,
+        "p": p,
+        "sigma": sigma,
+        "q_eff": q_eff,
+        "shots_per_sec": n_samples / dt,
+    }
+
+
 def _combine(p1, p2):
     """Probability an ODD number of two independent faults fired."""
     return p1 + p2 - 2.0 * p1 * p2

@@ -163,6 +163,89 @@ class TestCircuitTier:
         assert bs["bp_converged_z"] > bh["bp_converged_z"] + 0.01
 
 
+class TestDeviceSoft:
+    """Per-shot weights on the device union-find kernels
+    (`device_uf.decode_labels(shot_weights=...)`) and the fused
+    on-device analog pipeline."""
+
+    def _weighted_setup(self, rounds=3, sigma=0.7, p=5e-3, batch=4096):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from qcss_tpu.decode.uf import graph_from_checks, spacetime_graph
+
+        code = families.rotated_surface(3)
+        h, lz = code.raw_parity_check_c2, code.z_operator_matrix()
+        q = soft.flip_prob(sigma)
+        g = spacetime_graph(h, lz, rounds, p_space=p, p_time=q)
+        base_ln = np.log(max(p, q))
+        n_space = graph_from_checks(h, lz).num_edges * (rounds + 1)
+        probs = np.concatenate([np.full(n_space, p),
+                                np.full(g.num_edges - n_space, q)])
+        w_static = soft._llr_weights(probs, base_ln, resolution=8)
+        g = dataclasses.replace(g, edge_weight=w_static)
+        dets, par, amp = map(np.asarray, soft._sample_soft_stream(
+            jax.random.key(3), jnp.float32(p), jnp.float32(sigma),
+            batch, rounds, code.n,
+            jnp.asarray(np.asarray(h, np.uint8)),
+            jnp.asarray(np.asarray(lz, np.uint8))))
+        pf = soft.posterior_flip_prob(amp.reshape(batch, -1), sigma)
+        sw = np.tile(w_static, (batch, 1))
+        sw[:, n_space:] = soft._llr_weights(
+            np.clip(pf, 1e-9, 0.499), base_ln, resolution=8)
+        return g, dets, par, sw, w_static
+
+    def test_static_shot_weights_bit_identical(self):
+        import jax.numpy as jnp
+
+        from qcss_tpu.decode import device_uf
+
+        g, dets, _, _, w_static = self._weighted_setup(batch=512)
+        dg = device_uf.build_device_graph(g, stencil=False)
+        l0, c0 = device_uf.decode_labels(dg, jnp.asarray(dets))
+        l1, c1 = device_uf.decode_labels(
+            dg, jnp.asarray(dets),
+            shot_weights=jnp.asarray(np.tile(w_static, (512, 1)),
+                                     jnp.int32))
+        np.testing.assert_array_equal(np.asarray(l0[0]), np.asarray(l1[0]))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+    def test_weighted_device_matches_host(self):
+        """Same shots, same per-shot soft weights: the device kernel and
+        the host union-find agree on >99% of observable flips and on the
+        failure count to within a few shots (they may legally differ on
+        heavy patterns — different valid matchings)."""
+        import jax.numpy as jnp
+
+        from qcss_tpu.decode import device_uf
+        from qcss_tpu.decode.uf import UFDecoder, _pack_parity
+
+        g, dets, par, sw, _ = self._weighted_setup()
+        _, obs_h = UFDecoder(g).decode_batch(
+            dets, want_corrections=False, shot_weights=sw)
+        dg = device_uf.build_device_graph(g, stencil=False)
+        labels, conv = device_uf.decode_labels(
+            dg, jnp.asarray(dets), shot_weights=jnp.asarray(sw, jnp.int32))
+        assert bool(np.asarray(conv).all())
+        obs_d = np.asarray(labels[0]).astype(np.uint32)
+        assert float((obs_d == obs_h).mean()) > 0.99
+        pb = _pack_parity(par)
+        fh, fd = int((obs_h != pb).sum()), int((obs_d != pb).sum())
+        assert abs(fh - fd) <= max(5, 0.3 * fh), (fh, fd)
+
+    def test_fused_device_rate(self):
+        """The one-compiled-program pipeline (sample -> per-shot weights
+        -> decode -> count) runs and lands in the host pipeline's
+        failure range."""
+        code = families.rotated_surface(3)
+        out = soft.soft_device_memory_rate(
+            code, 5e-3, 0.7, rounds=3, batch=2048, reps=2, seed=1)
+        assert 0.0 < out["logical_fail"] < 0.05
+        assert out["samples"] == 4096
+
+
 class TestSoftBeatsHard:
     def test_uf_tier(self):
         """d=5, measurement-noise-dominated (q_eff = 7.7% vs p = 0.3%):
