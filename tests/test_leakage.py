@@ -1,0 +1,80 @@
+"""Leakage state machine + leakage-aware decoding — experiments/leakage.py."""
+
+import numpy as np
+
+from qcss_tpu.codes import families
+from qcss_tpu.experiments import leakage
+
+
+class TestStateMachine:
+    def test_seep_one_herald_rate(self):
+        """With p_seep=1 every leak lasts exactly one round, so the
+        herald rate is p_leak over the `rounds` live layers (the final
+        layer is always clean)."""
+        code = families.rotated_surface(5)
+        out = leakage.leakage_memory_experiment(
+            code, 0.0, 5e-3, q=0.0, p_seep=1.0, rounds=8,
+            samples=2048, seed=1)
+        expect = 5e-3 * 8 / 9  # 9 herald layers, last always zero
+        assert abs(out["leak_fraction"] - expect) < 1e-3
+
+    def test_leak_fraction_monotone_in_dwell(self):
+        code = families.rotated_surface(3)
+        fr = [leakage.leakage_memory_experiment(
+            code, 0.0, 5e-3, q=0.0, p_seep=s, rounds=10,
+            samples=1024, seed=2)["leak_fraction"]
+            for s in (1.0, 0.3, 0.05)]
+        assert fr[0] < fr[1] < fr[2]
+
+
+class TestDecoding:
+    def test_no_leak_heralded_equals_blind(self):
+        """p_leak=0: the herald mask is empty, so heralded and blind
+        decode identically (exact wiring guard)."""
+        code = families.rotated_surface(3)
+        kw = dict(q=None, rounds=5, samples=2048, seed=7)
+        rh = leakage.leakage_memory_experiment(
+            code, 8e-3, 0.0, heralded=True, **kw)
+        rb = leakage.leakage_memory_experiment(
+            code, 8e-3, 0.0, heralded=False, **kw)
+        assert rh["logical_fail"] == rb["logical_fail"]
+        assert rh["logical_fail"] > 0  # the regime has events
+
+    def test_pure_leakage_heralded_exact(self):
+        """Pauli-free pure leakage at low rate: every heralded leak
+        interval spans < d columns, so heralded decoding is exact
+        (erasure-style uniqueness); blind decoding is not."""
+        code = families.rotated_surface(5)
+        kw = dict(q=0.0, p_seep=0.3, rounds=10, samples=1 << 13, seed=4)
+        rh = leakage.leakage_memory_experiment(
+            code, 0.0, 3e-3, heralded=True, **kw)
+        assert rh["logical_fail"] == 0.0
+
+    def test_heralded_beats_blind(self):
+        """Operating point (d=5, p=1e-3, p_leak=5e-3, dwell 5 rounds):
+        herald-aware decoding wins big — measured 2 vs 37 / 8k (the
+        leak columns are time-correlated bursts no static edge model
+        represents)."""
+        code = families.rotated_surface(5)
+        kw = dict(rounds=10, samples=1 << 13, seed=1)
+        rh = leakage.leakage_memory_experiment(
+            code, 1e-3, 5e-3, heralded=True, **kw)
+        rb = leakage.leakage_memory_experiment(
+            code, 1e-3, 5e-3, heralded=False, **kw)
+        fh = rh["logical_fail"] * rh["samples"]
+        fb = rb["logical_fail"] * rb["samples"]
+        assert fb >= 20, (fh, fb)
+        assert fh < 0.33 * fb, (fh, fb)
+
+    def test_device_decoder_matches_host(self):
+        """decoder='device' rides the device kernels' per-shot weights;
+        failure counts land within a few shots of the host kernel."""
+        code = families.rotated_surface(3)
+        kw = dict(rounds=5, samples=4096, seed=3, p_seep=0.3)
+        rh = leakage.leakage_memory_experiment(
+            code, 2e-3, 5e-3, decoder="host", **kw)
+        rd = leakage.leakage_memory_experiment(
+            code, 2e-3, 5e-3, decoder="device", **kw)
+        fh = rh["logical_fail"] * rh["samples"]
+        fd = rd["logical_fail"] * rd["samples"]
+        assert abs(fh - fd) <= max(6, 0.4 * fh), (fh, fd)
