@@ -320,7 +320,8 @@ def _decompose_into_edges(have, dets, obs, cache):
 
 
 def build_two_sector_dem(code, rounds: int, noise, *,
-                         return_index: bool = False):
+                         return_index: bool = False,
+                         return_comp_edges: bool = False):
     """Joint DEM over (rounds+1) detector slices per sector, with the
     correlation pairs of same-qubit (X, Z) fault components.
 
@@ -406,6 +407,14 @@ def build_two_sector_dem(code, rounds: int, noise, *,
         pairs=pairs,
         edge_probs=edge_probs,
     )
+    if return_comp_edges:
+        # (t, comp_key, sector) -> edge id in that sector's graph, for
+        # elementary (non-compound) components — what per-shot herald
+        # reweighting needs to find a specific mechanism's edge (e.g.
+        # the idle species of a leaked data qubit, experiments/leakage)
+        ce = {k: index[k[2]][v] for k, v in comp_edge.items()
+              if v in index[k[2]]}
+        return dem, index, ce
     if return_index:
         # index[sector]: (dets_tuple, obs) -> edge id in that sector's
         # graph — what belief-matching needs to map Tanner-variable

@@ -15,7 +15,10 @@ from qcss_tpu.experiments.injection import (
     factory_report,
     magic_injection_experiment,
 )
-from qcss_tpu.experiments.leakage import leakage_memory_experiment
+from qcss_tpu.experiments.leakage import (
+    leakage_circuit_memory,
+    leakage_memory_experiment,
+)
 from qcss_tpu.experiments.memory_xz import xz_memory_experiment
 from qcss_tpu.experiments.soft import (
     soft_bp_phenomenological_error_rate,

@@ -114,6 +114,209 @@ def _space_edge_index(base: MatchingGraph, rounds: int) -> np.ndarray:
     return idx
 
 
+def _sample_two_sector_leak(key, batch, rounds, code, noise, z_arrays,
+                            x_arrays, z_comp, x_comp, rz, rx,
+                            p_leak, p_seep, p_leak_anc):
+    """`memory_xz._sample_two_sector` with a persistent DATA-qubit
+    leakage state machine and per-round ANCILLA leakage. Leaked data
+    qubits draw independent 1/2 X and 1/2 Z flips at each round
+    boundary (exactly where dem2 books its k=-1 idle species — the
+    decoder's static model stays in lockstep); a leaked ancilla's
+    measurement outcome is randomized (^= Bernoulli(1/2)). Returns
+    (syns_z, syns_x, x_err, z_err, herald_data [B, R, n],
+    herald_anc_z [B, R, rz], herald_anc_x [B, R, rx])."""
+    from qcss_tpu.sim import frame as fr
+
+    n = code.n
+    nq = n + rz + rx
+    zanc = jnp.arange(n, n + rz, dtype=jnp.int32)
+    xanc = jnp.arange(n + rz, nq, dtype=jnp.int32)
+    dat = jnp.arange(n)
+    f0 = fr.zero_frames(batch, nq)
+
+    def round_body(carry, k):
+        f, leak = carry
+        (kl, ks, kxr, kzr_, kz, kzm, kza, kzam, kzrs,
+         kx, kxm, kxa, kxam, kxrs) = jax.random.split(k, 14)
+        leak = leak | (jax.random.uniform(kl, (batch, n)) < p_leak
+                       ).astype(jnp.uint8)
+        xr = (jax.random.uniform(kxr, (batch, n)) < 0.5
+              ).astype(jnp.uint8) & leak
+        zr = (jax.random.uniform(kzr_, (batch, n)) < 0.5
+              ).astype(jnp.uint8) & leak
+        f = fr.Frames(f.x.at[:, dat].set(f.x[:, dat] ^ xr),
+                      f.z.at[:, dat].set(f.z[:, dat] ^ zr))
+        if z_comp is not None:
+            f = fr.run_compiled_noisy(f, z_comp, noise, kz)
+        else:
+            f = fr.run_arrays_noisy(f, *z_arrays, noise, kz)
+        f, syn_z = fr.measure_deviations(f, zanc, kzm, noise.p_meas)
+        anc_z = (jax.random.uniform(kza, (batch, rz)) < p_leak_anc
+                 ).astype(jnp.uint8)
+        syn_z = syn_z ^ (anc_z & (jax.random.uniform(
+            kzam, (batch, rz)) < 0.5).astype(jnp.uint8))
+        f = fr.reset_qubits(f, zanc, kzrs, noise.p_reset)
+        if x_comp is not None:
+            f = fr.run_compiled_noisy(f, x_comp, noise, kx)
+        else:
+            f = fr.run_arrays_noisy(f, *x_arrays, noise, kx)
+        f, syn_x = fr.measure_deviations(f, xanc, kxm, noise.p_meas)
+        anc_x = (jax.random.uniform(kxa, (batch, rx)) < p_leak_anc
+                 ).astype(jnp.uint8)
+        syn_x = syn_x ^ (anc_x & (jax.random.uniform(
+            kxam, (batch, rx)) < 0.5).astype(jnp.uint8))
+        f = fr.reset_qubits(f, xanc, kxrs, noise.p_reset)
+        herald = leak
+        leak = leak & (jax.random.uniform(ks, (batch, n)) >= p_seep
+                       ).astype(jnp.uint8)
+        return (f, leak), (syn_z, syn_x, herald, anc_z, anc_x)
+
+    keys = jax.random.split(key, rounds)
+    (f, _), (syns_z, syns_x, hd, hz_, hx_) = jax.lax.scan(
+        round_body, (f0, jnp.zeros((batch, n), jnp.uint8)), keys)
+    return (syns_z, syns_x, f.x[:, dat], f.z[:, dat],
+            jnp.moveaxis(hd, 0, 1), jnp.moveaxis(hz_, 0, 1),
+            jnp.moveaxis(hx_, 0, 1))
+
+
+def expected_leak_profile(p_leak: float, p_seep: float,
+                          rounds: int) -> np.ndarray:
+    """Deterministic per-round expected leak fraction of the state
+    machine (leak events first, herald, then seepage)."""
+    out = np.empty(rounds)
+    l = 0.0
+    for t in range(rounds):
+        l = l + (1.0 - l) * p_leak
+        out[t] = l
+        l *= (1.0 - p_seep)
+    return out
+
+
+def leakage_circuit_memory(
+    code,
+    *,
+    rounds: int,
+    noise,
+    p_leak: float,
+    p_seep: float = 0.2,
+    p_leak_anc: float | None = None,
+    batch: int = 1 << 12,
+    seed: int = 0,
+    heralded: bool = True,
+    n_threads: int | None = None,
+) -> dict[str, float]:
+    """CIRCUIT-LEVEL two-sector memory under leakage, decoded on the
+    exact circuit-level DEMs. The static model sees leakage as its
+    round-boundary idle species at the AVERAGE leak fraction (exact
+    lockstep: the sampler randomizes leaked data qubits at the round
+    boundary, where dem2 books k=-1 idle species) plus a measurement-
+    flip surplus of p_leak_anc/2 for randomized leaked-ancilla readouts;
+    heralds make the leaked qubit's idle edges and the leaked ancilla's
+    measurement edge near-free PER SHOT. ``heralded=False`` decodes the
+    same shots blind. `noise` must carry no idle channel (leakage
+    replaces it at this tier)."""
+    import dataclasses
+
+    from qcss_tpu.decode.dem2 import build_two_sector_dem
+    from qcss_tpu.decode.spacetime import detector_history
+    from qcss_tpu.experiments.memory import (
+        x_extraction_circuit, z_extraction_circuit)
+    from qcss_tpu.experiments.soft import _meas_edge_ids
+    from qcss_tpu.sim import frame as fr
+
+    if noise.p_idle:
+        raise ValueError("leakage replaces the idle channel at this "
+                         "tier; pass noise with p_idle=0")
+    if p_leak_anc is None:
+        p_leak_anc = p_leak
+    hz = np.asarray(code.raw_parity_check_c2, np.uint8) & 1
+    hx = np.asarray(code.raw_parity_check_c1, np.uint8) & 1
+    rz, rx = hz.shape[0], hx.shape[0]
+    lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+    lx = np.asarray(code.x_operator_matrix(), np.uint8) & 1
+    n = code.n
+
+    z_arrays = tuple(map(jnp.asarray, z_extraction_circuit(
+        code, checks=hz).to_arrays()))
+    x_arrays = tuple(map(jnp.asarray, x_extraction_circuit(
+        code, anc_offset=n + rz, checks=hx).to_arrays()))
+    nq = n + rz + rx
+    fn = jax.jit(
+        partial(_sample_two_sector_leak, code=code, noise=noise,
+                z_arrays=z_arrays, x_arrays=x_arrays,
+                z_comp=fr.maybe_compile(z_arrays, nq),
+                x_comp=fr.maybe_compile(x_arrays, nq),
+                rz=rz, rx=rx, p_leak=float(p_leak),
+                p_seep=float(p_seep), p_leak_anc=float(p_leak_anc)),
+        static_argnames=("batch", "rounds"),
+    )
+    (syns_z, syns_x, x_err, z_err, hd, ha_z, ha_x) = map(
+        np.asarray, fn(jax.random.key(seed), batch, rounds))
+
+    final_z = ((x_err.astype(np.int64) @ hz.T) & 1).astype(np.uint8)
+    final_x = ((z_err.astype(np.int64) @ hx.T) & 1).astype(np.uint8)
+    dets_z = detector_history(syns_z, final_z)
+    dets_x = detector_history(syns_x, final_x)
+
+    leak_avg = float(expected_leak_profile(p_leak, p_seep,
+                                           rounds).mean())
+    pm_eff = noise.p_meas + 0.5 * p_leak_anc \
+        - 2.0 * noise.p_meas * 0.5 * p_leak_anc
+    noise_dem = dataclasses.replace(
+        noise, p_meas=pm_eff, p_idle=0.75 * max(leak_avg, 1e-9),
+        pauli_idle=(max(leak_avg, 1e-9) / 4.0,) * 3)
+    dem, index, comp_edges = build_two_sector_dem(
+        code, rounds, noise_dem, return_comp_edges=True)
+
+    # herald targets: the leaked qubit's idle edge per (t, q), and the
+    # leaked ancilla's measurement edge per (t, c)
+    idle_eids = {}
+    for sector, comp in (("z", "x"), ("x", "z")):
+        ids = np.full((rounds, n), -1, np.int32)
+        for t in range(rounds):
+            for q in range(n):
+                e = comp_edges.get((t, ("idle", q, comp), sector))
+                if e is not None:
+                    ids[t, q] = e
+        idle_eids[sector] = ids
+    meas_eids = {"z": _meas_edge_ids(index["z"], rounds, rz),
+                 "x": _meas_edge_ids(index["x"], rounds, rx)}
+
+    out = {"samples": batch, "rounds": rounds, "p_leak": p_leak,
+           "p_seep": p_seep, "p_leak_anc": p_leak_anc,
+           "leak_fraction": float(hd.mean()), "heralded": heralded}
+    par = {
+        "z": ((x_err.astype(np.int64) @ lz[0]) & 1).astype(np.uint32),
+        "x": ((z_err.astype(np.int64) @ lx[0]) & 1).astype(np.uint32),
+    }
+    fails = {}
+    for sector, graph, dets, ha in (
+            ("z", dem.graph_x_errors, dets_z, ha_z),
+            ("x", dem.graph_z_errors, dets_x, ha_x)):
+        dec = UFDecoder(graph, use_native=None)
+        sw = None
+        if heralded:
+            static_w = np.asarray(graph.edge_weight)
+            sw = np.tile(static_w, (batch, 1))
+            ids = idle_eids[sector]
+            valid = ids >= 0
+            e_flat = ids[valid]
+            h_flat = hd.reshape(batch, -1)[:, valid.ravel()]
+            sw[:, e_flat] = np.where(h_flat == 1, ERASED_WEIGHT,
+                                     sw[:, e_flat]).astype(np.uint8)
+            m_ids = meas_eids[sector].ravel()
+            ham = ha.reshape(batch, -1)
+            sw[:, m_ids] = np.where(ham == 1, ERASED_WEIGHT,
+                                    sw[:, m_ids]).astype(np.uint8)
+        _, obs = dec.decode_batch(dets, want_corrections=False,
+                                  n_threads=n_threads, shot_weights=sw)
+        fails[sector] = (obs & 1) != par[sector]
+    out["x_fail"] = float(np.mean(fails["z"]))
+    out["z_fail"] = float(np.mean(fails["x"]))
+    out["word_fail"] = float(np.mean(fails["z"] | fails["x"]))
+    return out
+
+
 def leakage_memory_experiment(
     code,
     p: float,
@@ -128,11 +331,16 @@ def leakage_memory_experiment(
     heralded: bool = True,
     decoder: str = "host",
     use_native: bool | None = None,
+    calibrated: bool = False,
 ) -> dict[str, float]:
     """Multi-round phenomenological X-memory under persistent leakage,
     decoded with spacetime union-find whose space edges carry per-shot
     herald weights over the leak INTERVALS. ``heralded=False`` decodes
-    the same shots blind; ``decoder='device'`` decodes on the
+    the same shots blind — leakage-IGNORANT by default (static weights
+    from the Pauli rates alone), or leakage-CALIBRATED with
+    ``calibrated=True`` (the average leak-induced flip rate folded into
+    the static space-edge weights: what a calibrated-but-unheralded
+    stack decodes with). ``decoder='device'`` decodes on the
     accelerator (`DeviceUFDecoder`)."""
     h = code.raw_parity_check_c2
     lz = code.z_operator_matrix()
@@ -142,6 +350,13 @@ def leakage_memory_experiment(
     batch = samples if batch is None else batch
     base = graph_from_checks(h, lz)
     p_eff, q_eff = max(p, 1e-9), max(q, 1e-9)
+    if calibrated:
+        # fold the expected leak-induced 1/2-flip rate into the static
+        # space-edge likelihoods (average over the round profile)
+        leak_avg = float(expected_leak_profile(
+            p_leak, p_seep, rounds).mean())
+        extra = 0.5 * leak_avg
+        p_eff = p_eff + extra - 2.0 * p_eff * extra
     graph = spacetime_graph(h, lz, rounds, p_space=p_eff, p_time=q_eff)
     # static weights on the erasure scale (ERASED_WEIGHT=1 for heralded
     # edges, Pauli edges proportionally more expensive)

@@ -66,6 +66,22 @@ class TestDecoding:
         assert fb >= 20, (fh, fb)
         assert fh < 0.33 * fb, (fh, fb)
 
+    def test_calibrated_blind_between(self):
+        """Three-way at the operating point: heralded < calibrated-blind
+        <= ignorant-blind (measured 2 / 28 / 37 per 8k) — the herald,
+        not the average-rate calibration, is the big lever."""
+        code = families.rotated_surface(5)
+        kw = dict(rounds=10, samples=1 << 13, seed=1)
+        fh = leakage.leakage_memory_experiment(
+            code, 1e-3, 5e-3, heralded=True, **kw)["logical_fail"]
+        fc = leakage.leakage_memory_experiment(
+            code, 1e-3, 5e-3, heralded=False, calibrated=True,
+            **kw)["logical_fail"]
+        fb = leakage.leakage_memory_experiment(
+            code, 1e-3, 5e-3, heralded=False, **kw)["logical_fail"]
+        assert fh < 0.5 * fc, (fh, fc)
+        assert fc <= fb, (fc, fb)
+
     def test_device_decoder_matches_host(self):
         """decoder='device' rides the device kernels' per-shot weights;
         failure counts land within a few shots of the host kernel."""
@@ -78,3 +94,35 @@ class TestDecoding:
         fh = rh["logical_fail"] * rh["samples"]
         fd = rd["logical_fail"] * rd["samples"]
         assert abs(fh - fd) <= max(6, 0.4 * fh), (fh, fd)
+
+
+class TestCircuitTier:
+    def test_heralded_helps_and_sampler_locksteps(self):
+        """Circuit-level leakage (real extraction circuits, round-
+        boundary randomization where dem2 books idle species, leaked-
+        ancilla readout randomization on the measurement edges):
+        heralded decoding beats the calibrated-blind DEM on the same
+        shots (measured 90 vs 129 / 8k at d=5), and the sampled leak
+        fraction matches the analytic state-machine profile."""
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.rotated_surface(5)
+        nm = NoiseModel(p_gate2=1e-3, p_meas=2e-3, p_reset=1e-3)
+        kw = dict(rounds=10, noise=nm, p_leak=4e-3, batch=1 << 13,
+                  seed=1)
+        rh = leakage.leakage_circuit_memory(code, heralded=True, **kw)
+        rb = leakage.leakage_circuit_memory(code, heralded=False, **kw)
+        assert rh["word_fail"] < 0.9 * rb["word_fail"], (rh, rb)
+        expect = leakage.expected_leak_profile(4e-3, 0.2, 10).mean()
+        assert abs(rh["leak_fraction"] - expect) < 2e-3
+
+    def test_rejects_idle_noise(self):
+        import pytest
+
+        from qcss_tpu.sim.noise import NoiseModel
+
+        code = families.rotated_surface(3)
+        with pytest.raises(ValueError):
+            leakage.leakage_circuit_memory(
+                code, rounds=3, noise=NoiseModel(p_idle=1e-3),
+                p_leak=1e-3)
