@@ -151,6 +151,19 @@ def _joint_fault_atoms(circ: _RoundCircuit, noise):
     _P1 = (((0,), ()), ((), (0,)), ((0,), (0,)))  # X, Z, Y on one qubit
     p2 = noise.p_gate2
     if p2:
+        r2 = noise.rate2
+        if isinstance(r2, tuple):
+            # biased 2q = independent per-side biased channels: pattern
+            # (P_c, P_t) occurs with q(P_c)·q(P_t) (see dem2 booking)
+            px, py, pz = r2
+            q_ = (1 - px - py - pz, px, pz, py)  # I X Z Y
+
+            def atom_p(a, b):
+                return q_[a] * q_[b]
+        else:
+            def atom_p(a, b):
+                return p2 / 15.0
+
         for k, op in enumerate(circ.ops):
             if op[0] != "cnot":
                 continue
@@ -159,17 +172,25 @@ def _joint_fault_atoms(circ: _RoundCircuit, noise):
                 for b in range(4):      # I X Z Y on target
                     if a == 0 and b == 0:
                         continue
+                    if not atom_p(a, b):
+                        continue
                     xq = [qs[i] for i, s in ((0, a), (1, b)) if s in (1, 3)]
                     zq = [qs[i] for i, s in ((0, a), (1, b)) if s in (2, 3)]
-                    inject(k, xq, zq, p2 / 15.0)
+                    inject(k, xq, zq, atom_p(a, b))
     p1 = noise.p_gate1
     if p1:
+        r1 = noise.rate1
+        p1_probs = (r1 if isinstance(r1, tuple)
+                    else (p1 / 3.0,) * 3)  # X, Z, Y order below
+        if isinstance(r1, tuple):
+            p1_probs = (r1[0], r1[2], r1[1])  # (px, pz, py) to match _P1
         for k, op in enumerate(circ.ops):
             if op[0] != "h":
                 continue
             q = op[1]
-            for xs, zs in _P1:
-                inject(k, [q] * len(xs), [q] * len(zs), p1 / 3.0)
+            for (xs, zs), pp in zip(_P1, p1_probs):
+                if pp:
+                    inject(k, [q] * len(xs), [q] * len(zs), pp)
     pm = noise.p_meas
     if pm:
         for k, op in enumerate(circ.ops):

@@ -42,7 +42,8 @@ import numpy as np
 from qcss_tpu.decode.uf import MatchingGraph, _column_obs_masks, weights_from_probs
 
 
-def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset):
+def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset,
+                  rate2=None):
     """Single-fault species of ONE extraction round.
 
     h: [r, n] raw Z-check matrix; extraction_gates: ordered list of
@@ -52,6 +53,11 @@ def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset):
     measurement round (relative to t) the fault needs to exist — 1 for
     reset flips (they corrupt the NEXT round's measurement, so a flip
     after the final round's measurement is a physical no-op).
+
+    ``rate2`` — a biased (p_x, p_y, p_z) per-qubit tuple
+    (`NoiseModel.pauli2` semantics: independent per-side channels) makes
+    the X-support class probabilities exact products instead of the
+    uniform 4p/15 split.
     """
     h = np.asarray(h, dtype=np.uint8) & 1
     r, n = h.shape
@@ -72,14 +78,19 @@ def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset):
             sig.append((delta, int(c)))
         return tuple(sorted(sig))
 
-    p_comp = 4.0 * p_gate2 / 15.0  # each X-pattern of 2q depolarizing
+    if rate2 is not None:
+        a = rate2[0] + rate2[1]  # per-side X-component probability
+        p_data, p_anc, p_both = a * (1 - a), (1 - a) * a, a * a
+    else:
+        # each X-pattern class of uniform 2q depolarizing
+        p_data = p_anc = p_both = 4.0 * p_gate2 / 15.0
     for k, (j, c) in enumerate(extraction_gates):
         if p_gate2:
             # X on the data side, arising after this gate
-            faults.append((data_sig(j, k), j, p_comp, 0))
+            faults.append((data_sig(j, k), j, p_data, 0))
             # X on the ancilla side: flips this round's measured bit c
             anc_sig = ((0, c), (1, c))
-            faults.append((anc_sig, -1, p_comp, 0))
+            faults.append((anc_sig, -1, p_anc, 0))
             # X⊗X is ONE mechanism: its detector effect is the symmetric
             # difference of the two component signatures — the just-fired
             # check c appears in BOTH (the data X was already copied into
@@ -93,7 +104,7 @@ def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset):
             # measured the discrepancy on sampled circuits, which is how
             # this was found.
             xx_sig = tuple(sorted(set(data_sig(j, k)) ^ set(anc_sig)))
-            faults.append((xx_sig, j, p_comp, 0))
+            faults.append((xx_sig, j, p_both, 0))
     if p_meas:
         for c in range(r):
             faults.append((((0, c), (1, c)), -1, float(p_meas), 0))
@@ -106,7 +117,8 @@ def _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset):
 def circuit_level_graph(h, extraction_gates, rounds: int,
                         p_gate2: float = 0.0, p_meas: float = 0.0,
                         p_reset: float = 0.0,
-                        logicals=None, return_probs: bool = False):
+                        logicals=None, return_probs: bool = False,
+                        rate2=None):
     """Weighted matching graph over the (rounds+1)·r detectors from the
     exact single-fault model of the given extraction circuit.
 
@@ -118,7 +130,8 @@ def circuit_level_graph(h, extraction_gates, rounds: int,
     r, n = h.shape
     obs = _column_obs_masks(np.asarray(logicals, dtype=np.uint8) & 1)
 
-    per_round = _round_faults(h, extraction_gates, p_gate2, p_meas, p_reset)
+    per_round = _round_faults(h, extraction_gates, p_gate2, p_meas,
+                              p_reset, rate2=rate2)
 
     # replicate across rounds, clip at the perfect final slice
     merged: dict[tuple, list] = {}  # detector-tuple -> [qubit, prob]
@@ -189,7 +202,7 @@ def extraction_gate_list(code, checks=None):
 def circuit_level_window_graph(h, extraction_gates, window: int,
                                commit: int, p_gate2: float = 0.0,
                                p_meas: float = 0.0, p_reset: float = 0.0,
-                               logicals=None):
+                               logicals=None, rate2=None):
     """Mid-stream sliding-window DEM graph over ``window`` detector
     slices (time-invariant — one graph serves every mid window).
 
@@ -215,7 +228,7 @@ def circuit_level_window_graph(h, extraction_gates, window: int,
     r, n = h.shape
     obs = _column_obs_masks(np.asarray(logicals, dtype=np.uint8) & 1)
     per_round = _round_faults(h, extraction_gates, p_gate2, p_meas,
-                              p_reset)
+                              p_reset, rate2=rate2)
 
     merged: dict[tuple, list] = {}
     for t in range(window):

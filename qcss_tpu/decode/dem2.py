@@ -224,30 +224,72 @@ def _fault_species(circ: _RoundCircuit, noise):
 
     p2 = noise.p_gate2
     if p2:
+        r2 = noise.rate2
+        if isinstance(r2, tuple):
+            # BIASED 2q locations are two INDEPENDENT per-qubit biased
+            # channels (NoiseModel.pauli2 semantics; the frame engine's
+            # _inject2 tuple branch samples exactly this). Per side the
+            # (X-component, Z-component) indicator joint is
+            # {(1,0): px, (1,1): py, (0,1): pz, (0,0): rest}; classes
+            # and pairs are exact products over the two sides.
+            px, py, pz = r2
+            a = px + py          # P(X component) per side
+            b = pz + py          # P(Z component) per side
+            xcls = {"c": a * (1 - a), "t": (1 - a) * a, "ct": a * a}
+            zcls = {"c": b * (1 - b), "t": (1 - b) * b, "ct": b * b}
+            q_ = {(0, 0): 1 - px - py - pz, (1, 0): px,
+                  (1, 1): py, (0, 1): pz}
+            sup_bits = {"c": (1, 0), "t": (0, 1), "ct": (1, 1)}
+
+            def pair_p(xs, zs):
+                (xc, xt), (zc, zt) = sup_bits[xs], sup_bits[zs]
+                return q_[(xc, zc)] * q_[(xt, zt)]
+        else:
+            # uniform 15-way depolarizing: 4 patterns per exclusive
+            # support class (4p/15), each (xs, zs) combo one pattern
+            xcls = zcls = {s: 4.0 * p2 / 15.0 for s in ("c", "t", "ct")}
+
+            def pair_p(xs, zs):
+                return p2 / 15.0
+
         for k, op in enumerate(circ.ops):
             if op[0] != "cnot":
                 continue
             sups = {"c": (op[1],), "t": (op[2],), "ct": (op[1], op[2])}
             for sup, qs in sups.items():
-                inject(k, qs, True, 4.0 * p2 / 15.0, ("2q", k, sup, "x"))
-                inject(k, qs, False, 4.0 * p2 / 15.0, ("2q", k, sup, "z"))
+                if xcls[sup]:
+                    inject(k, qs, True, xcls[sup], ("2q", k, sup, "x"))
+                if zcls[sup]:
+                    inject(k, qs, False, zcls[sup], ("2q", k, sup, "z"))
             for xs in sups:
                 for zs in sups:
-                    pairs[(("2q", k, xs, "x"),
-                           ("2q", k, zs, "z"))] = p2 / 15.0
+                    jp = pair_p(xs, zs)
+                    if jp:
+                        pairs[(("2q", k, xs, "x"),
+                               ("2q", k, zs, "z"))] = jp
     p1 = noise.p_gate1
     if p1:
-        # uniform 1q depolarizing: P(X-comp) = P(Z-comp) = 2/3 p;
-        # joint (Y) = 1/3 p
+        r1 = noise.rate1
+        if isinstance(r1, tuple):
+            px1, py1, pz1 = r1
+            px_c, pz_c, pxy = px1 + py1, pz1 + py1, py1
+        else:
+            # uniform 1q depolarizing: P(X-comp) = P(Z-comp) = 2/3 p;
+            # joint (Y) = 1/3 p
+            px_c = pz_c = 2.0 * p1 / 3.0
+            pxy = p1 / 3.0
         for k, op in enumerate(circ.ops):
             if op[0] != "h":
                 continue
             q = op[1]
             kx = ("1q", k, q, "x")
             kz = ("1q", k, q, "z")
-            inject(k, q, True, 2.0 * p1 / 3.0, kx)
-            inject(k, q, False, 2.0 * p1 / 3.0, kz)
-            pairs[(kx, kz)] = p1 / 3.0
+            if px_c:
+                inject(k, q, True, px_c, kx)
+            if pz_c:
+                inject(k, q, False, pz_c, kz)
+            if pxy:
+                pairs[(kx, kz)] = pxy
     pm = noise.p_meas
     if pm:
         for k, op in enumerate(circ.ops):

@@ -80,7 +80,7 @@ class DeviceStreamingDecoder:
     def from_dem(cls, h, logicals, extraction_gates=None, *,
                  window: int = 8, commit: int = 4,
                  p_gate2: float = 0.0, p_meas: float = 0.0,
-                 p_reset: float = 0.0):
+                 p_reset: float = 0.0, rate2=None):
         """Circuit-level streaming: sliding windows over the exact
         single-fault DEM of the extraction circuit (diagonal hook edges
         and all — `dem.circuit_level_window_graph`). The commit rule is
@@ -106,14 +106,14 @@ class DeviceStreamingDecoder:
         g, committed_obs, carry_check = circuit_level_window_graph(
             self.h, extraction_gates, window, commit,
             p_gate2=p_gate2, p_meas=p_meas, p_reset=p_reset,
-            logicals=self._logicals)
+            logicals=self._logicals, rate2=rate2)
         self._setup(g, committed_obs.astype(np.int64), carry_check)
 
         def final_builder(slices):
             return circuit_level_graph(
                 self.h, extraction_gates, rounds=slices - 1,
                 p_gate2=p_gate2, p_meas=p_meas, p_reset=p_reset,
-                logicals=self._logicals)
+                logicals=self._logicals, rate2=rate2)
 
         self._final_builder = final_builder
         self._final = {}
@@ -314,7 +314,7 @@ def stream_memory_rate_dem(code, noise, *, rounds: int, batch: int,
     dec = DeviceStreamingDecoder.from_dem(
         raw, code.z_operator_matrix(), gates, window=window,
         commit=commit, p_gate2=noise.p_gate2, p_meas=noise.p_meas,
-        p_reset=noise.p_reset)
+        p_reset=noise.p_reset, rate2=noise.pauli2)
     W, C = window, commit
     if rounds < W:
         raise ValueError("need rounds >= window")

@@ -380,6 +380,7 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
                 raw, extraction_gate_list(code, raw), rounds,
                 p_gate2=noise.p_gate2, p_meas=noise.p_meas,
                 p_reset=noise.p_reset, logicals=logicals,
+                rate2=noise.pauli2,
             )
         else:
             graph = spacetime_graph(raw, logicals, rounds)
@@ -445,6 +446,7 @@ def memory_experiment(code, *, rounds: int, noise: noise_mod.NoiseModel,
                 raw, extraction_gate_list(code, raw), rounds,
                 p_gate2=noise.p_gate2, p_meas=noise.p_meas,
                 p_reset=noise.p_reset, logicals=logicals,
+                rate2=noise.pauli2,
             )
         else:
             graph = spacetime_graph(raw, logicals, rounds)

@@ -221,6 +221,7 @@ class ShardedFrameMemory:
                 rounds, p_gate2=self.noise.p_gate2,
                 p_meas=self.noise.p_meas, p_reset=self.noise.p_reset,
                 logicals=self.code.z_operator_matrix(),
+                rate2=self.noise.pauli2,
             )
         else:
             graph = spacetime_graph(
@@ -268,7 +269,8 @@ class ShardedFrameMemory:
                     self.h2_raw,
                     extraction_gate_list(self.code, self.h2_raw), rounds,
                     p_gate2=self.noise.p_gate2, p_meas=self.noise.p_meas,
-                    p_reset=self.noise.p_reset, logicals=logicals)
+                    p_reset=self.noise.p_reset, logicals=logicals,
+                    rate2=self.noise.pauli2)
             else:
                 graph = spacetime_graph(self.h2_raw, logicals, rounds)
             decode_fn = make_obs_decoder(graph)
