@@ -385,6 +385,107 @@ def bb288(**kwargs) -> CSSCode:
                              [(0, 3), (1, 0), (2, 0)], distance=18, **kwargs)
 
 
+def lifted_product(a, b, sizes, *, distance: int | None = None,
+                   **kwargs) -> CSSCode:
+    """Lifted-product code (Panteleev & Kalachev 2021) over the abelian
+    group algebra F2[Z_{l1} x ... x Z_{lk}] — the family that contains
+    BOTH of this module's qLDPC constructions as special cases:
+
+    * trivial group ``sizes=(1,)``: exactly `hypergraph_product`
+      (asserted in tests);
+    * 1x1 base matrices over Z_l x Z_m: two-block (generalized-bicycle /
+      bivariate-bicycle) codes — `bivariate_bicycle(l, m, A, B)` is
+      `lifted_product([[A]], [[B*]], (l, m))` with B* the exponent-
+      negated terms (asserted bit-identically in tests).
+
+    ``a`` / ``b`` are ring matrices: nested lists [r][n] whose entries
+    are term lists of exponent tuples (one int per group factor; [] is
+    the ring zero). With A [r_a, n_a] and B [r_b, n_b],
+
+        H_X = [A ⊗ I_{n_b} | I_{r_a} ⊗ B*]
+        H_Z = [I_{n_a} ⊗ B  | A* ⊗ I_{r_b}]
+
+    at the ring level (* = transpose with exponent negation, the group-
+    algebra adjoint), then every entry lifts to its |G| x |G| regular-
+    representation matrix. CSS duality holds structurally:
+    H_X H_Z^T = A ⊗ B* + A ⊗ B* = 0 because the lift is a ring
+    homomorphism with L(m)^T = L(m*). n = (n_a n_b + r_a r_b)·|G|.
+    Full redundant check sets are kept for BP, like the other qLDPC
+    constructors."""
+    sizes = tuple(int(s) for s in sizes)
+    D = int(np.prod(sizes))
+
+    def norm(mat):
+        return [[[tuple([t] if np.isscalar(t) else t) for t in cell]
+                 for cell in row] for row in mat]
+
+    a, b = norm(a), norm(b)
+
+    def conj_t(m):
+        return [[[tuple(-x % s for x, s in zip(t, sizes)) for t in m[i][j]]
+                 for i in range(len(m))]
+                for j in range(len(m[0]))]
+
+    def ring_eye(n):
+        zero_t = tuple(0 for _ in sizes)
+        return [[[zero_t] if i == j else [] for j in range(n)]
+                for i in range(n)]
+
+    def ring_kron(x, y):
+        rx, cx, ry, cy = len(x), len(x[0]), len(y), len(y[0])
+        out = []
+        for i in range(rx):
+            for k in range(ry):
+                row = []
+                for j in range(cx):
+                    for l_ in range(cy):
+                        # product of monomial sets (one side is always a
+                        # single monomial or empty here: kron with eye)
+                        cell = []
+                        for t1 in x[i][j]:
+                            for t2 in y[k][l_]:
+                                cell.append(tuple(
+                                    (u + v) % s for u, v, s in
+                                    zip(t1, t2, sizes)))
+                        row.append(cell)
+                out.append(row)
+        return out
+
+    def hstack(x, y):
+        return [rx + ry for rx, ry in zip(x, y)]
+
+    def shift_mat(size: int, s: int) -> np.ndarray:
+        return np.eye(size, dtype=np.uint8)[:, (np.arange(size) + s)
+                                            % size]
+
+    def lift_entry(terms) -> np.ndarray:
+        out = np.zeros((D, D), dtype=np.uint8)
+        for t in terms:
+            m = np.ones((1, 1), np.uint8)
+            for x, s in zip(t, sizes):
+                m = np.kron(m, shift_mat(s, x))
+            out ^= m
+        return out
+
+    def lift(mat) -> np.ndarray:
+        rows = []
+        for row in mat:
+            rows.append(np.concatenate([lift_entry(c) for c in row],
+                                       axis=1))
+        return np.concatenate(rows, axis=0)
+
+    r_a, n_a = len(a), len(a[0])
+    r_b, n_b = len(b), len(b[0])
+    h_x = np.concatenate([lift(ring_kron(a, ring_eye(n_b))),
+                          lift(ring_kron(ring_eye(r_a), conj_t(b)))],
+                         axis=1)
+    h_z = np.concatenate([lift(ring_kron(ring_eye(n_a), b)),
+                          lift(ring_kron(conj_t(a), ring_eye(r_b)))],
+                         axis=1)
+    assert not ((h_x.astype(np.int64) @ h_z.T.astype(np.int64)) & 1).any()
+    return _from_redundant_checks(h_x, h_z, distance, **kwargs)
+
+
 def hypergraph_product(h_a, h_b, *, distance: int | None = None,
                        **kwargs) -> CSSCode:
     """Hypergraph-product code of two classical parity checks
