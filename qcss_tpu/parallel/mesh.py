@@ -387,6 +387,88 @@ def sharded_bp_memory(code, mesh: Mesh, *, rounds: int, p: float, q: float,
     }
 
 
+_SOFT_MEMORY_CACHE: dict = {}
+
+
+def sharded_soft_memory(code, mesh: Mesh, *, rounds: int, p: float,
+                        sigma: float, batch: int, seed: int = 0,
+                        resolution: int = 8) -> dict[str, float]:
+    """Mesh-parallel ANALOG-READOUT memory, fully fused on device (the
+    tenth validated multi-chip pipeline): every device samples its shard
+    of the phenomenological stream with Gaussian readout amplitudes
+    (`experiments.soft._sample_soft_stream`), converts amplitudes to
+    per-shot posterior-LLR time-edge weights, union-find-decodes with
+    the device kernel's ``shot_weights`` input, and scores failures —
+    one `psum` of counts is the only collective; the amplitudes (the
+    large per-shot side-information array) never leave any device."""
+    from qcss_tpu.decode import device_uf
+    from qcss_tpu.decode.uf import graph_from_checks, spacetime_graph
+    from qcss_tpu.experiments import soft
+
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+    ck = (id(code), mesh, local, rounds, float(p), float(sigma), resolution)
+    fn = _SOFT_MEMORY_CACHE.get(ck)
+    if fn is None:
+        h = code.raw_parity_check_c2
+        lz = np.asarray(code.z_operator_matrix(), np.uint8) & 1
+        q_eff = max(soft.flip_prob(sigma), 1e-9)
+        p_eff = max(p, 1e-9)
+        graph = spacetime_graph(h, lz, rounds, p_space=p_eff,
+                                p_time=q_eff)
+        n_space = graph_from_checks(h, lz).num_edges * (rounds + 1)
+        base_ln = float(np.log(max(p_eff, q_eff)))
+        w_space = soft._llr_weights(np.full(n_space, p_eff), base_ln,
+                                    resolution=resolution)
+        dg = device_uf.build_device_graph(graph, stencil=False)
+        w_space_j = jnp.asarray(w_space, jnp.int32)
+        h_j = jnp.asarray(np.asarray(h, np.uint8))
+        lz_j = jnp.asarray(lz)
+        pow2 = jnp.asarray(1 << np.arange(lz.shape[0]), jnp.int32)
+        sig2 = float(sigma) * float(sigma)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(),),
+                 out_specs=(P(), P()), check_vma=False)
+        def step(k):
+            my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            dets, par, amp = soft._sample_soft_stream(
+                my_key, jnp.float32(p), jnp.float32(sigma), local,
+                rounds, code.n, h_j, lz_j)
+            pf = jnp.clip(
+                jax.nn.sigmoid(-2.0 * amp.reshape(local, -1) / sig2),
+                1e-9, 0.499)
+            wt_t = jnp.clip(
+                jnp.rint(resolution * jnp.log(pf) / base_ln),
+                1, 250).astype(jnp.int32)
+            sw = jnp.concatenate(
+                [jnp.broadcast_to(w_space_j[None, :], (local, n_space)),
+                 wt_t], axis=1)
+            labels, conv = device_uf.decode_labels(dg, dets,
+                                                   shot_weights=sw)
+            par_bits = jnp.sum(par.astype(jnp.int32) * pow2[None, :],
+                               axis=1)
+            fail = labels[0] != par_bits
+            return (jax.lax.psum(jnp.sum(fail.astype(jnp.int32)), axis),
+                    jax.lax.psum(jnp.sum(1 - conv.astype(jnp.int32)),
+                                 axis))
+
+        fn = jax.jit(step)
+        _SOFT_MEMORY_CACHE[ck] = fn
+    fails, unconv = fn(jax.random.key(seed))
+    assert int(unconv) == 0
+    return {
+        "logical_fail": int(fails) / batch,
+        "rounds": rounds,
+        "samples": batch,
+        "p": p,
+        "sigma": sigma,
+        "decoder": "device-uf-soft",
+    }
+
+
 def sharded_qldpc_circuit_memory(code, mesh: Mesh, *, rounds: int, noise,
                                  batch: int, seed: int = 0, iters: int = 48,
                                  alpha: float = 0.8) -> dict[str, float]:

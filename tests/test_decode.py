@@ -223,6 +223,24 @@ class TestParallel:
                                              batch=512, seed=2, iters=24)
         assert abs(out["x_fail"] - ref["x_fail"]) < 0.03
 
+    def test_sharded_soft_memory(self):
+        """The fused analog-readout pipeline sharded over the mesh (the
+        device union-find kernel's per-shot weights inside shard_map):
+        lands within MC tolerance of the host soft decode at the same
+        operating point."""
+        from qcss_tpu.codes import families
+        from qcss_tpu.experiments.soft import (
+            soft_phenomenological_error_rate)
+        from qcss_tpu.parallel import make_mesh, sharded_soft_memory
+
+        code = families.rotated_surface(3)
+        out = sharded_soft_memory(code, make_mesh(), rounds=3, p=5e-3,
+                                  sigma=0.7, batch=8 * 512, seed=1)
+        assert out["decoder"] == "device-uf-soft"
+        ref = soft_phenomenological_error_rate(
+            code, 5e-3, 0.7, rounds=3, samples=4096, seed=2, soft=True)
+        assert abs(out["logical_fail"] - ref["logical_fail"]) < 0.02
+
     def test_sharded_qldpc_circuit_memory(self):
         """Circuit-level qLDPC pipeline fused on the mesh: frame-sampled
         two-sector circuits + detector-fault-Tanner BP inside shard_map,
