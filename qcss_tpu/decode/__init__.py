@@ -61,6 +61,8 @@ from qcss_tpu.decode.dem import (
     circuit_level_graph,
     extraction_gate_list,
 )
+from qcss_tpu.decode.mld import MLDecoder, mld_logical_error_rate
+from qcss_tpu.decode.parallel_window import ParallelWindowDecoder
 from qcss_tpu.decode.streaming import (
     StreamingDecoder,
     sample_phenomenological_stream,
@@ -106,6 +108,9 @@ __all__ = [
     "MWPMOracle",
     "conditional_weights",
     "correlated_logical_error_rate",
+    "MLDecoder",
+    "mld_logical_error_rate",
+    "ParallelWindowDecoder",
     "StreamingDecoder",
     "sample_phenomenological_stream",
     "extraction_gate_list",

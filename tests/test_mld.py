@@ -1,0 +1,132 @@
+"""Exact maximum-likelihood decoder tests (decode/mld.py)."""
+
+import numpy as np
+import pytest
+
+from qcss_tpu.codes import families
+from qcss_tpu.decode.mld import MLDecoder, mld_logical_error_rate
+from qcss_tpu.ops import gf2
+
+
+def _brute_scores(h, stab, lerr, lobs, p):
+    """[2^rank, C] exact per-syndrome class probabilities by summing
+    over ALL 2^n errors (float64), plus the syndrome indexing used."""
+    h = np.asarray(h, np.uint8)
+    n = h.shape[1]
+    errs = ((np.arange(1 << n, dtype=np.uint64)[:, None]
+             >> np.arange(n, dtype=np.uint64)[None, :]) & 1).astype(np.uint8)
+    syn = (errs @ h.T) & 1
+    pw2 = (1 << np.arange(h.shape[0], dtype=np.int64))
+    sidx = syn.astype(np.int64) @ pw2
+    w = errs.sum(1)
+    prob = (p ** w) * ((1 - p) ** (n - w))
+    # class of e relative to the zero error: its lobs parity minus the
+    # representative's is handled by comparing to e0 outside; here we
+    # bucket by absolute lobs parity, which labels classes because
+    # stabilizers are lobs-transparent
+    par = (errs @ np.atleast_2d(lobs).T) & 1
+    k = par.shape[1]
+    cidx = par.astype(np.int64) @ (1 << np.arange(k, dtype=np.int64))
+    out = {}
+    np_idx = sidx * (1 << k) + cidx
+    flat = np.zeros((int(sidx.max()) + 1) * (1 << k), np.float64)
+    np.add.at(flat, np_idx, prob)
+    return flat.reshape(-1, 1 << k), sidx, par
+
+
+class TestExactness:
+    @pytest.mark.parametrize("maker", [families.steane,
+                                       lambda: families.rotated_surface(3)])
+    def test_matches_brute_force(self, maker):
+        """Device class scores equal the full 2^n enumeration (up to the
+        class-independent constant) and the argmax class agrees on every
+        realizable syndrome."""
+        code = maker()
+        p = 0.08
+        h = np.asarray(code.parity_check_c2, np.uint8)
+        lz = code.z_operator_matrix()
+        ml = MLDecoder.for_code(code, p=p)
+        flat, sidx, par = _brute_scores(
+            h, code.parity_check_c1, code.x_operator_matrix(), lz, p)
+        # one representative error per realizable syndrome
+        syns, first = np.unique(sidx, return_index=True)
+        errs = ((first[:, None] >> np.arange(code.n)[None, :]) & 1
+                ).astype(np.uint8)  # error index IS its bit pattern
+        syn_bits = (errs @ h.T) & 1
+        flips, scores = ml.decode_flips(syn_bits, return_scores=True)
+        n = code.n
+        const = n * np.log(1 - p)
+        # device class c scores the coset of (e0 ^ L_c); its ABSOLUTE
+        # lobs parity is par(e0) ^ c (lx @ lz.T == I, checked below),
+        # so remap device columns onto the brute absolute-parity buckets
+        e0 = ml._representatives(syn_bits)
+        par0 = ((e0 @ np.atleast_2d(lz).T) & 1).astype(np.int64)
+        par0_idx = par0 @ (1 << np.arange(code.k, dtype=np.int64))
+        C = 1 << code.k
+        for i, s in enumerate(syns):
+            brute = flat[s]
+            dev = np.zeros(C)
+            for c in range(C):
+                dev[int(par0_idx[i]) ^ c] = np.exp(scores[c, i] + const)
+            realizable = brute > 0
+            assert np.allclose(dev[realizable], brute[realizable],
+                               rtol=2e-3), (i, dev, brute)
+            gap = np.sort(brute)[-1] / max(np.sort(brute)[-2], 1e-300)
+            if gap > 1 + 1e-6:
+                assert int(np.argmax(dev)) == int(np.argmax(brute)), i
+        pair = (np.asarray(code.x_operator_matrix()) @ lz.T) & 1
+        assert (pair == np.eye(code.k, dtype=np.uint8)).all()
+
+    def test_flips_score_failures_correctly(self):
+        """Weight-1 errors always decode exactly (flips == true parity)."""
+        code = families.rotated_surface(3)
+        h = np.asarray(code.parity_check_c2, np.uint8)
+        lz = code.z_operator_matrix()
+        ml = MLDecoder.for_code(code, p=1e-3)
+        errs = np.eye(code.n, dtype=np.uint8)
+        flips = ml.decode_flips((errs @ h.T) & 1)
+        assert (flips == ((errs @ lz.T) & 1)).all()
+
+
+class TestOptimality:
+    def test_ml_not_worse_than_lut(self):
+        """Paired-shot comparison: ML failure <= min-weight LUT failure
+        (strictly better at high p where degeneracy matters)."""
+        code = families.rotated_surface(3)
+        out = mld_logical_error_rate(code, 0.10, batch=1 << 13, seed=1)
+        assert out["word_fail_ml"] <= out["word_fail_lut"] + 0.003, out
+        out2 = mld_logical_error_rate(code, 0.15, batch=1 << 13, seed=2)
+        assert out2["word_fail_ml"] < out2["word_fail_lut"], out2
+
+    def test_soft_priors_run_and_default_matches(self):
+        code = families.steane()
+        p = 0.05
+        h = np.asarray(code.parity_check_c2, np.uint8)
+        ml = MLDecoder.for_code(code, p=p)
+        rng = np.random.default_rng(0)
+        errs = (rng.random((256, code.n)) < p).astype(np.uint8)
+        syn = (errs @ h.T) & 1
+        base = ml.decode_flips(syn)
+        llr = np.full((256, code.n), np.log(p / (1 - p)), np.float32)
+        assert (ml.decode_flips(syn, llr=llr) == base).all()
+
+    def test_k2_code_shapes(self):
+        code = families.toric(3)
+        ml = MLDecoder.for_code(code, p=0.05)
+        rng = np.random.default_rng(3)
+        errs = (rng.random((128, code.n)) < 0.05).astype(np.uint8)
+        h = np.asarray(code.parity_check_c2, np.uint8)
+        flips = ml.decode_flips((errs @ h.T) & 1)
+        assert flips.shape == (128, code.k)
+
+    def test_too_large_refused(self):
+        code = families.golay()
+        bb = families.bb72()
+        with pytest.raises(ValueError, match="class"):
+            MLDecoder.for_code(bb, p=0.01)  # k=12 class explosion
+        with pytest.raises(ValueError, match="exponential"):
+            MLDecoder(bb.parity_check_c2, bb.parity_check_c1,
+                      bb.x_operator_matrix()[:1],
+                      bb.z_operator_matrix()[:1], p=0.01)  # 2^30 cosets
+        # golay itself is fine (r=11)
+        MLDecoder.for_code(code, p=0.01)
