@@ -130,29 +130,63 @@ class MLDecoder:
         e0[:, self._piv] = s_r
         return e0
 
+    def _chunks(self):
+        coset_np = self._coset
+        return [jnp.asarray(coset_np[i:i + _CHUNK].T, jnp.float32)
+                for i in range(0, coset_np.shape[0], _CHUNK)]
+
+    @staticmethod
+    def _class_lse(eL, llr, chunks):
+        """eL [B, n] uint8, llr [B, n] f32 -> [B] coset log score."""
+        eLf = eL.astype(jnp.float32)
+        base = jnp.sum(eLf * llr, axis=1)
+        cross_in = eLf * llr
+        out = jnp.full(base.shape, -jnp.inf, jnp.float32)
+        for ch in chunks:                             # static, few
+            tot = (base[:, None] + llr @ ch
+                   - 2.0 * (cross_in @ ch))
+            out = jnp.logaddexp(
+                out, jax.scipy.special.logsumexp(tot, axis=1))
+        return out
+
     def _scorer(self):
         if self._fn is None:
-            coset_np = self._coset
-            n = self.n
-            chunks = [jnp.asarray(coset_np[i:i + _CHUNK].T, jnp.float32)
-                      for i in range(0, coset_np.shape[0], _CHUNK)]
-
-            @jax.jit
-            def class_lse(eL, llr):
-                """eL [B, n] uint8, llr [B, n] f32 -> [B] log score."""
-                eLf = eL.astype(jnp.float32)
-                base = jnp.sum(eLf * llr, axis=1)
-                cross_in = eLf * llr
-                out = jnp.full(base.shape, -jnp.inf, jnp.float32)
-                for ch in chunks:                     # static, few
-                    tot = (base[:, None] + llr @ ch
-                           - 2.0 * (cross_in @ ch))
-                    out = jnp.logaddexp(
-                        out, jax.scipy.special.logsumexp(tot, axis=1))
-                return out
-
-            self._fn = class_lse
+            chunks = self._chunks()
+            self._fn = jax.jit(
+                lambda eL, llr: self._class_lse(eL, llr, chunks))
         return self._fn
+
+    def device_decode_fn(self):
+        """Jittable pure-device decode: (syndromes [B, r_h] uint8,
+        llr [B, n] f32) -> ML observable flips [B, k] uint8. The
+        representative solve, coset scoring and class selection all
+        trace into the caller's program — used by the fused/sharded
+        pipelines (`parallel.sharded_mld_memory`)."""
+        from qcss_tpu.ops import gf2_jax
+
+        chunks = self._chunks()
+        t_j = jnp.asarray(self._t)
+        piv = self._piv
+        n, kk = self.n, self.k
+        cls_idx = np.arange(1 << kk, dtype=np.uint32)
+        cls_bits = ((cls_idx[:, None] >> np.arange(kk)[None, :]) & 1
+                    ).astype(np.uint8)
+        cls_vecs = jnp.asarray((cls_bits @ self.lerr) & 1)
+        par_cls = jnp.asarray((cls_bits @ (self.lerr @ self.lobs.T)) & 1)
+        lobs_t = jnp.asarray(self.lobs.T)
+
+        def decode(syn, llr):
+            s_r = gf2_jax.mod2_matmul(syn.astype(jnp.uint8), t_j.T)
+            e0 = jnp.zeros((syn.shape[0], n), jnp.uint8)
+            e0 = e0.at[:, piv].set(s_r)
+            scores = jnp.stack([
+                self._class_lse(e0 ^ cls_vecs[c], llr, chunks)
+                for c in range(1 << kk)])
+            best = jnp.argmax(scores, axis=0)
+            par0 = gf2_jax.mod2_matmul(e0, lobs_t)
+            return (par0 ^ par_cls[best]) & 1
+
+        return decode
 
     def decode_flips(self, syndromes, llr=None, *,
                      return_scores: bool = False):

@@ -18,6 +18,7 @@ from qcss_tpu.parallel.mesh import (
     sharded_magic_factory,
     sharded_mc_step,
     sharded_qldpc_circuit_memory,
+    sharded_mld_memory,
     sharded_soft_memory,
     sharded_two_level_memory,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "sharded_magic_factory",
     "sharded_mc_step",
     "sharded_qldpc_circuit_memory",
+    "sharded_mld_memory",
     "sharded_soft_memory",
     "sharded_two_level_memory",
 ]

@@ -808,3 +808,58 @@ def sharded_logical_error_rate(
     out = {k: v / n_samples for k, v in total.items()}
     out["samples"] = n_samples
     return out
+
+
+_MLD_MEMORY_CACHE: dict = {}
+
+
+def sharded_mld_memory(code, mesh: Mesh, *, p: float, batch: int,
+                       seed: int = 0) -> dict[str, float]:
+    """Mesh-parallel EXACT maximum-likelihood memory (the eleventh
+    validated multi-chip pipeline): every device samples its shard of
+    iid X errors, computes syndromes, scores every degenerate coset of
+    every logical class with the MXU coset matmuls
+    (`decode.mld.MLDecoder.device_decode_fn`) and picks the ML class —
+    all inside the `shard_map`; one `psum` of word-failure counts is
+    the only collective. The optimal decoder, at mesh scale."""
+    from qcss_tpu.decode.mld import MLDecoder
+    from qcss_tpu.ops import gf2_jax
+
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+    ck = (id(code), mesh, local, float(p))
+    fn = _MLD_MEMORY_CACHE.get(ck)
+    if fn is None:
+        ml = MLDecoder.for_code(code, p=p)
+        dec = ml.device_decode_fn()
+        h_t = jnp.asarray(np.asarray(code.parity_check_c2, np.uint8).T)
+        lz_t = jnp.asarray(
+            (np.asarray(code.z_operator_matrix(), np.uint8) & 1).T)
+        llr0 = float(np.log(p / (1 - p)))
+        n = code.n
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(),),
+                 out_specs=P(), check_vma=False)
+        def step(k):
+            my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            errs = (jax.random.uniform(my_key, (local, n))
+                    < p).astype(jnp.uint8)
+            syn = gf2_jax.mod2_matmul(errs, h_t)
+            llr = jnp.full((local, n), llr0, jnp.float32)
+            flips = dec(syn, llr)
+            par = gf2_jax.mod2_matmul(errs, lz_t)
+            fail = jnp.any(flips != par, axis=1)
+            return jax.lax.psum(jnp.sum(fail.astype(jnp.int32)), axis)
+
+        fn = jax.jit(step)
+        _MLD_MEMORY_CACHE[ck] = fn
+    fails = fn(jax.random.key(seed))
+    return {
+        "word_fail": int(fails) / batch,
+        "samples": batch,
+        "p": p,
+        "decoder": "device-mld",
+    }

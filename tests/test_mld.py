@@ -130,3 +130,33 @@ class TestOptimality:
                       bb.z_operator_matrix()[:1], p=0.01)  # 2^30 cosets
         # golay itself is fine (r=11)
         MLDecoder.for_code(code, p=0.01)
+
+
+class TestSharded:
+    def test_sharded_mld_memory(self):
+        """Exact ML decoding fused inside the shard_map (the eleventh
+        mesh pipeline): matches the host MLDecoder's failure rate on the
+        same operating point, and the device decode path is bit-identical
+        to the host path on identical syndromes."""
+        import jax
+        import jax.numpy as jnp
+
+        from qcss_tpu.parallel import make_mesh, sharded_mld_memory
+
+        code = families.rotated_surface(3)
+        p = 0.08
+        out = sharded_mld_memory(code, make_mesh(), p=p, batch=8 * 1024,
+                                 seed=1)
+        assert out["decoder"] == "device-mld"
+        ref = mld_logical_error_rate(code, p, batch=1 << 13, seed=2)
+        assert abs(out["word_fail"] - ref["word_fail_ml"]) < 0.02
+
+        ml = MLDecoder.for_code(code, p=p)
+        rng = np.random.default_rng(5)
+        errs = (rng.random((512, code.n)) < p).astype(np.uint8)
+        h = np.asarray(code.parity_check_c2, np.uint8)
+        syn = (errs @ h.T) & 1
+        llr = np.full((512, code.n), np.log(p / (1 - p)), np.float32)
+        dev = np.asarray(jax.jit(ml.device_decode_fn())(
+            jnp.asarray(syn), jnp.asarray(llr)))
+        assert (dev == ml.decode_flips(syn)).all()
