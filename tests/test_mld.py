@@ -160,3 +160,19 @@ class TestSharded:
         dev = np.asarray(jax.jit(ml.device_decode_fn())(
             jnp.asarray(syn), jnp.asarray(llr)))
         assert (dev == ml.decode_flips(syn)).all()
+
+
+class TestColorCode:
+    def test_ml_beats_bp_on_color5(self):
+        """Exact ML on the [[19,1,5]] color code (non-matchable, beyond
+        the LUT's unique-decoding weight): X-sector failure below the
+        BP+OSD per-sector rate at the same p, and 5x below the
+        reference-style LUT (measured: 2.4% vs 2.8% vs 12.0% at
+        p=0.05)."""
+        from qcss_tpu.decode.bp import bp_logical_error_rate
+
+        code = families.triangular_color(5)
+        out = mld_logical_error_rate(code, 0.05, batch=1 << 13, seed=0)
+        bp = bp_logical_error_rate(code, 0.05, batch=1 << 13, seed=0)
+        assert out["word_fail_ml"] <= bp["x_fail"] + 0.01, (out, bp)
+        assert out["word_fail_ml"] < 0.5 * out["word_fail_lut"], out
