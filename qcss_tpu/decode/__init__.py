@@ -62,7 +62,10 @@ from qcss_tpu.decode.dem import (
     extraction_gate_list,
 )
 from qcss_tpu.decode.mld import MLDecoder, mld_logical_error_rate
-from qcss_tpu.decode.parallel_window import ParallelWindowDecoder
+from qcss_tpu.decode.parallel_window import (
+    ParallelWindowDecoder,
+    parallel_window_memory_rate,
+)
 from qcss_tpu.decode.streaming import (
     StreamingDecoder,
     sample_phenomenological_stream,
@@ -111,6 +114,7 @@ __all__ = [
     "MLDecoder",
     "mld_logical_error_rate",
     "ParallelWindowDecoder",
+    "parallel_window_memory_rate",
     "StreamingDecoder",
     "sample_phenomenological_stream",
     "extraction_gate_list",

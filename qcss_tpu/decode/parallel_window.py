@@ -235,7 +235,17 @@ class ParallelWindowDecoder:
     # -- decoding ----------------------------------------------------------
 
     def decode_stream(self, dets) -> np.ndarray:
-        dets = jnp.asarray(dets).astype(jnp.uint8)
+        obs, conv_all = self.decode_traced(jnp.asarray(dets))
+        if not bool(conv_all):
+            raise RuntimeError("growth cap hit")
+        return np.asarray(obs).astype(np.uint32)
+
+    def decode_traced(self, dets):
+        """Pure traced decode: [B, S, r] -> (obs [B] int32, converged
+        bool). Jit-composable — embed after a sampler so sampling and
+        ALL window decodes compile into one device program
+        (`parallel_window_memory_rate`)."""
+        dets = dets.astype(jnp.uint8)
         B, S, r = dets.shape
         if r != self.r:
             raise ValueError(f"stream has {r} detectors/slice, graph {self.r}")
@@ -244,9 +254,7 @@ class ParallelWindowDecoder:
         K = (S + b) // stride
         if K < 2:
             (obs,), conv = self._whole_fn(S)(dets.reshape(B, S * r))
-            if not bool(jnp.all(conv)):
-                raise RuntimeError("growth cap hit")
-            return np.asarray(obs).astype(np.uint32)
+            return obs, jnp.all(conv)
         core_last = S - (K * c + (K - 1) * b) + c
 
         conv_all = jnp.bool_(True)
@@ -298,6 +306,41 @@ class ParallelWindowDecoder:
         obs_k = lab[0].reshape(B, K - 1)
         obs = obs ^ reduce(jnp.bitwise_xor,
                            [obs_k[:, i] for i in range(K - 1)])
-        if not bool(conv_all):
-            raise RuntimeError("growth cap hit")
-        return np.asarray(obs).astype(np.uint32)
+        return obs, conv_all
+
+
+def parallel_window_memory_rate(h, logicals, p, q, *, rounds: int,
+                                batch: int, core: int, buf: int,
+                                seed: int = 0, weighted: bool = True):
+    """Phenomenological memory experiment with the WHOLE pipeline — a
+    `lax.scan` stream sampler plus every layer-A window, every seam, and
+    the failure count — compiled into ONE device program. The
+    parallel-window counterpart of `device_streaming.stream_memory_rate`:
+    that one bounds MEMORY (O(window) state, sequential round-trips);
+    this one bounds LATENCY (the recorded stream decodes in O(1) device
+    calls, here fused to literally one). Returns
+    dict(logical_fail, samples, rounds)."""
+    import jax
+
+    from qcss_tpu.decode.streaming import sample_phenomenological_stream
+
+    h = np.asarray(h, np.uint8) & 1
+    logicals = np.atleast_2d(np.asarray(logicals, np.uint8) & 1)[:1]
+    pw = ParallelWindowDecoder(
+        h, logicals, core=core, buf=buf,
+        p_space=p if weighted else None, p_time=q if weighted else None)
+
+    @jax.jit
+    def run(key):
+        dets, par = sample_phenomenological_stream(
+            key, jnp.float32(p), jnp.float32(q), batch, rounds,
+            jnp.asarray(h, jnp.uint8), jnp.asarray(logicals, jnp.uint8))
+        obs, conv = pw.decode_traced(dets)
+        fail = (obs & 1).astype(jnp.uint8) != par[:, 0]
+        return jnp.sum(fail.astype(jnp.int32)), conv
+
+    fails, conv = run(jax.random.key(seed))
+    if not bool(conv):
+        raise RuntimeError("growth cap hit")
+    return {"logical_fail": int(fails) / batch, "samples": batch,
+            "rounds": rounds}

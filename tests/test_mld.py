@@ -27,7 +27,6 @@ def _brute_scores(h, stab, lerr, lobs, p):
     par = (errs @ np.atleast_2d(lobs).T) & 1
     k = par.shape[1]
     cidx = par.astype(np.int64) @ (1 << np.arange(k, dtype=np.int64))
-    out = {}
     np_idx = sidx * (1 << k) + cidx
     flat = np.zeros((int(sidx.max()) + 1) * (1 << k), np.float64)
     np.add.at(flat, np_idx, prob)

@@ -128,3 +128,29 @@ class TestParallelWindows:
         with pytest.raises(ValueError, match="boundary"):
             ParallelWindowDecoder(h_ring, np.array([[1, 1, 1]], np.uint8),
                                   core=3, buf=3)
+
+
+class TestFusedRate:
+    def test_fused_rate_matches_decoder(self):
+        """The one-program fused pipeline (sampling + all windows + seam
+        decodes + counting in a single jit) gives the same failure rate
+        as the host-orchestrated decode path at the same operating
+        point."""
+        from qcss_tpu.decode.parallel_window import (
+            parallel_window_memory_rate,
+        )
+
+        h, lz = _surface(3)
+        out = parallel_window_memory_rate(
+            h, lz, 0.008, 0.008, rounds=24, batch=2048, core=3, buf=5,
+            seed=11)
+        assert out["samples"] == 2048
+        dets, par = _sample_phenomenological(
+            jax.random.key(12), jnp.float32(0.008), jnp.float32(0.008),
+            2048, 24, jnp.asarray(h, jnp.uint8), jnp.asarray(lz, jnp.uint8))
+        pw = ParallelWindowDecoder(h, lz, core=3, buf=5,
+                                   p_space=0.008, p_time=0.008)
+        obs = pw.decode_stream(
+            np.asarray(dets).reshape(2048, 25, h.shape[0]))
+        ref = np.mean((obs & 1) != np.asarray(par)[:, 0])
+        assert abs(out["logical_fail"] - ref) < 0.015, (out, ref)
