@@ -19,6 +19,7 @@ from qcss_tpu.parallel.mesh import (
     sharded_mc_step,
     sharded_qldpc_circuit_memory,
     sharded_mld_memory,
+    sharded_parallel_window_memory,
     sharded_soft_memory,
     sharded_two_level_memory,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "sharded_mc_step",
     "sharded_qldpc_circuit_memory",
     "sharded_mld_memory",
+    "sharded_parallel_window_memory",
     "sharded_soft_memory",
     "sharded_two_level_memory",
 ]

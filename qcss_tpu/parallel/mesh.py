@@ -863,3 +863,60 @@ def sharded_mld_memory(code, mesh: Mesh, *, p: float, batch: int,
         "p": p,
         "decoder": "device-mld",
     }
+
+
+_PW_MEMORY_CACHE: dict = {}
+
+
+def sharded_parallel_window_memory(code, mesh: Mesh, *, rounds: int,
+                                   p: float, q: float, batch: int,
+                                   core: int, buf: int,
+                                   seed: int = 0) -> dict[str, float]:
+    """Mesh-parallel PARALLEL-WINDOW memory (the twelfth validated
+    multi-chip pipeline): every device samples its shard of the
+    phenomenological stream and decodes the whole recorded stream with
+    `decode.parallel_window.ParallelWindowDecoder.decode_traced` — all
+    layer-A windows and all layer-B seams fold into the local batch
+    axis inside the `shard_map`; one `psum` of failure counts is the
+    only collective. O(1) decode latency in R on every chip at once."""
+    from qcss_tpu.decode.parallel_window import ParallelWindowDecoder
+    from qcss_tpu.decode.streaming import sample_phenomenological_stream
+
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
+    local = batch // n_dev
+    axis = mesh.axis_names[0]
+    ck = (id(code), mesh, local, rounds, float(p), float(q), core, buf)
+    fn = _PW_MEMORY_CACHE.get(ck)
+    if fn is None:
+        h = np.asarray(code.raw_parity_check_c2, np.uint8) & 1
+        lz = np.atleast_2d(
+            np.asarray(code.z_operator_matrix(), np.uint8) & 1)[:1]
+        pw = ParallelWindowDecoder(h, lz, core=core, buf=buf,
+                                   p_space=p, p_time=q)
+        h_j = jnp.asarray(h)
+        lz_j = jnp.asarray(lz)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(),),
+                 out_specs=(P(), P()), check_vma=False)
+        def step(k):
+            my_key = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            dets, par = sample_phenomenological_stream(
+                my_key, jnp.float32(p), jnp.float32(q), local, rounds,
+                h_j, lz_j)
+            obs, conv = pw.decode_traced(dets)
+            fail = (obs & 1).astype(jnp.uint8) != par[:, 0]
+            return (jax.lax.psum(jnp.sum(fail.astype(jnp.int32)), axis),
+                    jax.lax.psum(1 - conv.astype(jnp.int32), axis))
+
+        fn = jax.jit(step)
+        _PW_MEMORY_CACHE[ck] = fn
+    fails, unconv = fn(jax.random.key(seed))
+    assert int(unconv) == 0
+    return {
+        "logical_fail": int(fails) / batch,
+        "rounds": rounds,
+        "samples": batch,
+        "decoder": "device-parallel-window",
+    }

@@ -154,3 +154,28 @@ class TestFusedRate:
             np.asarray(dets).reshape(2048, 25, h.shape[0]))
         ref = np.mean((obs & 1) != np.asarray(par)[:, 0])
         assert abs(out["logical_fail"] - ref) < 0.015, (out, ref)
+
+
+class TestSharded:
+    def test_sharded_parallel_window_memory(self):
+        """The fused parallel-window pipeline sharded over the mesh
+        (twelfth pipeline): failure rate matches the single-device fused
+        pipeline at the same operating point."""
+        from qcss_tpu.decode.parallel_window import (
+            parallel_window_memory_rate,
+        )
+        from qcss_tpu.parallel import (
+            make_mesh,
+            sharded_parallel_window_memory,
+        )
+
+        code = families.rotated_surface(3)
+        out = sharded_parallel_window_memory(
+            code, make_mesh(), rounds=24, p=8e-3, q=8e-3, batch=8 * 256,
+            core=3, buf=5, seed=1)
+        assert out["decoder"] == "device-parallel-window"
+        h, lz = _surface(3)
+        ref = parallel_window_memory_rate(
+            h, lz, 8e-3, 8e-3, rounds=24, batch=2048, core=3, buf=5,
+            seed=2)
+        assert abs(out["logical_fail"] - ref["logical_fail"]) < 0.02
