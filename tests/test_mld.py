@@ -175,3 +175,32 @@ class TestColorCode:
         bp = bp_logical_error_rate(code, 0.05, batch=1 << 13, seed=0)
         assert out["word_fail_ml"] <= bp["x_fail"] + 0.01, (out, bp)
         assert out["word_fail_ml"] < 0.5 * out["word_fail_lut"], out
+
+
+class TestErasure:
+    def test_pure_erasure_below_d_exact(self):
+        """Heralded erasure as soft input: erased qubits get llr = 0
+        (error equally likely as not), unerased keep the tiny base
+        rate. Any erasure pattern of weight < d then decodes exactly —
+        the ML form of the erasure-uniqueness property the UF pipeline
+        shows with near-free edge weights (experiments/erasure.py)."""
+        code = families.rotated_surface(5)
+        h = np.asarray(code.parity_check_c2, np.uint8)
+        lz = code.z_operator_matrix()
+        ml = MLDecoder.for_code(code, p=1e-3)
+        rng = np.random.default_rng(0)
+        n = code.n
+        base = np.log(1e-3 / (1 - 1e-3))
+        errs, llrs = [], []
+        for _ in range(200):
+            er = rng.choice(n, size=4, replace=False)
+            e = np.zeros(n, np.uint8)
+            e[er] = rng.integers(0, 2, 4)
+            llr = np.full(n, base, np.float32)
+            llr[er] = 0.0
+            errs.append(e)
+            llrs.append(llr)
+        errs = np.stack(errs)
+        llrs = np.stack(llrs)
+        flips = ml.decode_flips((errs @ h.T) & 1, llr=llrs)
+        assert (flips == ((errs @ lz.T) & 1)).all()
