@@ -458,7 +458,9 @@ def sharded_soft_memory(code, mesh: Mesh, *, rounds: int, p: float,
         fn = jax.jit(step)
         _SOFT_MEMORY_CACHE[ck] = fn
     fails, unconv = fn(jax.random.key(seed))
-    assert int(unconv) == 0
+    if int(unconv):
+        raise RuntimeError(
+            f"device UF growth cap hit on {int(unconv)} decodes")
     return {
         "logical_fail": int(fails) / batch,
         "rounds": rounds,
@@ -810,6 +812,21 @@ def sharded_logical_error_rate(
     return out
 
 
+def _code_struct_key(code) -> bytes:
+    """Structural cache key for a code: bytes of its parity checks.
+
+    Keying compiled-fn caches on ``id(code)`` can alias if the object is
+    collected and a different code lands at the same address (the
+    order-dependent wrong-circuit bug class CLAUDE.md documents for
+    ftqc/executor._lowered) — a structural key cannot."""
+    parts = [np.asarray(code.parity_check_c2, np.uint8).tobytes(),
+             np.asarray(code.parity_check_c1, np.uint8).tobytes()]
+    raw = getattr(code, "raw_parity_check_c2", None)
+    if raw is not None:
+        parts.append(np.asarray(raw, np.uint8).tobytes())
+    return b"|".join(parts)
+
+
 _MLD_MEMORY_CACHE: dict = {}
 
 
@@ -830,7 +847,7 @@ def sharded_mld_memory(code, mesh: Mesh, *, p: float, batch: int,
         raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
     local = batch // n_dev
     axis = mesh.axis_names[0]
-    ck = (id(code), mesh, local, float(p))
+    ck = (_code_struct_key(code), mesh, local, float(p))
     fn = _MLD_MEMORY_CACHE.get(ck)
     if fn is None:
         ml = MLDecoder.for_code(code, p=p)
@@ -887,12 +904,19 @@ def sharded_parallel_window_memory(code, mesh: Mesh, *, rounds: int,
         raise ValueError(f"batch {batch} not divisible by mesh size {n_dev}")
     local = batch // n_dev
     axis = mesh.axis_names[0]
-    ck = (id(code), mesh, local, rounds, float(p), float(q), core, buf)
+    ck = (_code_struct_key(code), mesh, local, rounds, float(p), float(q),
+          core, buf)
     fn = _PW_MEMORY_CACHE.get(ck)
     if fn is None:
         h = np.asarray(code.raw_parity_check_c2, np.uint8) & 1
-        lz = np.atleast_2d(
-            np.asarray(code.z_operator_matrix(), np.uint8) & 1)[:1]
+        lz = np.atleast_2d(np.asarray(code.z_operator_matrix(), np.uint8) & 1)
+        if lz.shape[0] != 1:
+            # ParallelWindowDecoder itself rejects multi-observable inputs;
+            # truncating silently would report fail rates for observable 0
+            # only on a k>1 code (e.g. toric) — refuse instead.
+            raise ValueError(
+                f"sharded_parallel_window_memory supports k=1 codes only"
+                f" (code has {lz.shape[0]} Z observables)")
         pw = ParallelWindowDecoder(h, lz, core=core, buf=buf,
                                    p_space=p, p_time=q)
         h_j = jnp.asarray(h)
@@ -913,7 +937,11 @@ def sharded_parallel_window_memory(code, mesh: Mesh, *, rounds: int,
         fn = jax.jit(step)
         _PW_MEMORY_CACHE[ck] = fn
     fails, unconv = fn(jax.random.key(seed))
-    assert int(unconv) == 0
+    if int(unconv):
+        raise RuntimeError(
+            f"parallel-window growth cap hit on {int(unconv)} window decodes"
+            " — matches ParallelWindowDecoder.decode_stream /"
+            " parallel_window_memory_rate semantics")
     return {
         "logical_fail": int(fails) / batch,
         "rounds": rounds,
