@@ -117,6 +117,30 @@ class ClassicalInst:
 
 
 @dataclass(frozen=True)
+class GuardedInst:
+    """Execute `inner` iff the classical guard bit reads 1, per sample.
+
+    The general masked-instruction form behind arbitrary (goto-shaped)
+    control flow: the Quil front-end's CFG structurizer lowers every basic
+    block to guarded instructions over one-hot block-activity bits, and a
+    bounded dispatch loop re-runs the guarded program until every sample
+    reaches the exit block (the traced replacement for the reference's
+    mangled-label jump pass-through — reference: ftqc.py:98-103,147-151).
+    Unlike `IfThenInst` (unitary body only), the inner instruction may be a
+    measurement, reset or classical op; execution requires the scheduled
+    engine, whose macro-ops all support per-sample condition masking."""
+
+    condition: BitRef
+    inner: "GateInst | MeasureInst | ResetInst | ClassicalInst"
+
+    def __post_init__(self):
+        if not isinstance(self.inner, (GateInst, MeasureInst, ResetInst,
+                                       ClassicalInst)):
+            raise ValueError(
+                f"GuardedInst cannot wrap {type(self.inner).__name__}")
+
+
+@dataclass(frozen=True)
 class RepeatUntilInst:
     """Bounded repeat-until-success: execute `body` while the classical bit
     is 0, re-checking before every body instruction, for at most
@@ -138,7 +162,7 @@ class RepeatUntilInst:
             raise ValueError("max_iters must be >= 1")
         for inst in self.body:
             if not isinstance(inst, (GateInst, MeasureInst, ResetInst,
-                                     ClassicalInst)):
+                                     ClassicalInst, GuardedInst)):
                 raise ValueError(
                     f"repeat_until body cannot contain {type(inst).__name__}"
                 )
@@ -146,7 +170,7 @@ class RepeatUntilInst:
 
 Instruction = Union[
     GateInst, MeasureInst, ResetInst, IfThenInst, RepeatUntilInst,
-    ClassicalInst, PragmaInst, DeclareInst
+    ClassicalInst, PragmaInst, DeclareInst, GuardedInst
 ]
 
 
@@ -212,6 +236,10 @@ class Block:
 
     def xor(self, dst: BitRef, src) -> "Block":
         self.instructions.append(ClassicalInst("XOR", dst, src))
+        return self
+
+    def guarded(self, condition: BitRef, inner) -> "Block":
+        self.instructions.append(GuardedInst(condition, inner))
         return self
 
 
@@ -348,6 +376,13 @@ class Program:
         self.instructions.append(IfThenInst(condition, body))
         return self
 
+    def guarded(self, condition: BitRef, inner) -> "Program":
+        """Append a per-sample-guarded instruction (see `GuardedInst`)."""
+        if condition.name not in self.memory:
+            raise ValueError(f"register {condition.name!r} not declared")
+        self.instructions.append(GuardedInst(condition, inner))
+        return self
+
     def move(self, dst: BitRef, src) -> "Program":
         """dst = src (BitRef or immediate 0/1) — reference: ftqc.py:111-116."""
         self._check_declared(dst, src)
@@ -414,6 +449,8 @@ class Program:
                     found.update(q for g in inst.body for q in g.qubits)
                 elif isinstance(inst, RepeatUntilInst):
                     scan(inst.body)
+                elif isinstance(inst, GuardedInst):
+                    scan((inst.inner,))
 
         scan(self.instructions)
         return sorted(found)

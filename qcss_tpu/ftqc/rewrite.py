@@ -41,6 +41,7 @@ from qcss_tpu.circuits.ir import (
     DeclareInst,
     PragmaInst,
     GateInst,
+    GuardedInst,
     IfThenInst,
     MeasureInst,
     Program,
@@ -141,6 +142,14 @@ class EncodedProgram:
                     "a tableau engine"
                 )
 
+        def check_guarded(g, kind: str):
+            if self.engine != "scheduled":
+                raise UnsupportedProgramError(
+                    "guarded instructions require the scheduled engine")
+            if isinstance(g.inner, GateInst):
+                check_gate(g.inner.name, kind)
+                check_frame_body(g.inner, kind)
+
         for inst in self.raw.instructions:
             if isinstance(inst, GateInst):
                 check_gate(inst.name, "")
@@ -148,6 +157,8 @@ class EncodedProgram:
                 for g in inst.body:
                     check_gate(g.name, "conditional")
                     check_frame_body(g, "conditional")
+            elif isinstance(inst, GuardedInst):
+                check_guarded(inst, "guarded")
             elif isinstance(inst, RepeatUntilInst):
                 if self.engine != "scheduled":
                     raise UnsupportedProgramError(
@@ -157,6 +168,8 @@ class EncodedProgram:
                     if isinstance(b, GateInst):
                         check_gate(b.name, "looped")
                         check_frame_body(b, "looped")
+                    elif isinstance(b, GuardedInst):
+                        check_guarded(b, "looped guarded")
             elif isinstance(inst, (MeasureInst, ResetInst, DeclareInst,
                                    ClassicalInst, PragmaInst)):
                 continue

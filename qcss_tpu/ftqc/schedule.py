@@ -44,6 +44,7 @@ from qcss_tpu.circuits.ir import (
     DeclareInst,
     PragmaInst,
     GateInst,
+    GuardedInst,
     IfThenInst,
     MeasureInst,
     RepeatUntilInst,
@@ -167,6 +168,42 @@ def lower(raw, code) -> MacroProgram:
         rows.append((OP_CLASSICAL, CLASSICAL_OPS.index(inst.op),
                      bit_offset(inst.dst), src, cond))
 
+    # One hidden scratch bit past the user registers, used to AND a
+    # GuardedInst's guard with the enclosing loop's activity mask (the
+    # per-op condition word holds a single bit test).
+    scratch = offset
+    used_scratch = [False]
+    _MOVE = CLASSICAL_OPS.index("MOVE")
+
+    def emit_inner(inst, cond: int):
+        """Emit a GuardedInst's inner instruction under condition `cond`."""
+        if isinstance(inst, GateInst):
+            emit_gate(inst, cond)
+        elif isinstance(inst, MeasureInst):
+            emit_measure(inst, cond)
+        elif isinstance(inst, ClassicalInst):
+            emit_classical(inst, cond)
+        elif isinstance(inst, ResetInst):
+            rows.append((OP_PREP_ZERO, qubit_map[inst.qubit], cond, 0, 0))
+        else:  # pragma: no cover — GuardedInst validates inner types
+            raise ValueError(f"cannot lower guarded {inst}")
+
+    def emit_guarded(inst: GuardedInst, ncond: int | None):
+        """Lower a GuardedInst. Outside a loop the guard bit IS the
+        condition. Inside a loop the op must fire only when (loop still
+        active) AND (guard set): scratch = 0; scratch = guard [masked by
+        loop-active]; inner [masked by scratch]. The unconditional zeroing
+        is what keeps a stale guard bit from re-firing an op for samples
+        that already exited the loop."""
+        goff = bit_offset(inst.condition)
+        if ncond is None:
+            emit_inner(inst.inner, goff)
+            return
+        used_scratch[0] = True
+        rows.append((OP_CLASSICAL, _MOVE, scratch, -1 - 0, -1))   # scratch=0
+        rows.append((OP_CLASSICAL, _MOVE, scratch, goff, ncond))
+        emit_inner(inst.inner, scratch)
+
     for inst in raw.instructions:
         if isinstance(inst, (DeclareInst, PragmaInst)):
             continue
@@ -179,6 +216,8 @@ def lower(raw, code) -> MacroProgram:
             emit_measure(inst, -1)
         elif isinstance(inst, ClassicalInst):
             emit_classical(inst, -1)
+        elif isinstance(inst, GuardedInst):
+            emit_guarded(inst, None)
         elif isinstance(inst, ResetInst):
             rows.append((OP_PREP_ZERO, qubit_map[inst.qubit], -1, 0, 0))
         elif isinstance(inst, RepeatUntilInst):
@@ -194,6 +233,8 @@ def lower(raw, code) -> MacroProgram:
                         emit_measure(body_inst, ncond)
                     elif isinstance(body_inst, ClassicalInst):
                         emit_classical(body_inst, ncond)
+                    elif isinstance(body_inst, GuardedInst):
+                        emit_guarded(body_inst, ncond)
                     elif isinstance(body_inst, ResetInst):
                         rows.append((OP_PREP_ZERO,
                                      qubit_map[body_inst.qubit], ncond, 0, 0))
@@ -206,7 +247,7 @@ def lower(raw, code) -> MacroProgram:
         ops=np.asarray(rows, dtype=np.int32).reshape(-1, 5),
         n_logical=n_logical,
         memory_layout=layout,
-        memory_size=max(offset, 1),
+        memory_size=offset + 1 if used_scratch[0] else max(offset, 1),
     )
 
 

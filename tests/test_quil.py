@@ -155,3 +155,142 @@ class TestEndToEnd:
         """, code)
         ro = np.asarray(out["ro"])
         assert (ro[:, 0] == 1).all() and (ro[:, 1] == 0).all()
+
+
+class TestCfgDispatch:
+    """Tier-2 control flow: arbitrary (out-of-idiom, including
+    irreducible) jump topologies run through the CFG dispatch
+    structurizer — the program class the reference passes through with
+    mangled labels (reference: ftqc.py:98-103,147-151)."""
+
+    def test_undefined_label_still_rejected(self):
+        with pytest.raises(UnsupportedProgramError):
+            parse_quil("DECLARE ro BIT\nJUMP @nowhere\nX 0")
+
+    def test_forward_and_backward_jumps(self, code):
+        # jump over a dead block, then a conditional BACKWARD jump into it
+        out = run_quil("""
+            DECLARE ro BIT[3]
+            MEASURE 0 ro[0]
+            JUMP @MID
+            LABEL @A
+            X 0
+            JUMP @DONE
+            LABEL @MID
+            X 0
+            MEASURE 0 ro[1]
+            JUMP-WHEN @A ro[1]
+            LABEL @DONE
+            MEASURE 0 ro[2]
+        """, code, batch=8)
+        assert (np.asarray(out["ro"]) == [0, 1, 0]).all()
+
+    def test_irreducible_two_entry_loop(self, code):
+        # the loop {A, B} has TWO entries (fall-through into A, jump into
+        # B): not expressible as structured if/while — the canonical
+        # irreducible shape
+        out = run_quil("""
+            DECLARE ro BIT[2]
+            DECLARE c BIT
+            DECLARE k BIT
+            MOVE c 1
+            JUMP-WHEN @B c
+            LABEL @A
+            X 0
+            LABEL @B
+            MEASURE 0 ro[0]
+            NOT k
+            JUMP-WHEN @A k
+            MEASURE 0 ro[1]
+        """, code, batch=8)
+        assert (np.asarray(out["ro"]) == [1, 1]).all()
+
+    def test_mid_program_halt(self, code):
+        out = run_quil("""
+            DECLARE ro BIT[2]
+            X 0
+            MEASURE 0 ro[0]
+            HALT
+            X 0
+            MEASURE 0 ro[1]
+        """, code, batch=8)
+        assert (np.asarray(out["ro"]) == [1, 0]).all()
+
+    def test_dispatch_on_frames_engine(self, code):
+        # Pauli-only branch bodies keep the reference trajectory
+        # sample-independent, so the frame engine runs goto programs too
+        out = run_quil("""
+            DECLARE ro BIT[3]
+            MEASURE 0 ro[0]
+            JUMP @MID
+            LABEL @A
+            X 0
+            JUMP @DONE
+            LABEL @MID
+            X 0
+            MEASURE 0 ro[1]
+            JUMP-WHEN @A ro[1]
+            LABEL @DONE
+            MEASURE 0 ro[2]
+        """, code, batch=8, tableau="frames")
+        assert (np.asarray(out["ro"]) == [0, 1, 0]).all()
+
+    def test_structured_idioms_still_preferred(self):
+        # in-idiom programs must NOT fall to the dispatch tier
+        p = parse_quil("""
+            DECLARE ro BIT[2]
+            MEASURE 0 ro[0]
+            JUMP-WHEN @THEN ro[0]
+            JUMP @END
+            LABEL @THEN
+            X 0
+            LABEL @END
+            MEASURE 0 ro[1]
+        """)
+        assert not any(n.startswith("__cf_") for n in p.memory)
+
+
+class TestGuardedInst:
+    """The IR-level per-sample guarded instruction the dispatch tier
+    lowers to (gates, measurements, classical ops — beyond IfThenInst's
+    unitary-only bodies)."""
+
+    def test_guarded_measure_and_gate(self, code):
+        from qcss_tpu.circuits.ir import ClassicalInst, GateInst, MeasureInst
+        from qcss_tpu.circuits.ir import Program
+
+        p = Program()
+        ro = p.declare("ro", 3)
+        flag = p.declare("flag", 2)[0:2]
+        p.x(0)
+        p.measure(0, ro[0])                      # 1
+        p.guarded(ro[0], GateInst("X", (0,)))    # fires: back to |0>
+        p.guarded(ro[0], MeasureInst(0, ro[1]))  # fires: 0
+        p.guarded(ro[1], GateInst("X", (0,)))    # ro[1]=0: does NOT fire
+        p.guarded(ro[0], ClassicalInst("MOVE", flag[0], 1))  # fires
+        p.guarded(ro[1], ClassicalInst("MOVE", flag[1], 1))  # masked
+        p.measure(0, ro[2])                      # still 0
+        out = rewrite_program(p, code).run(8, key=jax.random.key(0))
+        assert (np.asarray(out["ro"]) == [1, 0, 0]).all()
+        assert (np.asarray(out["flag"]) == [1, 0]).all()
+
+    def test_guarded_requires_scheduled_engine(self, code):
+        from qcss_tpu.circuits.ir import GateInst, Program
+
+        p = Program()
+        ro = p.declare("ro", 1)
+        p.measure(0, ro[0])
+        p.guarded(ro[0], GateInst("X", (0,)))
+        with pytest.raises(UnsupportedProgramError):
+            rewrite_program(p, code, engine="unrolled")
+
+    def test_real_declare_passes_through(self, code):
+        # the reference passes non-BIT Declares through untouched
+        # (ftqc.py:111-116); they carry as annotations here
+        out = run_quil("""
+            DECLARE ro BIT
+            DECLARE theta REAL[2]
+            X 0
+            MEASURE 0 ro[0]
+        """, code, batch=4)
+        assert (np.asarray(out["ro"])[:, 0] == 1).all()
