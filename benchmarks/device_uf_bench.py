@@ -38,7 +38,8 @@ from qcss_tpu.sim import frame as fr
 from qcss_tpu.sim.noise import NoiseModel
 
 
-def build_pipeline(code, rounds, noise, graph_kind: str):
+def build_pipeline(code, rounds, noise, graph_kind: str,
+                   decoder: str = "dense", d_max: int = 48):
     raw = code.raw_parity_check_c2
     logicals = code.z_operator_matrix()
     if graph_kind == "dem":
@@ -50,7 +51,17 @@ def build_pipeline(code, rounds, noise, graph_kind: str):
             p_reset=noise.p_reset, logicals=logicals)
     else:
         graph = spacetime_graph(raw, logicals, rounds)
-    decode_fn = make_obs_decoder(graph)
+    if decoder == "dense":
+        decode_fn = make_obs_decoder(graph)
+    elif decoder == "sparse":
+        from qcss_tpu.decode.device_sparse import make_sparse_obs_decoder
+
+        decode_fn = make_sparse_obs_decoder(graph, d_max=d_max)
+        assert decode_fn is not None, "graph refused the sparse path"
+    else:
+        from qcss_tpu.decode.device_sparse import make_hybrid_obs_decoder
+
+        decode_fn = make_hybrid_obs_decoder(graph, d_max=d_max)
     ext = tuple(map(jnp.asarray, M.z_extraction_circuit(
         code, checks=raw).to_arrays()))
     comp = fr.maybe_compile(ext, code.n + raw.shape[0])
@@ -85,10 +96,10 @@ def build_pipeline(code, rounds, noise, graph_kind: str):
 
 
 def run(d: int, rounds: int, batch: int, reps: int, noise: NoiseModel,
-        graph_kind: str, host_compare: bool):
+        graph_kind: str, host_compare: bool, decoder: str = "dense"):
     code = rotated_surface(d)
     graph, sample_j, fused_j, sample_dets_j = build_pipeline(
-        code, rounds, noise, graph_kind)
+        code, rounds, noise, graph_kind, decoder=decoder)
     keys = jax.random.split(jax.random.key(0), reps + 2)
 
     # double warm-up (tunnel-stale-value discipline)
@@ -116,7 +127,8 @@ def run(d: int, rounds: int, batch: int, reps: int, noise: NoiseModel,
     dt_s = time.time() - t0
     out = {
         "bench": "fused_sample_decode", "d": d, "rounds": rounds,
-        "graph": graph_kind, "batch": batch, "reps": reps,
+        "graph": graph_kind, "decoder": decoder,
+        "batch": batch, "reps": reps,
         "detectors": graph.num_nodes, "edges": graph.num_edges,
         "shots_per_sec": round(fused_rate),
         "sample_only_shots_per_sec": round(reps * batch / dt_s),
@@ -151,12 +163,14 @@ def main():
     ap.add_argument("--p-gate2", type=float, default=2e-3)
     ap.add_argument("--p-meas", type=float, default=1e-2)
     ap.add_argument("--graph", choices=["dem", "spacetime"], default="dem")
+    ap.add_argument("--decoder", choices=["dense", "sparse", "hybrid"],
+                    default="dense")
     ap.add_argument("--no-host", action="store_true")
     args = ap.parse_args()
     noise = NoiseModel(p_gate2=args.p_gate2, p_meas=args.p_meas)
     for d in args.d:
         run(d, args.rounds or d, args.batch, args.reps, noise,
-            args.graph, not args.no_host)
+            args.graph, not args.no_host, decoder=args.decoder)
 
 
 if __name__ == "__main__":
