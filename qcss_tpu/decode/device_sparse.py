@@ -20,16 +20,30 @@ cluster's claimed region is the union of its defects' balls, because
 every defect of an active cluster receives the same growth delta), at
 [B, D, D] cost instead of [B, V].
 
-TPU mapping (each stage picked for the hardware, see module benchmarks):
+TPU mapping (each stage picked for the hardware, v5e-measured):
 
-* compaction: `lax.top_k` over the defect vector — no scatters;
+* compaction: exclusive-prefix cumsum rank over the defect vector — no
+  scatters, no sort (lax.top_k gives the same slot order but cost 26 ms
+  of a 78 ms d=11 decode by itself);
 * distance fetch: the [V, V] APSP table is contracted against a one-hot
   [B, D, V] defect encoding with TWO MXU matmuls (f32: distances are
   integers < 2^21, exact) — a flat dynamic gather of B*D^2 elements
-  costs ~10x more on v5e (the CLAUDE.md gather rule);
+  costs ~10x more on v5e (the CLAUDE.md gather rule), and an int8
+  three-plane split of the table measured no faster than f32;
 * cluster evolution: delta-stepped event loop on [B, D] radii and a
   [B, D, D] saturation adjacency; connectivity by min-label propagation
-  (a bounded while_loop — no union-find pointers, no scatters);
+  with WARM-STARTED labels (merging only adds edges, so the previous
+  round's fixpoint is a valid seed) — a bounded while_loop, no
+  union-find pointers, no scatters. The fetch cost is near-FLAT in B up
+  to ~32k shots (latency-bound, not bandwidth-bound), so big batches are
+  nearly free: fused d=11 R=11 sample+decode measured 60k shots/s at
+  B=4096 but 119k at B=16384 and 129k at B=32768 — past the 88.8k
+  single-host-core anchor the dense kernel loses to (BASELINE.md);
+* `backend='pallas'` moves the growth loop into one Mosaic kernel with
+  per-tile VMEM state (`make_growth_kernel`, bit-identical by shared
+  `_growth_core` trace). Measured SLOWER than the XLA fixpoint at d=11
+  (per-tile sequential grids underuse the VPU; the loop is only ~15 ms
+  of the decode) — shipped opt-in, default 'auto' picks XLA;
 * observables: a potential decomposition of the edge observable labels.
   For a planar matchable graph every cycle of internal edges has even
   observable crossing, so there is phi: V -> lane mask with
@@ -168,8 +182,11 @@ def build_sparse_tables(graph: MatchingGraph) -> SparseTables | None:
     )
 
 
-def _sparse_decode(tables_dev, d_max, max_events, detectors):
-    """The jittable defect-granular decode (see module docstring)."""
+def _sparse_decode(tables_dev, d_max, max_events, backend, tile, detectors):
+    """The jittable defect-granular decode (see module docstring).
+    ``backend``: 'xla' | 'pallas' | 'pallas-interpret' — the growth loop
+    either inline (XLA fixpoint over HBM-resident state) or as one
+    Mosaic kernel with VMEM-resident per-tile state."""
     dist_t, phi_t, bdist_t, bside_t = tables_dev
     dets = jnp.asarray(detectors)
     B, V = dets.shape
@@ -180,14 +197,17 @@ def _sparse_decode(tables_dev, d_max, max_events, detectors):
     count = jnp.sum(defect, axis=1)
     overflow = count > D
 
-    # -- compact: indices of the (up to D) fired detectors
-    vals, idx = jax.lax.top_k(defect, D)              # [B, D]
-    valid = vals > 0
+    # -- compact the (up to D) fired detectors to slots by exclusive
+    # prefix rank — same ascending-index slot order lax.top_k gives on a
+    # 0/1 vector, at a fraction of the cost (top_k alone measured 26 ms
+    # of a 78 ms d=11 decode on v5e; the cumsum is noise)
+    rank = jnp.cumsum(defect, axis=1) - defect         # [B, V]
+    slot = jnp.where(defect > 0, rank, D)
+    valid = jnp.arange(D, dtype=jnp.int32)[None, :] < count[:, None]
 
     # -- fetch geometry: one-hot MXU contraction against the APSP table
-    onehot = (idx[:, :, None] ==
-              jnp.arange(V, dtype=jnp.int32)[None, None, :])
-    oh = jnp.where(valid[:, :, None], onehot, False).astype(jnp.float32)
+    oh = (slot[:, None, :] ==
+          jnp.arange(D, dtype=jnp.int32)[None, :, None]).astype(jnp.float32)
     rows = jax.lax.dot_general(
         oh.reshape(B * D, V), dist_t.astype(jnp.float32),
         (((1,), (0,)), ((), ())),
@@ -210,112 +230,261 @@ def _sparse_decode(tables_dev, d_max, max_events, detectors):
     dm = jnp.where(inval_row | eye, BIG, dm)
     bdm = jnp.where(valid, bdm, BIG)
 
-    iota = jnp.arange(D, dtype=jnp.int32)[None, :]
+    if backend == "xla":
+        obs, unfinished = _growth_core(dm, bdm, phim, bsm, valid,
+                                       max_events=max_events,
+                                       xor_reduce=_xor_reduce_lax)
+    else:
+        grow = make_growth_kernel(D, max_events, tile=tile,
+                                  interpret=(backend == "pallas-interpret"))
+        pad = (-B) % tile
+        if pad:
+            z2 = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
+            dm = jnp.pad(dm, ((0, pad), (0, 0), (0, 0)))
+            bdm, phim, bsm = z2(bdm), z2(phim), z2(bsm)
+            vpad = z2(valid.astype(jnp.int32))
+        else:
+            vpad = valid.astype(jnp.int32)
+        obs, unfinished = grow(dm, bdm, phim, bsm, vpad)
+        obs, unfinished = obs[:B], unfinished[:B]
+    converged = ~overflow & ~unfinished
+    return obs, converged
 
-    def components(sat):
-        """Min-label connected components of the [B, D, D] saturation
-        adjacency (self-loops implied)."""
+
+def _xor_reduce_lax(terms):
+    """[N, D] int32 -> [N] lane XOR (XLA path)."""
+    return jax.lax.reduce(terms, jnp.int32(0), jax.lax.bitwise_xor, (1,))
+
+
+def _xor_reduce_roll(terms):
+    """[N, D] int32 -> [N] lane XOR by a circular fold (Mosaic path —
+    lax.reduce with a custom combiner does not lower; after log2(D)
+    doubling rolls every lane holds the full XOR). Requires D a power
+    of two (the kernel builder pads d_max up)."""
+    import math
+
+    D = terms.shape[1]
+    x = terms
+    for k in range(int(math.log2(D))):
+        from jax.experimental.pallas import tpu as pltpu
+
+        x = x ^ pltpu.roll(x, 1 << k, 1)
+    return jnp.max(x, axis=1)  # all lanes equal now
+
+
+def _growth_core(dm, bdm, phim, bsm, valid, *, max_events, xor_reduce):
+    """Delta-stepped ball growth + observable extraction on pre-fetched
+    defect geometry. Shared VERBATIM by the XLA path and the Mosaic
+    kernel (`make_growth_kernel`) so the two are bit-identical by
+    construction — every op here must lower under Mosaic (computed
+    iotas only, no captured constants, reductions decomposed per axis).
+
+    dm [N,D,D] / bdm,phim,bsm [N,D] int32, valid [N,D] bool.
+    Returns (obs [N] int32, unfinished [N] bool).
+
+    Mosaic discipline (learned on sim/pallas_measure and re-hit here):
+    NEVER reshape or dim-insert a bool plane — `b[:, :, None]` on an i1
+    vector emits a sub-32-bit minor-dim reshape Mosaic rejects. All
+    broadcast/reshaped operands below are int32; bools appear only as
+    final-rank comparison results feeding jnp.where."""
+    N, D = bdm.shape
+    BIG = jnp.int32(UNREACH)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (N, D, D), 2)
+    vi = valid.astype(jnp.int32)                        # [N, D]
+
+    def components(sat, root0):
+        """Min-label connected components of the [N, D, D] saturation
+        adjacency (self-loops implied). ``root0`` may warm-start from a
+        PREVIOUS round's labels: merging only adds sat edges, so a prior
+        fixpoint is a valid intermediate labeling (label[i] = min slot of
+        a subset of i's current component) and min-propagation still
+        converges to the component minimum — in 1-2 sweeps on the typical
+        round where few clusters merge, instead of O(diameter)."""
         def body(state):
             root, _ = state
             via = jnp.min(jnp.where(sat, root[:, None, :], D), axis=2)
             new = jnp.minimum(root, via)
             # pointer-jump through the current labels: root <- root[root]
             new = jnp.min(
-                jnp.where(new[:, :, None] == iota[:, None, :],
-                          new[:, None, :], D), axis=2)
+                jnp.where(new[:, :, None] == iota_l, new[:, None, :], D),
+                axis=2)
             return new, jnp.any(new != root)
 
-        root0 = jnp.broadcast_to(iota, sat.shape[:2])
         root, _ = jax.lax.while_loop(
             lambda s: s[1], body, (root0, jnp.bool_(True)))
         return root
 
+    def cluster_stats(r, root):
+        """(cnt, btouch_i, active_i) — member count, boundary-touch and
+        activity as int32 [N, D] planes (never reshaped as bools)."""
+        eq = root[:, :, None] == root[:, None, :]       # bool at final rank
+        cnt = jnp.sum(jnp.where(eq, vi[:, None, :], 0), axis=2)
+        bsat_i = jnp.where((r >= bdm) & valid, 1, 0)    # [N, D] int32
+        btouch_i = jnp.where(
+            jnp.sum(jnp.where(eq, bsat_i[:, None, :], 0), axis=2) > 0, 1, 0)
+        active_i = jnp.where(valid & ((cnt & 1) == 1) & (btouch_i == 0),
+                             1, 0)
+        return cnt, btouch_i, active_i
+
     def loop_body(state):
-        r, _, ev = state
+        r, root_prev, _, ev = state
         sat = (r[:, :, None] + r[:, None, :]) >= dm
-        root = components(sat)
-        eq = root[:, :, None] == root[:, None, :]
-        members = eq & valid[:, None, :]
-        cnt = jnp.sum(members.astype(jnp.int32), axis=2)
-        bsat = (r >= bdm) & valid
-        btouch = jnp.any(eq & bsat[:, None, :], axis=2)
-        active = valid & ((cnt & 1) == 1) & ~btouch
+        root = components(sat, root_prev)
+        _, _, ai = cluster_stats(r, root)
 
         # next events: pair saturation and boundary arrival
-        rate = active[:, :, None].astype(jnp.int32) \
-            + active[:, None, :].astype(jnp.int32)
+        rate = ai[:, :, None] + ai[:, None, :]
         need = dm - r[:, :, None] - r[:, None, :]
         pair_ok = (need > 0) & (rate > 0) & (dm < BIG)
-        step_p = jnp.where(pair_ok, -(-need // jnp.maximum(rate, 1)), BIG)
+        # ceil(need / rate) with rate in {1, 2} — select + shift instead
+        # of division by a traced int (which does not lower under Mosaic)
+        step_p = jnp.where(pair_ok,
+                           jnp.where(rate == 2, (need + 1) >> 1, need), BIG)
         bneed = bdm - r
-        b_ok = active & (bneed > 0) & (bdm < BIG)
+        b_ok = (ai > 0) & (bneed > 0) & (bdm < BIG)
         step_b = jnp.where(b_ok, bneed, BIG)
-        delta = jnp.minimum(jnp.min(step_p, axis=(1, 2)),
-                            jnp.min(step_b, axis=1))       # [B]
+        delta = jnp.minimum(jnp.min(jnp.min(step_p, axis=2),
+                                    axis=1, keepdims=True),
+                            jnp.min(step_b, axis=1, keepdims=True))  # [N,1]
         # shots whose every active cluster is stuck (odd parity, no
         # reachable boundary, nothing to merge with) stop growing; their
         # residual activity is detected after the loop
-        grow = jnp.any(active, axis=1) & (delta < BIG)
-        r = r + jnp.where(grow[:, None] & active, delta[:, None], 0)
-        cont = jnp.any(grow) & (ev + 1 < max_events)
-        return r, cont, ev + 1
+        grow_i = jnp.where((jnp.max(ai, axis=1, keepdims=True) > 0)
+                           & (delta < BIG), 1, 0)       # [N, 1]
+        r = r + grow_i * ai * jnp.where(delta < BIG, delta, 0)
+        cont = (jnp.max(grow_i) > 0) & (ev + 1 < max_events)
+        return r, root, cont, ev + 1
 
-    r0 = jnp.zeros((B, D), jnp.int32)
-    state = (r0, jnp.any(valid), jnp.int32(0))
-    r, _, _ = jax.lax.while_loop(lambda s: s[1], loop_body, state)
+    r0 = jnp.zeros((N, D), jnp.int32)
+    root0 = iota
+    state = (r0, root0, jnp.max(vi) > 0, jnp.int32(0))
+    r, root_prev, _, _ = jax.lax.while_loop(lambda s: s[2], loop_body, state)
 
     # -- final cluster structure + observable extraction
     sat = (r[:, :, None] + r[:, None, :]) >= dm
-    root = components(sat)
+    root = components(sat, root_prev)
     eq = root[:, :, None] == root[:, None, :]
-    members = eq & valid[:, None, :]
-    cnt = jnp.sum(members.astype(jnp.int32), axis=2)
-    bsat = (r >= bdm) & valid
-    btouch = jnp.any(eq & bsat[:, None, :], axis=2)
-    is_root = valid & (root == iota)
-    odd_b_root = is_root & ((cnt & 1) == 1) & btouch
+    cnt, btouch_i, _ = cluster_stats(r, root)
+    odd_b = valid & (root == iota) & ((cnt & 1) == 1) & (btouch_i > 0)
     # boundary-connecting defect of each cluster: among members with
     # bsat, the one with minimal (bdist, slot) — deterministic
-    mkey = jnp.where(eq & bsat[:, None, :],
-                     bdm[:, None, :] * D + iota[:, None, :], BIG * D)
-    mslot = jnp.min(mkey, axis=2) % D                   # [B, D]
-    m_onehot = iota[:, None, :] == mslot[:, :, None]    # [B, D, D]
+    bkey = jnp.where((r >= bdm) & valid, bdm, BIG)      # [N, D] int32
+    mkey = jnp.where(eq, bkey[:, None, :] * D + iota_l, BIG * D)
+    mmin = jnp.min(mkey, axis=2)                        # [N, D]
+    mslot = mmin - (mmin // D) * D                      # mod, Mosaic-safe
+    m_onehot = iota_l == mslot[:, :, None]              # [N, D, D]
     bs_of_m = jnp.sum(jnp.where(m_onehot, bsm[:, None, :], 0), axis=2)
 
     terms = (jnp.where(valid, phim, 0)
-             ^ jnp.where(odd_b_root, bs_of_m, 0))
-    obs = jax.lax.reduce(terms, jnp.int32(0),
-                         jax.lax.bitwise_xor, (1,))
+             ^ jnp.where(odd_b, bs_of_m, 0))
+    obs = xor_reduce(terms)
 
     # residual activity (incl. stuck components) = incomplete decode
-    unfinished = jnp.any(valid & ((cnt & 1) == 1) & ~btouch, axis=1)
-    converged = ~overflow & ~unfinished
-    return obs, converged
+    unfin_i = jnp.where(valid & ((cnt & 1) == 1) & (btouch_i == 0), 1, 0)
+    unfinished = jnp.max(unfin_i, axis=1) > 0
+    return obs, unfinished
+
+
+def make_growth_kernel(D: int, max_events: int, *, tile: int = 8,
+                       interpret: bool = False):
+    """The whole delta-stepped ball-growth loop in ONE pallas call:
+    per-tile [T,D,D] geometry and [T,D] radii/labels stay VMEM-resident
+    across every growth round and component sweep, eliminating the HBM
+    round-trips that dominate the XLA path (each while_loop iteration
+    there re-streams ~6 [B,D,D] tensors through HBM).
+
+    Takes (dm [B,D,D], bdm/phim/bsm/valid [B,D] — all int32) and returns
+    (obs [B] int32, unfinished [B] bool). Bit-identical to the XLA path
+    by construction: both trace `_growth_core`. D must be a power of two
+    (the XOR roll-tree); B a multiple of ``tile`` (callers pad with
+    valid=0 rows, which decode to obs=0/finished)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if D & (D - 1):
+        raise ValueError("growth kernel needs power-of-two D")
+
+    def kernel(dm_ref, bdm_ref, phim_ref, bsm_ref, valid_ref,
+               obs_ref, unf_ref):
+        obs, unf = _growth_core(
+            dm_ref[:], bdm_ref[:], phim_ref[:], bsm_ref[:],
+            valid_ref[:] != 0, max_events=max_events,
+            xor_reduce=_xor_reduce_roll)
+        obs_ref[:] = obs[:, None]
+        unf_ref[:] = unf.astype(jnp.int32)[:, None]
+
+    vec = pl.BlockSpec((tile, D), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+
+    def call(dm, bdm, phim, bsm, valid_i32):
+        B = dm.shape[0]
+        if B % tile:
+            raise ValueError(f"batch {B} not a multiple of tile {tile}")
+        obs, unf = pl.pallas_call(
+            kernel,
+            grid=(B // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, D, D), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vec, vec, vec, vec,
+            ],
+            out_specs=[
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(dm, bdm, phim, bsm, valid_i32)
+        return obs[:, 0], unf[:, 0] != 0
+
+    return call
 
 
 def make_sparse_obs_decoder(graph: MatchingGraph, *, d_max: int = 32,
-                            max_events: int | None = None):
+                            max_events: int | None = None,
+                            backend: str = "auto", tile: int = 8):
     """A pure, jit-composable ``decode(detectors) -> (obs, converged)``
     defect-granular decoder (same contract as
     `device_uf.make_obs_decoder`), or None when the graph does not admit
     the sparse path. Shots with more than ``d_max`` defects report
     converged=False — compose with `make_hybrid_obs_decoder` or a host
-    fallback."""
+    fallback.
+
+    ``backend``: 'auto' (= 'xla' — measured faster than the Mosaic
+    kernel at every profiled size, see module docstring) | 'xla' |
+    'pallas' | 'pallas-interpret' (CPU tests). The Mosaic path pads
+    ``d_max`` to a power of two; results are bit-identical across
+    backends (both trace `_growth_core`)."""
     tables = build_sparse_tables(graph)
     if tables is None:
         return None
-    d_max = min(d_max, tables.num_nodes)  # top_k cap on tiny graphs
+    d_max = min(d_max, tables.num_nodes)  # compaction cap on tiny graphs
+    if backend == "auto":
+        backend = "xla"
+    if backend in ("pallas", "pallas-interpret"):
+        pow2 = max(8, 1 << (d_max - 1).bit_length())  # kernel needs pow2
+        if pow2 > tables.num_nodes:
+            backend = "xla"  # tiny graph: top_k caps D below the pow2
+        else:
+            d_max = pow2
     if max_events is None:
         max_events = d_max * (d_max + 1) // 2 + 4
     tables_dev = (jnp.asarray(tables.dist),
                   jnp.asarray(tables.phi.astype(np.int64)).astype(jnp.int32),
                   jnp.asarray(tables.bdist),
                   jnp.asarray(tables.bside.astype(np.int64)).astype(jnp.int32))
-    return partial(_sparse_decode, tables_dev, d_max, max_events)
+    return partial(_sparse_decode, tables_dev, d_max, max_events,
+                   backend, tile)
 
 
 def make_hybrid_obs_decoder(graph: MatchingGraph, *, d_max: int = 32,
-                            **dense_kwargs):
+                            backend: str = "auto", **dense_kwargs):
     """Sparse decode with a dense-kernel escape hatch: the defect-granular
     path always runs; iff some shot did not converge there (overflow /
     stuck component), the dense kernel runs too — under `lax.cond`, so
@@ -325,7 +494,7 @@ def make_hybrid_obs_decoder(graph: MatchingGraph, *, d_max: int = 32,
     from qcss_tpu.decode.device_uf import make_obs_decoder
 
     dense = make_obs_decoder(graph, **dense_kwargs)
-    sparse = make_sparse_obs_decoder(graph, d_max=d_max)
+    sparse = make_sparse_obs_decoder(graph, d_max=d_max, backend=backend)
     if sparse is None:
         return dense
 

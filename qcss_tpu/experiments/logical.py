@@ -728,6 +728,16 @@ class LogicalProgram:
               with_recipe: bool = False) -> P.ScheduleModel:
         if not hasattr(self, "_obs"):
             self.measure()
+        # memoize per (p, q, recipe): repeat run() calls must reuse the
+        # SAME model object so schedule_memory_device's per-model runner
+        # cache hits (rebuilding cost ~1.5 s of retrace + compile-cache
+        # fetch per call and dominated the fused pipeline)
+        ck = (p, q, with_recipe, len(self._phases), len(self._op_log))
+        cache = getattr(self, "_model_cache", None)
+        if cache is None:
+            cache = self._model_cache = {}
+        if ck in cache:
+            return cache[ck]
         model = P.build_schedule(
             self.n, self._phases, np.stack(self._active), self._obs,
             readouts=tuple(self._readouts),
@@ -737,6 +747,7 @@ class LogicalProgram:
         model.meta["obs_expected"] = list(self._obs_expected)
         model.meta["x_ops"] = list(self._xops)
         model.meta["op_log"] = list(self._op_log)
+        cache[ck] = model
         return model
 
     def build_x(self, p: float | None = None,
@@ -831,18 +842,25 @@ class LogicalProgram:
         decoder='device-uf' runs the FULLY FUSED pipeline — sampling,
         detector assembly, union-find decode and failure counting in one
         compiled device program, only counts crossing the host boundary
-        (`patches.schedule_memory_device`)."""
+        (`patches.schedule_memory_device`); decoder='device-uf-sparse'
+        is the same pipeline on the defect-granular sparse kernel
+        (`decode.device_sparse`, dense escape hatch) — the fast path at
+        operating noise, where compiled-program shots carry a handful of
+        defects in thousands of detectors."""
         q_ = p if q is None else q
         kw = dict(p=p, q=q_) if weighted else dict(p=None, q=None)
         model = self.build(**kw)
-        if decoder == "device-uf":
-            out = P.schedule_memory_device(model, p, q_, batch=batch,
-                                           seed=seed, reps=reps)
+        if decoder in ("device-uf", "device-uf-sparse"):
+            out = P.schedule_memory_device(
+                model, p, q_, batch=batch, seed=seed, reps=reps,
+                device_decoder=("hybrid" if decoder == "device-uf-sparse"
+                                else "dense"))
         elif decoder == "host":
             out = P.schedule_memory(model, p, q_, batch=batch, seed=seed,
                                     use_native=use_native)
         else:
-            raise ValueError("decoder must be 'host' or 'device-uf'")
+            raise ValueError("decoder must be 'host', 'device-uf' or "
+                             "'device-uf-sparse'")
         for i, name in enumerate(model.meta["obs_names"]):
             out[f"{name}_fail"] = out.pop(f"obs{i}_fail")
         out.update({"d": self.d, "rounds": self.R,

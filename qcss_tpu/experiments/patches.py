@@ -48,6 +48,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -606,10 +608,87 @@ def schedule_memory(model: ScheduleModel, p: float, q: float | None = None,
     return out
 
 
+def _device_runner(model: ScheduleModel, batch: int, p: float, q: float,
+                   device_decoder: str):
+    """Build (or fetch) the compiled sample+decode+count runner for a
+    schedule model. Re-tracing this per `schedule_memory_device` call
+    cost ~1.5 s even with the persistent compile cache warm — with the
+    runner cached, repeat calls are pure execution (the fused d=3
+    compiled-CNOT step runs at ~290k shots/s). Runners live in the
+    model's own `meta` dict: same lifetime as the model, and no id()
+    keys that could alias a recycled address (CLAUDE.md cache rule)."""
+    from qcss_tpu.decode.device_uf import make_obs_decoder
+
+    per_model = model.meta.setdefault("_device_runners", {})
+    ck = (batch, p, q, device_decoder)
+    if ck in per_model:
+        return per_model[ck]
+
+    n_obs = model.obs.shape[0]
+    if device_decoder == "dense":
+        decode_fn = make_obs_decoder(model.graph)
+    elif device_decoder == "hybrid":
+        # defect-granular sparse path with the dense kernel as the
+        # overflow/refusal escape hatch — the operating-noise fast path
+        # (compiled-program shots carry a handful of defects). The
+        # sparse fetch costs O(D * V^2) MXU flops, so it only wins on
+        # graphs that are BIG in detectors but LIGHT in defects: size
+        # D to the expected load (mean + 6 sigma, Poisson) and fall
+        # back to the dense kernel when the load or the table outgrow
+        # it (d=5 compiled-CNOT: V=1872, mean 37 defects — measured
+        # sparse == dense there, while d=3's V=384 / mean 3.9 runs
+        # 385k vs 57k shots/s).
+        from qcss_tpu.decode.device_sparse import make_hybrid_obs_decoder
+
+        rates = np.where(model.fault_probs_class == 1, q, p)
+        lam = model.F.astype(np.float64) @ rates
+        p_det = 0.5 * (1.0 - np.exp(-2.0 * lam))
+        mean_d = float(p_det.sum())
+        d_max = int(np.clip(
+            16 * np.ceil((mean_d + 6 * np.sqrt(mean_d + 1)) / 16), 32, 96))
+        if model.F.shape[0] > 1280 and mean_d > 24:
+            decode_fn = make_obs_decoder(model.graph)  # sparse can't win
+        else:
+            decode_fn = make_hybrid_obs_decoder(model.graph, d_max=d_max)
+    else:
+        raise ValueError("device_decoder must be 'dense' or 'hybrid'")
+    cls = jnp.asarray(model.fault_probs_class)
+    f_t = jnp.asarray(model.F.T.astype(np.int32))
+    obs_t = jnp.asarray(model.obs.T.astype(np.int32))
+    bits = jnp.asarray(1 << np.arange(n_obs), jnp.int32)
+
+    def step(key):
+        dets, ob = _sample(key, jnp.float32(p), jnp.float32(q), batch,
+                           cls, f_t, obs_t)
+        flips, conv = decode_fn(dets)
+        truth = (ob.astype(jnp.int32) * bits[None, :]).sum(axis=1)
+        fail = flips.astype(jnp.int32) ^ truth
+        per_obs = ((fail[:, None] & bits[None, :]) > 0).sum(axis=0)
+        word = (fail != 0).sum()
+        return per_obs, word, (1 - conv.astype(jnp.int32)).sum()
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_reps(key0, n):
+        # the whole rep loop stays ON DEVICE — pulling the per-rep counts
+        # through the tunnel cost ~0.8 s/rep (3 host fences each) and
+        # dominated the fused pipeline once the sparse decoder landed;
+        # same keys (fold_in per rep), bit-identical counts
+        def body(r, acc):
+            po, w, b = step(jax.random.fold_in(key0, r))
+            return acc[0] + po, acc[1] + w, acc[2] + b
+        z = jnp.zeros((n_obs,), jnp.int32)
+        return jax.lax.fori_loop(0, n, body,
+                                 (z, jnp.int32(0), jnp.int32(0)))
+
+    per_model[ck] = run_reps
+    return run_reps
+
+
 def schedule_memory_device(model: ScheduleModel, p: float,
                            q: float | None = None, *,
                            batch: int = 1 << 13, seed: int = 0,
-                           reps: int = 1) -> dict:
+                           reps: int = 1,
+                           device_decoder: str = "dense") -> dict:
     """The fully inverted pipeline for an arbitrary patch schedule:
     sampling, detector assembly, union-find decoding and failure
     counting fuse into ONE compiled device program (`decode.device_uf`)
@@ -625,31 +704,12 @@ def schedule_memory_device(model: ScheduleModel, p: float,
     n_obs = model.obs.shape[0]
     if n_obs > 24:
         raise ValueError("device path packs obs rows into one int32")
-    decode_fn = make_obs_decoder(model.graph)
-    cls = jnp.asarray(model.fault_probs_class)
-    f_t = jnp.asarray(model.F.T.astype(np.int32))
-    obs_t = jnp.asarray(model.obs.T.astype(np.int32))
-    bits = jnp.asarray(1 << np.arange(n_obs), jnp.int32)
-
-    @jax.jit
-    def step(key):
-        dets, ob = _sample(key, jnp.float32(p), jnp.float32(q), batch,
-                           cls, f_t, obs_t)
-        flips, conv = decode_fn(dets)
-        truth = (ob.astype(jnp.int32) * bits[None, :]).sum(axis=1)
-        fail = flips.astype(jnp.int32) ^ truth
-        per_obs = ((fail[:, None] & bits[None, :]) > 0).sum(axis=0)
-        word = (fail != 0).sum()
-        return per_obs, word, (1 - conv.astype(jnp.int32)).sum()
-
-    per_obs = np.zeros(n_obs, np.int64)
-    word = bad = 0
-    for r in range(reps):
-        po, w, b = step(jax.random.fold_in(jax.random.key(seed), r))
-        # host-fence each rep (tunnel benches require it; see bench.py)
-        per_obs += np.asarray(po).astype(np.int64)
-        word += int(w)
-        bad += int(b)
+    run_reps = _device_runner(model, batch, float(p), float(q),
+                              device_decoder)
+    po, w, b = run_reps(jax.random.key(seed), reps)
+    per_obs = np.asarray(po).astype(np.int64)
+    word = int(w)
+    bad = int(b)
     if bad:
         raise RuntimeError("device union-find hit its growth cap")
     total = batch * reps

@@ -171,6 +171,27 @@ def test_toric_refuses_sparse_path():
     assert hybrid is not None
 
 
+def test_growth_kernel_bit_identical_to_xla():
+    """The Mosaic growth kernel (interpret mode on CPU) and the XLA
+    fixpoint trace the same `_growth_core` — outputs must be
+    bit-identical on identical instances, including unconverged flags."""
+    d, rounds = 5, 5
+    code = rotated_surface(d)
+    h = np.asarray(code.raw_parity_check_c2, np.uint8)
+    g = spacetime_graph(h, code.z_operator_matrix(), rounds)
+    dets, _ = _sample_edge_errors(g, 0.02, 128, seed=9)
+    xla = make_sparse_obs_decoder(g, d_max=16, backend="xla")
+    krn = make_sparse_obs_decoder(g, d_max=16, backend="pallas-interpret")
+    o1, c1 = xla(jnp.asarray(dets))
+    o2, c2 = krn(jnp.asarray(dets))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    # and on a batch that is not a multiple of the kernel tile
+    o3, c3 = krn(jnp.asarray(dets[:50]))
+    np.testing.assert_array_equal(np.asarray(o3), np.asarray(o1)[:50])
+    np.testing.assert_array_equal(np.asarray(c3), np.asarray(c1)[:50])
+
+
 def test_zero_defect_shots():
     _, g = _surface_graph(3)
     dets = np.zeros((3, g.num_nodes), np.uint8)
@@ -178,3 +199,17 @@ def test_zero_defect_shots():
     obs, conv = decode(jnp.asarray(dets))
     np.testing.assert_array_equal(np.asarray(obs), 0)
     assert bool(np.all(np.asarray(conv)))
+
+
+def test_compiled_program_sparse_decoder():
+    """The fused logical-program pipeline accepts the defect-granular
+    decoder (`decoder='device-uf-sparse'`) and produces failure rates
+    statistically compatible with the dense kernel on the same seeds."""
+    from qcss_tpu.experiments.logical import LogicalProgram
+
+    prog = LogicalProgram(3, 2).cnot(0, 1)
+    dense = prog.run(2e-3, batch=2048, seed=5, decoder="device-uf")
+    sparse = prog.run(2e-3, batch=2048, seed=5, decoder="device-uf-sparse")
+    assert sparse["samples"] == dense["samples"]
+    # same shots, valid decoders: failure rates within a few per mille
+    assert abs(sparse["word_fail"] - dense["word_fail"]) < 0.02
