@@ -152,7 +152,8 @@ def bench_circuit_stream(name: str, rounds: int, p: float, batch: int,
 
 
 def bench_circuit(name: str, rounds: int, p: float, batch: int,
-                  iters: int, seed: int, sectors: str) -> dict:
+                  iters: int, seed: int, sectors: str,
+                  bp_kwargs: dict | None = None) -> dict:
     """Whole-history circuit-level memory: two-sector extraction-circuit
     sampling + exact detector-fault Tanner BP(+OSD). Wall time covers the
     WHOLE call — including the one-time per-(code, R, noise) Tanner graph
@@ -166,7 +167,7 @@ def bench_circuit(name: str, rounds: int, p: float, batch: int,
     t0 = time.perf_counter()
     out = qldpc_memory_experiment(code, rounds=rounds, noise=noise,
                                   batch=batch, iters=iters, seed=seed,
-                                  sectors=sectors)
+                                  sectors=sectors, bp_kwargs=bp_kwargs)
     sec = time.perf_counter() - t0
     out.update({
         "bench": "bp_circuit_memory", "code": name, "p": p,
@@ -231,7 +232,20 @@ def main() -> None:
     ap.add_argument("--commit", type=int, default=4)
     ap.add_argument("--rounds", type=int, default=0,
                     help="spacetime rounds (default: the code's distance)")
+    ap.add_argument("--gamma", type=float, default=0.0,
+                    help="min-sum message damping (memory-BP)")
+    ap.add_argument("--restarts", type=int, default=0,
+                    help="perturbed re-decodes of the unconverged tail")
+    ap.add_argument("--osd-order", type=int, default=0,
+                    help="OSD-E combination-sweep order (0 = OSD-0)")
     args = ap.parse_args()
+    bp_kwargs = {}
+    if args.gamma:
+        bp_kwargs["gamma"] = args.gamma
+    if args.restarts:
+        bp_kwargs["restarts"] = args.restarts
+    if args.osd_order:
+        bp_kwargs["osd_order"] = args.osd_order
     dists = {"bb72": 6, "bb90": 10, "bb144": 12, "bb288": 18}
     for name in args.codes.split(","):
         print(json.dumps(bench_code_capacity(
@@ -254,7 +268,7 @@ def main() -> None:
         if args.circuit:
             print(json.dumps(bench_circuit(
                 name, args.circuit, args.p, args.batch, args.iters,
-                args.seed, args.sectors)), flush=True)
+                args.seed, args.sectors, bp_kwargs=bp_kwargs)), flush=True)
         if args.circuit_stream:
             print(json.dumps(bench_circuit_stream(
                 name, args.circuit_stream, args.p, args.batch,

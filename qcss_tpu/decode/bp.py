@@ -53,6 +53,77 @@ import numpy as np
 _BIG = jnp.float32(1e30)
 
 
+def _osde_py(h: np.ndarray, synd: np.ndarray, soft: np.ndarray,
+             osd_order: int, lam1: int, lam2: int) -> np.ndarray:
+    """Order-E ordered-statistics decode, pure-numpy reference semantics
+    (mirrors `native/osd_decoder.cc::qcss_osde_batch` bit-for-bit: same
+    stable column order, same pivot scan, candidate enumeration order —
+    singles over the first lam1 free columns then pairs over the first
+    lam2 — and strict-< acceptance on the soft-weight score, so OSD-0
+    wins ties)."""
+    r, n = h.shape
+    out = np.zeros((synd.shape[0], n), dtype=np.uint8)
+    for bi in range(synd.shape[0]):
+        order = np.argsort(soft[bi], kind="stable")
+        hp = h[:, order].astype(np.int8)
+        aug = np.concatenate([hp, synd[bi][:, None].astype(np.int8)], axis=1)
+        piv_cols: list[int] = []
+        row = 0
+        for c in range(n):
+            nz = np.nonzero(aug[row:, c])[0]
+            if nz.size == 0:
+                continue
+            pr = row + int(nz[0])
+            if pr != row:
+                aug[[row, pr]] = aug[[pr, row]]
+            sel = aug[:, c].astype(bool).copy()
+            sel[row] = False
+            aug[sel] ^= aug[row]
+            piv_cols.append(c)
+            row += 1
+            if row == r:
+                break
+        rank = len(piv_cols)
+        sv = aug[:rank, n].astype(np.uint8)
+        if osd_order <= 0 or rank == 0:
+            e_ord = np.zeros(n, np.uint8)
+            e_ord[piv_cols] = sv
+            out[bi, order] = e_ord
+            continue
+        w_soft = np.abs(soft[bi][order])
+        w_piv = w_soft[piv_cols]
+        is_piv = np.zeros(n, bool)
+        is_piv[piv_cols] = True
+        lam_max = max(lam1, lam2)
+        free_cols = np.nonzero(~is_piv)[0][:lam_max]
+        col_bits = aug[:rank, free_cols].astype(np.uint8)  # [rank, F]
+        best = float(w_piv @ sv)
+        best_f = (-1, -1)
+        cands = [(f, -1) for f in range(min(lam1, free_cols.size))]
+        if osd_order >= 2:
+            m2 = min(lam2, free_cols.size)
+            cands += [(f1, f2) for f1 in range(m2)
+                      for f2 in range(f1 + 1, m2)]
+        for f1, f2 in cands:
+            v = sv ^ col_bits[:, f1]
+            w = float(w_soft[free_cols[f1]])
+            if f2 >= 0:
+                v = v ^ col_bits[:, f2]
+                w += float(w_soft[free_cols[f2]])
+            w += float(w_piv @ v)
+            if w < best:
+                best, best_f = w, (f1, f2)
+        v = sv.copy()
+        e_ord = np.zeros(n, np.uint8)
+        for f in best_f:
+            if f >= 0:
+                v ^= col_bits[:, f]
+                e_ord[free_cols[f]] = 1
+        e_ord[piv_cols] = v
+        out[bi, order] = e_ord
+    return out
+
+
 def _check_major_layout(h: np.ndarray):
     """[r, n] 0/1 matrix -> (chk_var [r, Dc] int32, mask [r, Dc] bool)."""
     r, n = h.shape
@@ -213,7 +284,10 @@ class BPDecoder:
 
     def __init__(self, h, priors, *, logicals=None, iters: int = 64,
                  alpha: float = 0.8, osd: bool = True,
-                 layout: str = "auto", osd_backend: str = "auto"):
+                 layout: str = "auto", osd_backend: str = "auto",
+                 gamma: float = 0.0, restarts: int = 0,
+                 restart_jitter: float = 0.12,
+                 osd_order: int = 0, osd_lambda: tuple = (16, 10)):
         self.h = np.ascontiguousarray(np.asarray(h, dtype=np.uint8) & 1)
         self.r, self.n = self.h.shape
         priors = np.broadcast_to(np.asarray(priors, np.float64), (self.n,))
@@ -222,6 +296,13 @@ class BPDecoder:
         self.priors = priors.copy()
         self.iters = int(iters)
         self.alpha = float(alpha)
+        if not 0.0 <= gamma < 1.0:
+            raise ValueError("gamma must lie in [0, 1)")
+        self.gamma = float(gamma)
+        self.restarts = int(restarts)
+        self.restart_jitter = float(restart_jitter)
+        self.osd_order = int(osd_order)
+        self.osd_lambda = (int(osd_lambda[0]), int(osd_lambda[1]))
         if osd not in (True, False, "always"):
             raise ValueError(f"osd must be True/False/'always', got {osd!r}")
         self.osd = osd
@@ -321,6 +402,14 @@ class BPDecoder:
             m_new = jnp.where(mask[None],
                               jnp.float32(self.alpha)
                               * jnp.where(sgn, -val, val), 0.0)
+            if self.gamma:
+                # memory-BP (message damping): blend the min-sum update
+                # with the previous message — breaks the oscillation /
+                # trapping-set limit cycles that collapse deep
+                # circuit-Tanner convergence (gamma=0 is bit-identical
+                # to the undamped kernel: this branch is not traced)
+                g = jnp.float32(self.gamma)
+                m_new = g * m + (1.0 - g) * m_new
             t_new = totals(m_new)
             e = (t_new < 0).astype(jnp.int32)
             ok = jnp.all(check_parities(e) == synd_i, axis=1)
@@ -345,6 +434,53 @@ class BPDecoder:
         e_fr = jnp.where(conv[:, None], e_fr, (t < 0).astype(jnp.int32))
         soft = jnp.where(conv[:, None], soft, t)
         return e_fr.astype(jnp.uint8), conv, soft
+
+    def _run_restarts(self, synd_j, lam=None):
+        """`_bp_run` plus up to ``self.restarts`` perturbed re-decodes of
+        the unconverged tail: the tail is gathered on device into a
+        power-of-2 bucket (bounded recompiles, same trick as the OSD
+        tail) and re-run with prior LLRs multiplied by device-generated
+        uniform jitter in [1-restart_jitter, 1+restart_jitter]. Min-sum
+        non-convergence at depth is dominated by limit cycles around
+        trapping sets; a small prior perturbation breaks the symmetry and
+        lets a large fraction of the tail converge — converged restarts
+        replace the estimate, everything else is untouched (so
+        restarts=0 is exactly the old path)."""
+        e, conv, soft = (self._run(synd_j) if lam is None
+                         else self._run(synd_j, lam))
+        if not self.restarts:
+            return e, conv, soft
+        conv_np = np.array(conv)  # writable copy — restarts flip entries
+        if conv_np.all():
+            return e, conv, soft
+        B = synd_j.shape[0]
+        lam_full = (None if lam is None
+                    else jnp.broadcast_to(lam, (B, self.n)))
+        for k in range(self.restarts):
+            idx = np.nonzero(~conv_np)[0]
+            if idx.size == 0:
+                break
+            bt = idx.size
+            pad = 1 << max(6, (bt - 1).bit_length())
+            idx_j = jnp.asarray(np.pad(idx, (0, pad - bt)))
+            synd_t = jnp.take(synd_j, idx_j, axis=0)
+            lam_t = (jnp.broadcast_to(self._lam[None], (pad, self.n))
+                     if lam_full is None
+                     else jnp.take(lam_full, idx_j, axis=0))
+            fac = jax.random.uniform(
+                jax.random.key(0xB9C0 + k), (pad, self.n), jnp.float32,
+                1.0 - self.restart_jitter, 1.0 + self.restart_jitter)
+            e2, c2, s2 = self._run(synd_t, lam_t * fac)
+            c2np = np.asarray(c2)[:bt]
+            if not c2np.any():
+                continue
+            acc = np.nonzero(c2np)[0]
+            dstj = jnp.asarray(idx[acc])
+            srcj = jnp.asarray(acc)
+            e = e.at[dstj].set(jnp.take(e2, srcj, axis=0))
+            soft = soft.at[dstj].set(jnp.take(s2, srcj, axis=0))
+            conv_np[idx[acc]] = True
+        return e, jnp.asarray(conv_np), soft
 
     # -- host OSD-0 -------------------------------------------------------
 
@@ -408,6 +544,11 @@ class BPDecoder:
         decoding's augmented [h; L_j] systems — same columns, extra
         constraint rows)."""
         h_mat = self.h if h is None else h
+        if self.osd_order and h is None:
+            # order-E sweep (host): the gap path's augmented systems keep
+            # OSD-0 — the complementary re-decodes only need a consistent
+            # weight proxy, and E-sweeping both classes doubles the cost
+            return self._osde_any(synd, soft)
         r, n = h_mat.shape
         C = min(n, r + 256)
         if self.osd_backend == "device":
@@ -446,6 +587,18 @@ class BPDecoder:
                 out[lo + idx] = host(synd[lo + idx], soft[lo + idx])
         return out
 
+    def _osde_any(self, synd: np.ndarray, soft: np.ndarray) -> np.ndarray:
+        """Order-E combination-sweep OSD (see `_osde_py` for the exact
+        semantics); native kernel when the toolchain is available."""
+        from qcss_tpu import native
+
+        res = native.osde_batch_native(self.h, synd, soft, self.osd_order,
+                                       *self.osd_lambda)
+        if res is not None:
+            return res
+        return _osde_py(self.h, synd, soft, self.osd_order,
+                        *self.osd_lambda)
+
     # -- public API --------------------------------------------------------
 
     def decode_batch(self, synd, priors=None):
@@ -458,11 +611,11 @@ class BPDecoder:
         them on a first pass's estimates."""
         synd = jnp.asarray(synd, jnp.uint8)
         if priors is None:
-            e_hat, conv, soft = self._run(synd)
+            e_hat, conv, soft = self._run_restarts(synd)
         else:
             pb = np.clip(np.asarray(priors, np.float64), 1e-12, 0.499)
             lam = jnp.asarray(np.log((1.0 - pb) / pb), jnp.float32)
-            e_hat, conv, soft = self._run(synd, lam)
+            e_hat, conv, soft = self._run_restarts(synd, lam)
         if not self.osd:
             return np.asarray(e_hat), np.asarray(conv)
         conv_np = np.asarray(conv)
@@ -531,7 +684,7 @@ class BPDecoder:
                              "use decode_obs for the whole-batch "
                              "osd='always' tie-break")
         synd_j = jnp.asarray(synd, jnp.uint8)
-        e, conv, soft = self._run(synd_j)
+        e, conv, soft = self._run_restarts(synd_j)
         obs_t = jnp.asarray(self.logicals.T, jnp.int32)
         flips = (e.astype(jnp.int32) @ obs_t) & 1
         if not self.osd:
@@ -541,6 +694,19 @@ class BPDecoder:
             return flips, conv_np
         idx = np.nonzero(~conv_np)[0]
         bt = idx.size
+        if self.osd_order:
+            # order-E is host-only: pull the tail (restarts have already
+            # shrunk it), sweep, push the flips back
+            e_host = self._osde_any(np.asarray(jnp.take(synd_j,
+                                                        jnp.asarray(idx),
+                                                        axis=0)),
+                                    np.asarray(jnp.take(soft,
+                                                        jnp.asarray(idx),
+                                                        axis=0)))
+            fh = (e_host.astype(np.int64) @ self.logicals.T) & 1
+            flips = flips.at[jnp.asarray(idx)].set(
+                jnp.asarray(fh, flips.dtype))
+            return flips, conv_np
         pad = 1 << max(6, (bt - 1).bit_length())  # pow-2 buckets
         idx_j = jnp.asarray(np.pad(idx, (0, pad - bt)))
         synd_t = jnp.take(synd_j, idx_j, axis=0)
@@ -579,7 +745,7 @@ class BPDecoder:
         if self.logicals is None:
             raise ValueError("decoder built without logicals")
         synd = np.ascontiguousarray(np.asarray(synd), np.uint8)
-        e_hat, conv, soft = self._run(jnp.asarray(synd))
+        e_hat, conv, soft = self._run_restarts(jnp.asarray(synd))
         soft = np.asarray(soft)
         conv = np.asarray(conv)
         e_np = np.array(e_hat)

@@ -455,13 +455,15 @@ def open_window_circuit_tanner(code, window: int, commit: int, noise, *,
 
 def circuit_bp_decoder(code, rounds: int, noise, *, sector: str = "z",
                        iters: int = 64, alpha: float = 0.8,
-                       osd: bool = True, hz=None, hx=None):
+                       osd: bool = True, hz=None, hx=None, **bp_kwargs):
     """BPDecoder over the circuit-level Tanner graph; `decode_obs` maps
     `[B, (rounds+1)*r_c]` flattened detector histories to `[B, k]`
-    observable flips."""
+    observable flips. Extra keyword arguments (gamma, restarts,
+    osd_order, ...) pass through to `BPDecoder` — the depth knobs."""
     from qcss_tpu.decode.bp import BPDecoder
 
     tan = build_circuit_tanner(code, rounds, noise, sector=sector,
                                hz=hz, hx=hx)
     return BPDecoder(tan.checks, np.clip(tan.priors, 1e-12, 0.499),
-                     logicals=tan.obs, iters=iters, alpha=alpha, osd=osd)
+                     logicals=tan.obs, iters=iters, alpha=alpha, osd=osd,
+                     **bp_kwargs)

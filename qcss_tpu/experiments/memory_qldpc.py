@@ -37,7 +37,8 @@ def qldpc_memory_experiment(code, *, rounds: int,
                             osd: bool = True, sectors: str = "both",
                             joint: bool = False, alpha_joint: float = 0.6,
                             correlated: bool = False,
-                            gap_tau: float | None = None) -> dict[str, float]:
+                            gap_tau: float | None = None,
+                            bp_kwargs: dict | None = None) -> dict[str, float]:
     """Run the two-sector circuit-level memory and decode each sector
     with circuit-level BP. `sectors='z'` decodes X errors only (faster;
     the Z-basis memory), `'both'` adds Z errors and word failure.
@@ -103,9 +104,10 @@ def qldpc_memory_experiment(code, *, rounds: int,
         dets_z = detector_history(syns_z, final_z)
         par_x = (x_err.astype(np.int64) @ lz.T.astype(np.int64)) & 1
 
+    bp_kwargs = bp_kwargs or {}
     dec_z = circuit_bp_decoder(code, rounds, noise, sector="z",
                                iters=iters, alpha=alpha, osd=osd,
-                               hz=hz, hx=hx)
+                               hz=hz, hx=hx, **bp_kwargs)
     if gap_tau is not None:
         flips_x, conv_z, gap = dec_z.decode_obs_gap(
             dets_z.reshape(batch, -1))
@@ -134,7 +136,7 @@ def qldpc_memory_experiment(code, *, rounds: int,
     if sectors == "both":
         dec_x = circuit_bp_decoder(code, rounds, noise, sector="x",
                                    iters=iters, alpha=alpha, osd=osd,
-                                   hz=hz, hx=hx)
+                                   hz=hz, hx=hx, **bp_kwargs)
         if device_path:
             final_x_j = (z_err.astype(jnp.int32)
                          @ jnp.asarray(hx.T, jnp.int32)) & 1
@@ -196,7 +198,8 @@ def qldpc_memory_experiment(code, *, rounds: int,
                           np.where(sel, cond[None, :], 0.0).T)
             pb = np.maximum(pb, np.clip(upd.T, 0.0, 0.499))
         dxc = BPDecoder(tx.checks, np.clip(tx.priors, 1e-12, 0.499),
-                        logicals=tx.obs, iters=iters, alpha=alpha, osd=osd)
+                        logicals=tx.obs, iters=iters, alpha=alpha, osd=osd,
+                        **bp_kwargs)
         flips_zc, conv_c = dxc.decode_obs(dets_x.reshape(batch, -1),
                                           priors=pb)
         zf_c = (flips_zc ^ par_z).any(axis=1)

@@ -114,6 +114,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u8p, ctypes.c_int32, ctypes.c_int32,
         u8p, f32p, ctypes.c_int64, u8p, ctypes.c_int32,
     ]
+    lib.qcss_osde_batch.restype = ctypes.c_int32
+    lib.qcss_osde_batch.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32,
+        u8p, f32p, ctypes.c_int64, u8p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
     return lib
 
 
@@ -320,6 +326,38 @@ def osd0_batch_native(h: np.ndarray, synd: np.ndarray, soft: np.ndarray,
                              synd.reshape(-1), soft.reshape(-1),
                              np.int64(batch), out.reshape(-1),
                              np.int32(n_threads))
+    if rc != 0:
+        return None
+    return out
+
+
+def osde_batch_native(h: np.ndarray, synd: np.ndarray, soft: np.ndarray,
+                      osd_order: int, lam1: int, lam2: int,
+                      n_threads: int | None = None):
+    """Batched order-E ordered-statistics decode (combination sweep over
+    the most suspect free columns — see `osd_decoder.cc`), or None if the
+    native library is unavailable. osd_order=0 is bit-identical to
+    `osd0_batch_native`; order 1 tries single flips among the first
+    ``lam1`` free columns, order 2 additionally all pairs among the first
+    ``lam2``; the least soft-weight syndrome-satisfying solution wins."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(h, dtype=np.uint8) & 1
+    synd = np.ascontiguousarray(synd, dtype=np.uint8)
+    soft = np.ascontiguousarray(soft, dtype=np.float32)
+    r, n = h.shape
+    batch = synd.shape[0]
+    if synd.shape != (batch, r) or soft.shape != (batch, n):
+        raise ValueError("shape mismatch")
+    out = np.zeros((batch, n), dtype=np.uint8)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.qcss_osde_batch(h.reshape(-1), np.int32(r), np.int32(n),
+                             synd.reshape(-1), soft.reshape(-1),
+                             np.int64(batch), out.reshape(-1),
+                             np.int32(n_threads), np.int32(osd_order),
+                             np.int32(lam1), np.int32(lam2))
     if rc != 0:
         return None
     return out

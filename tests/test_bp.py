@@ -626,3 +626,96 @@ def test_gap_postselection():
 def test_priors_validation():
     with pytest.raises(ValueError):
         BPDecoder(np.eye(3, dtype=np.uint8), 0.6)
+
+
+class TestRound4Depth:
+    """Round-4 BP-at-depth machinery: OSD-E combination sweep, message
+    damping (memory-BP) and perturbed restarts."""
+
+    def _instance(self, seed=0, B=64, p=0.05):
+        code = families.bb72()
+        h = np.asarray(code.raw_parity_check_c2, np.uint8)
+        rng = np.random.default_rng(seed)
+        err = (rng.random((B, h.shape[1])) < p).astype(np.uint8)
+        return h, err, (err @ h.T) & 1
+
+    def test_osde_native_matches_python(self):
+        from qcss_tpu import native
+        from qcss_tpu.decode.bp import _osde_py
+
+        h, err, synd = self._instance(B=48)
+        rng = np.random.default_rng(7)
+        soft = rng.standard_normal(
+            (synd.shape[0], h.shape[1])).astype(np.float32)
+        for order, l1, l2 in ((0, 0, 0), (1, 12, 0), (2, 16, 10)):
+            py = _osde_py(h, synd, soft, order, l1, l2)
+            assert (((py @ h.T) & 1) == synd).all()
+            nat = native.osde_batch_native(h, synd, soft, order, l1, l2)
+            if nat is None:
+                continue  # no toolchain: python path already verified
+            assert (((nat @ h.T) & 1) == synd).all()
+            w = np.abs(soft)
+            np.testing.assert_allclose((nat * w).sum(1), (py * w).sum(1),
+                                       atol=1e-4)
+            if order == 0:
+                o0 = native.osd0_batch_native(h, synd, soft)
+                np.testing.assert_array_equal(nat, o0)
+
+    def test_osde_never_heavier_than_osd0(self):
+        from qcss_tpu.decode.bp import _osde_py
+
+        h, err, synd = self._instance(seed=3, B=48)
+        rng = np.random.default_rng(11)
+        soft = rng.standard_normal(
+            (synd.shape[0], h.shape[1])).astype(np.float32)
+        w = np.abs(soft)
+        e0 = _osde_py(h, synd, soft, 0, 0, 0)
+        e2 = _osde_py(h, synd, soft, 2, 16, 10)
+        assert ((e2 * w).sum(1) <= (e0 * w).sum(1) + 1e-5).all()
+
+    def test_osd_order_improves_word_fail(self):
+        code = families.bb72()
+        h = np.asarray(code.raw_parity_check_c2, np.uint8)
+        lz = np.asarray(code.z_operator_matrix(), np.uint8)
+        rng = np.random.default_rng(1)
+        B, p = 2048, 0.06
+        err = (rng.random((B, h.shape[1])) < p).astype(np.uint8)
+        synd = (err @ h.T) & 1
+        truth = (err @ lz.T) & 1
+        fails = {}
+        for order in (0, 2):
+            dec = BPDecoder(h, p, logicals=lz, iters=32, osd_order=order,
+                            osd_lambda=(20, 12))
+            flips, _ = dec.decode_obs(synd)
+            fails[order] = (flips != truth).any(axis=1).mean()
+        # measured 0.261 -> 0.248 at this operating point; assert
+        # no-worse with margin for statistical wiggle on reruns
+        assert fails[2] <= fails[0] + 1e-9
+
+    def test_damping_restarts_raise_convergence(self):
+        code = families.bb72()
+        h = np.asarray(code.raw_parity_check_c2, np.uint8)
+        H, priors, _, _ = spacetime_tanner(h, 12, 0.004, 0.004)
+        rng = np.random.default_rng(3)
+        B = 256
+        err = (rng.random((B, H.shape[1]))
+               < np.broadcast_to(priors, (B, H.shape[1]))).astype(np.uint8)
+        synd = (err @ H.T) & 1
+        base = BPDecoder(H, priors, iters=48, osd=False)
+        e_b, conv_b = base.decode_batch(synd)
+        deep = BPDecoder(H, priors, iters=48, osd=False, gamma=0.4,
+                         restarts=2)
+        e_d, conv_d = deep.decode_batch(synd)
+        # every claimed convergence is real
+        ok = (((e_d @ H.T) & 1) == synd).all(axis=1)
+        assert ok[conv_d].all()
+        assert conv_d.mean() >= conv_b.mean()
+
+    def test_restart_zero_is_identity(self):
+        h, err, synd = self._instance(B=32)
+        a = BPDecoder(h, 0.05, iters=16, osd=False)
+        b = BPDecoder(h, 0.05, iters=16, osd=False, restarts=0, gamma=0.0)
+        ea, ca = a.decode_batch(synd)
+        eb, cb = b.decode_batch(synd)
+        np.testing.assert_array_equal(ea, eb)
+        np.testing.assert_array_equal(ca, cb)
