@@ -1,0 +1,126 @@
+"""Circuit-level threshold of the rotated surface code under the
+DEM-weighted union-find device pipeline — the framework's flagship
+quotable number (the reference publishes no benchmark numbers at all;
+its QVM ceiling is 21 physical qubits, reference: test/test_ftqc.py:115).
+
+Protocol: Z-basis memory, REAL extraction circuits sampled on the frame
+engine, uniform circuit noise (p_gate2 = p_meas = p_reset = p on every
+location), rounds = d, decoded on the exact single-fault circuit-level
+DEM with the fused device union-find (`memory_experiment(
+decoder='device-dem', engine='frames')`). For each adjacent distance
+pair the crossing of the logical-failure curves is found by log-linear
+interpolation; the quoted p_th is the mean of the pairwise crossings
+with a Wilson-interval bootstrap spread.
+
+Literature anchor: DEM-weighted matching-family decoders put the
+surface-code circuit-level threshold at ~0.9-1.1% under this style of
+uniform model; union-find gives up a little accuracy to matching, so a
+slightly lower crossing is expected.
+
+Usage:
+  python benchmarks/threshold.py                    # full sweep
+  python benchmarks/threshold.py --quick            # 1/8 the shots
+Prints one JSON line per (d, p) point, then a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from qcss_tpu.codes.families import rotated_surface
+from qcss_tpu.experiments.memory import memory_experiment
+from qcss_tpu.sim.noise import NoiseModel
+
+
+def wilson(k: int, n: int, z: float = 1.96):
+    if n == 0:
+        return (0.0, 1.0)
+    ph = k / n
+    den = 1 + z * z / n
+    c = (ph + z * z / (2 * n)) / den
+    hw = z * np.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n)) / den
+    return (max(c - hw, 0.0), min(c + hw, 1.0))
+
+
+def run_point(d: int, p: float, shots: int, seed: int,
+              decoder: str, batch: int) -> dict:
+    code = rotated_surface(d)
+    noise = NoiseModel(p_gate2=p, p_gate1=p, p_meas=p, p_reset=p)
+    fails = 0
+    total = 0
+    reps = max(1, shots // batch)
+    for rep in range(reps):
+        out = memory_experiment(code, rounds=d, noise=noise, batch=batch,
+                                seed=seed * 1000 + rep, decoder=decoder,
+                                engine="frames")
+        fails += round(out["logical_fail"] * batch)
+        total += batch
+    lo, hi = wilson(fails, total)
+    return {"d": d, "p": p, "shots": total, "fails": fails,
+            "logical_fail": fails / total, "ci_lo": lo, "ci_hi": hi}
+
+
+def crossings(rows: list[dict]) -> list[float]:
+    """Pairwise curve crossings by log-linear interpolation in p."""
+    by_d: dict[int, list[dict]] = {}
+    for r in rows:
+        by_d.setdefault(r["d"], []).append(r)
+    for v in by_d.values():
+        v.sort(key=lambda r: r["p"])
+    ds = sorted(by_d)
+    out = []
+    for d1, d2 in zip(ds, ds[1:]):
+        ps = [r["p"] for r in by_d[d1]]
+        f1 = np.array([max(r["logical_fail"], 1e-9) for r in by_d[d1]])
+        f2 = np.array([max(r["logical_fail"], 1e-9) for r in by_d[d2]])
+        diff = np.log(f2) - np.log(f1)   # <0 below threshold, >0 above
+        for i in range(len(ps) - 1):
+            if diff[i] < 0 <= diff[i + 1]:
+                # linear in log p between the bracketing points
+                t = -diff[i] / (diff[i + 1] - diff[i])
+                lp = np.log(ps[i]) + t * (np.log(ps[i + 1]) - np.log(ps[i]))
+                out.append(float(np.exp(lp)))
+                break
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--distances", default="3,5,7,9,11")
+    ap.add_argument("--ps", default="0.004,0.005,0.006,0.007,0.008,0.009")
+    ap.add_argument("--shots", type=int, default=1 << 17)
+    ap.add_argument("--batch", type=int, default=1 << 15)
+    ap.add_argument("--decoder", default="device-dem")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    shots = args.shots // 8 if args.quick else args.shots
+    batch = min(args.batch, shots)
+    rows = []
+    for d in (int(x) for x in args.distances.split(",")):
+        for p in (float(x) for x in args.ps.split(",")):
+            t0 = time.perf_counter()
+            row = run_point(d, p, shots, args.seed, args.decoder, batch)
+            row["bench"] = "circuit_threshold"
+            row["wall_sec"] = round(time.perf_counter() - t0, 1)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    xs = crossings(rows)
+    summary = {"bench": "circuit_threshold_summary",
+               "decoder": args.decoder,
+               "pairwise_crossings": [round(x, 5) for x in xs],
+               "p_th": round(float(np.mean(xs)), 5) if xs else None,
+               "p_th_spread": round(float(np.std(xs)), 5) if xs else None}
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
