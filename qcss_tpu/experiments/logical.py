@@ -60,15 +60,46 @@ tests/test_logical.py):
     the right program position (`meta["x_ops"]`: physical X̄ chains
     applied at phase boundaries — mid-program ordering matters:
     x(c) BEFORE cnot(c, t) flips both outputs, AFTER flips only z_c).
+  * `z(q)` / `y(q)`: the dual/combined Pauli frame ops (round 4) —
+    bit-tracking plus recorded physical chains for the golds.
+  * `h(q)` (round 4): logical H as a TRANSVERSAL physical H = the
+    90-degree patch rotation. Needs NO new fault-model machinery: the
+    scored history's supports are constant per patch (H exchanges each
+    check with its rotated partner ON THE SAME SUPPORT), so `h` only
+    toggles which sector scores the final readout and how the protocol
+    runner interprets each row physically — see the method docstring.
+  * `s(q)` (round 4): standalone logical S by S-state injection on the
+    T-gadget machinery (same schedule/fault surface; the wrong-m1
+    branch is the PAULI Z̄, not S̄† — Clifford gadget).
+  * `mx(q)` (round 4): non-destructive X̄ measurement via a horizontal
+    XX merge with a |+̄⟩ ancilla (|+⟩ seam); scored in the X-sector
+    schedule. Collapses the tracked state to a SYMBOLIC X bit.
+  * `x_if(q, name)` (round 4): classical feedback — the conditional
+    X̄^m compiled as observable algebra (frames are software; no
+    physical op). The reference's measure-and-correct program
+    (test/test_ftqc.py:104-113) is exactly mx + h + x_if via
+    MZ∘H = H∘MX.
   * `measure()` finalizes: obs row per data qubit = final transversal
-    Z̄ readout ⊕ its accumulated frame terms.
+    Z̄ readout ⊕ its accumulated frame terms; odd-H-parity patches
+    score in the `build_x` schedule (rotated Z̄' = interior column).
+    Channels whose logical history lost its anchor (e.g. Z̄ after an
+    un-h'd mx — re-projected gauge) are DROPPED and listed in
+    `meta["unscored"]`; declaring them trips the same-signature guard.
 
-Deterministic semantics: Z-basis inputs under {x, cnot, mzz, t} stay
-classical bits, so the compiler tracks the expected value of every
-scored observable (`meta["obs_expected"]`; None for projection-random
-channels — the declared-|+̄⟩ T-gadget m1). Decode failure rates are
-frame-relative and do not depend on the expected table; golds and
-users interpreting raw outcomes do.
+Deterministic semantics: Pauli-eigenstate inputs under the op set stay
+a tracked (basis, bit, symbolic-measurement-set) machine, so the
+compiler tracks the expected value of every scored observable
+(`meta["obs_expected"]`; None for projection-random or symbolic
+channels — the declared-|+̄⟩ T-gadget m1, a post-h readout). Decode
+failure rates are frame-relative and do not depend on the expected
+table; golds and users interpreting raw outcomes do.
+
+With h/s/mx/x_if the compiler now runs every deterministic test
+program of the reference (X/Y/Z/XXX/YZ/HZH and the measure-and-correct
+feedback program, test/test_ftqc.py:22-113) at the surgery tier, each
+tableau-gold-tested. Gadget/merge ops require even H parity (rotated-
+patch merges are not modeled); `h` requires an empty frame; circuit-
+tier `h` is not modeled (run/run_full only).
 
 The reference has no multi-patch machinery, no logical two-qubit gate,
 and no non-Clifford path at all (reference: ftqc.py:42-120,
@@ -148,7 +179,28 @@ class LogicalProgram:
         self._anc_count = 0
         self._built = None
         self._bits = [0] * n_data
+        # tracked single-qubit Pauli-eigenstate machine: basis 'z'/'x'/'y'
+        # with a classical bit, plus symbolic measurement references
+        # (set of aux-obs names whose XOR the bit depends on) — see
+        # `_expected`. H parity per patch decides which SECTOR scores
+        # the final readout (see `h`).
+        self._basis = ["z"] * n_data
+        self._bsyms: list[set] = [set() for _ in range(n_data)]
+        self._hpar = [0] * n_data
+        # which sector a data patch's accumulated frame terms live in
+        # ('z' | 'x'); must match the sector its final readout scores in
+        self._frame_sec: dict[str, str] = {}
+        # per-patch channel anchoring: a final readout is SCOREABLE only
+        # while the model holds a reference for it — a joint measurement
+        # that randomizes the conjugate logical without recording a
+        # recoverable anchor makes that side pure gauge (the build-time
+        # same-signature guard fires if it is declared anyway; mx
+        # surfaced this). |0>-init anchors BOTH: Z̄ by value, X̄ by the
+        # phase-0 conjugate projection. h swaps the two flags.
+        self._z_ok = [True] * n_data
+        self._x_ok = [True] * n_data
         self._xops: list[tuple[int, tuple[int, ...]]] = []
+        self._frame_ops: list[tuple] = []
         self._op_log: list[tuple] = []
         # X-CHECK-sector bookkeeping (Z-error faults; see build_x):
         # X-basis measure-outs are SCORED readouts there, Z-basis inits
@@ -156,6 +208,7 @@ class LogicalProgram:
         self._x_reads: list[P.Readout] = []
         self._x_conj: list[P.Readout] = []
         self._x_obs: list[tuple[str, list]] = []
+        self._x_expected: list[int | None] = []
 
         for i in range(n_data):
             pid = f"d{i}"
@@ -293,6 +346,30 @@ class LogicalProgram:
         return len(self._phases) - 1
 
     # -- ops --------------------------------------------------------------------
+
+    def _expected(self, q: int) -> int | None:
+        """Deterministic Z-readout expectation of data qubit q, or None
+        when the tracked state is projection-random (non-Z basis) or
+        depends on an unresolved symbolic measurement."""
+        if self._basis[q] != "z" or self._bsyms[q]:
+            return None
+        return self._bits[q]
+
+    def _pair_expected(self, a: int, b: int) -> int | None:
+        """Deterministic Z̄_a·Z̄_b expectation, or None (non-Z basis or
+        unresolved symbols that do not cancel)."""
+        if self._basis[a] != "z" or self._basis[b] != "z":
+            return None
+        if self._bsyms[a] ^ self._bsyms[b]:
+            return None
+        return self._bits[a] ^ self._bits[b]
+
+    def _require_even(self, op: str, *qs: int):
+        for q in qs:
+            if self._hpar[q] & 1:
+                raise ValueError(f"{op}() on a rotated (odd-H-parity) "
+                                 "patch is not modeled; apply h after "
+                                 "entangling ops")
 
     def _check_free(self, slot):
         I, J = slot
@@ -569,10 +646,11 @@ class LogicalProgram:
             self._x_reads.append(P.Readout(
                 len(self._phases) - 1, tuple(self._block_qubits(slot))))
         for (a, b), m1, m2, fa in zip(pairs, m1s, m2s, frames_a):
+            self._x_ok[a] = self._x_ok[b] = False
             terms = _xor_terms(_xor_terms(m1, m2), fa)
             self._aux_obs.append((f"mzz{a}{b}_{len(self._aux_obs)}",
                                   terms))
-            self._aux_expected.append(self._bits[a] ^ self._bits[b])
+            self._aux_expected.append(self._pair_expected(a, b))
         self._op_log.append(("mzz_layer", tuple(pairs)))
         return self
 
@@ -581,6 +659,7 @@ class LogicalProgram:
         routed along the routing row."""
         if not (0 <= c < self.n_data and 0 <= t < self.n_data) or c == t:
             raise ValueError("bad control/target")
+        self._require_even("cnot", c, t)
         a = self._prep((1, 2 * c))
         m1 = self._zz(f"d{c}", a)
         step = 1 if t > c else -1
@@ -611,8 +690,17 @@ class LogicalProgram:
         pi = [P.readout_bit(split_ph, seam_on_row[0])]
         upd = _xor_terms(_xor_terms(m1, self._frames.pop(a)),
                          _xor_terms(m_a, pi))
+        if self._frames[f"d{t}"] and \
+                self._frame_sec.get(f"d{t}", "z") != "z":
+            raise ValueError("cnot target carries X-sector frame terms")
+        self._frame_sec[f"d{t}"] = "z"
         self._frames[f"d{t}"] = _xor_terms(self._frames[f"d{t}"], upd)
-        self._bits[t] ^= self._bits[c]
+        self._x_ok[c] = self._x_ok[t] = False
+        if self._basis[c] == "z" and self._basis[t] == "z":
+            self._bits[t] ^= self._bits[c]
+            self._bsyms[t] ^= self._bsyms[c]
+        else:                      # untrackable (entangling) input
+            self._basis[c] = self._basis[t] = "e"
         self._op_log.append(("cnot", c, t))
         return self
 
@@ -622,8 +710,42 @@ class LogicalProgram:
         — scored as its own observable row (`t{q}_m1`); Z̄_q itself is
         unchanged by T. The magic patch is a stabilizer stand-in with
         the identical fault model (physics: experiments/surgery_t.py)."""
+        if self._basis[q] != "z":
+            raise ValueError("t() needs a Z-basis qubit (non-stabilizer "
+                             "state otherwise); apply it before h/s")
+        return self._magic_gadget(q, "t")
+
+    def s(self, q: int) -> "LogicalProgram":
+        """Standalone logical S on data qubit q — twist-free S-state
+        injection: the SAME merge-split-readout gadget as `t` (the
+        physical ancilla is |Ȳ⟩ = S̄|+̄⟩ instead of a T magic state),
+        measured-m1 selecting S̄ vs S̄† = S̄·Z̄. Unlike T, the wrong-m1
+        branch differs only by a PAULI (Z̄) — the gadget is Clifford —
+        so `s{q}_m1` failing corrupts the Z̄ frame rather than applying
+        a non-Clifford error. Fault model and schedule are IDENTICAL to
+        `t` (the stand-in patch carries the same merge/readout fault
+        surface); only the tracked state and the channel interpretation
+        differ. Reference anchor: the reference registers transversal S
+        only for doubly-even self-dual codes (css_code.py:199,429-431)
+        and has no path at all for codes without it — this gadget is
+        the surface-code route."""
+        # S: |z_b⟩ -> |z_b⟩ (phase only); |x_b⟩ -> |y_b⟩; |y_b⟩ -> |x_{1-b}⟩
+        if self._basis[q] == "x":
+            self._basis[q] = "y"
+        elif self._basis[q] == "y":
+            self._basis[q] = "x"
+            self._bits[q] ^= 1
+        return self._magic_gadget(q, "s")
+
+    def _magic_gadget(self, q: int, kind: str) -> "LogicalProgram":
         if not 0 <= q < self.n_data:
             raise ValueError("bad qubit")
+        if self._hpar[q] & 1:
+            raise ValueError("magic gadgets need an even-H-parity patch "
+                             "(rotated-patch merges are not modeled)")
+        self._x_ok[q] = False   # the ZZ joint randomizes X̄_q; only
+        #                           the OUT channel's anchored product
+        #                           is recorded (no X̄ frame on q)
         m = self._prep((1, 2 * q))
         m1 = self._zz(f"d{q}", m, ref="first", seam_basis="x")
         seam_ro = self._x_reads[-1]       # the ZZ seam's X readout
@@ -649,10 +771,11 @@ class LogicalProgram:
         terms = [P.logical_at(ph_last, self._xrep((0, 2 * q))),
                  P.readout_logical(ph_last, self._xrep(slot)),
                  P.readout_bit(seam_ro.phase, s0[0])]
-        self._x_obs.append((f"t{q}_out_{len(self._x_obs)}", terms))
-        self._aux_obs.append((f"t{q}_m1_{len(self._aux_obs)}", m1))
+        self._x_obs.append((f"{kind}{q}_out_{len(self._x_obs)}", terms))
+        self._x_expected.append(None)
+        self._aux_obs.append((f"{kind}{q}_m1_{len(self._aux_obs)}", m1))
         self._aux_expected.append(None)   # projection-random on |+̄⟩
-        self._op_log.append(("t", q))
+        self._op_log.append((kind, q))
         return self
 
     def mzz(self, a: int, b: int) -> "LogicalProgram":
@@ -666,6 +789,7 @@ class LogicalProgram:
         (`patches.parity_chain_model` hand-rolls the column version)."""
         if not (0 <= a < self.n_data and 0 <= b < self.n_data) or a == b:
             raise ValueError("bad mzz pair")
+        self._require_even("mzz", a, b)
         anc = self._prep((1, 2 * a))
         m1 = self._zz(f"d{a}", anc)
         step = 1 if b > a else -1
@@ -684,8 +808,9 @@ class LogicalProgram:
         self._x_reads.append(P.Readout(len(self._phases) - 1,
                                        tuple(self._block_qubits(slot))))
         terms = _xor_terms(_xor_terms(m1, m2), frame_a)
+        self._x_ok[a] = self._x_ok[b] = False
         self._aux_obs.append((f"mzz{a}{b}_{len(self._aux_obs)}", terms))
-        self._aux_expected.append(self._bits[a] ^ self._bits[b])
+        self._aux_expected.append(self._pair_expected(a, b))
         self._op_log.append(("mzz", a, b))
         return self
 
@@ -702,25 +827,262 @@ class LogicalProgram:
         program can score, so there is nothing to compile for it.)"""
         if not 0 <= q < self.n_data:
             raise ValueError("bad qubit")
-        self._bits[q] ^= 1
-        r0, c0 = self._origin((0, 2 * q))
-        chain = tuple((r0 + r) * self.cols_q + c0 for r in range(self.d))
+        if self._basis[q] in ("z", "y"):
+            self._bits[q] ^= 1
+        chain = self._xbar_chain(q)
         self._xops.append((len(self._phases), chain))
+        self._frame_ops.append(("x", len(self._phases), chain))
         self._op_log.append(("x", q))
         return self
 
+    def _xbar_chain(self, q: int) -> tuple[int, ...]:
+        """Physical X̄ chain of data patch q's CURRENT code: a column of
+        X's at even H parity; after an odd number of h's the patch is
+        the rotated code, whose X̄' = H X̄ H-conjugate is an X ROW."""
+        r0, c0 = self._origin((0, 2 * q))
+        if self._hpar[q] & 1:
+            return tuple(r0 * self.cols_q + c0 + c for c in range(self.d))
+        return tuple((r0 + r) * self.cols_q + c0 for r in range(self.d))
+
+    def _zbar_chain(self, q: int) -> tuple[int, ...]:
+        """Physical Z̄ chain of the current code: a row of Z's at even
+        parity, a COLUMN (the rotated code's Z̄') at odd parity."""
+        r0, c0 = self._origin((0, 2 * q))
+        if self._hpar[q] & 1:
+            return tuple((r0 + r) * self.cols_q + c0 for r in range(self.d))
+        return tuple(r0 * self.cols_q + c0 + c for c in range(self.d))
+
+    def z(self, q: int) -> "LogicalProgram":
+        """Logical Z̄ on data qubit q — the dual frame op of `x`. For a
+        Z-basis qubit it is the identity on every observable this
+        compiler scores; on an X/Y-basis qubit (after `h`/`s`) it flips
+        the tracked bit. Emits no phases and no fault locations; the
+        physical chain is recorded for the tableau golds (it flips
+        X-sector readouts and premeasured X̄ references). Reference
+        anchor: _apply_pauli, css_code.py:386-407."""
+        if not 0 <= q < self.n_data:
+            raise ValueError("bad qubit")
+        if self._basis[q] in ("x", "y"):
+            self._bits[q] ^= 1
+        self._frame_ops.append(("z", len(self._phases),
+                                self._zbar_chain(q)))
+        self._op_log.append(("z", q))
+        return self
+
+    def y(self, q: int) -> "LogicalProgram":
+        """Logical Ȳ = iX̄Z̄ — flips the tracked bit in the Z and X bases
+        (leaves a Y-basis state alone); physically the Z̄ then X̄ chains
+        (global phase untracked). Reference anchor: y_operators,
+        css_code.py:163-172."""
+        if not 0 <= q < self.n_data:
+            raise ValueError("bad qubit")
+        if self._basis[q] in ("z", "x"):
+            self._bits[q] ^= 1
+        self._frame_ops.append(("z", len(self._phases),
+                                self._zbar_chain(q)))
+        self._frame_ops.append(("x", len(self._phases),
+                                self._xbar_chain(q)))
+        self._op_log.append(("y", q))
+        return self
+
+    def h(self, q: int) -> "LogicalProgram":
+        """Logical H on data qubit q — a TRANSVERSAL physical H on the
+        patch, which maps it to the 90-degree-rotated surface code
+        (Z-type stabilizers on the X-plaquette layout and vice versa).
+
+        The fault model needs NO new machinery: tracing the final
+        observable backward from the readout, each H boundary maps the
+        scored check history onto the SAME supports (H exchanges the
+        Z-check and the rotated code's X-check on one plaquette, so the
+        cross-boundary time-pair detectors stay deterministic on
+        unchanged rows), so each patch's scored-sector supports are
+        CONSTANT across all phases and equal to `build`'s hz embedding
+        when the patch's TOTAL H count is even, and to `build_x`'s hx
+        embedding when it is odd. Under the uniform (species-symmetric)
+        phenomenological noise both sectors' fault processes are iid,
+        so the assembled F/obs/graph arrays are literally unchanged —
+        `h` only (1) toggles which sector scores the patch's final
+        readout (`measure` routes odd-parity patches to the X-sector
+        schedule with the interior-COLUMN representative: the rotated
+        code's Z̄'), and (2) reinterprets which PHYSICAL measurement
+        each model row is, which only the tableau protocol runner
+        (`experiments.protocol`) must honor: post-H it measures the hz
+        rows as X-type operators and the hx rows as Z-type, applies the
+        recorded transversal H at the boundary, and reads the patch's
+        final word in the basis the evaluated recipe needs.
+
+        Restrictions (documented, guard-enforced): the patch must carry
+        no accumulated frame terms (they would straddle sectors — H
+        after entangling ops needs the joint two-sector machinery), and
+        merges of rotated patches (gadgets/cnot/mzz on odd parity) are
+        not modeled. Reference anchor: transversal H,
+        css_code.py:188-201,409-431 — valid there only when C1=C2; the
+        surface patch needs the rotation argument above instead."""
+        if not 0 <= q < self.n_data:
+            raise ValueError("bad qubit")
+        if self._frames[f"d{q}"]:
+            raise ValueError(
+                "h() on a patch with accumulated frame terms would mix "
+                "sectors; apply h before entangling ops or conditionals")
+        if self._basis[q] == "z":
+            self._basis[q] = "x"
+        elif self._basis[q] == "x":
+            self._basis[q] = "z"
+        elif self._basis[q] == "y":   # H on a Y eigenstate: |+i> <-> |-i>
+            self._bits[q] ^= 1
+        self._hpar[q] ^= 1
+        self._frame_ops.append(("h", len(self._phases),
+                                tuple(self._block_qubits((0, 2 * q)))))
+        self._op_log.append(("h", q))
+        return self
+
+    def idle(self) -> "LogicalProgram":
+        """One separate-patches phase (R extraction rounds) with no op —
+        exposes every patch to memory noise; also gives frame ops (h
+        in particular) EC rounds between them, which is what makes the
+        rotated-interval fault model non-trivial."""
+        self._push_sep()
+        self._op_log.append(("idle",))
+        return self
+
+    def mx(self, q: int) -> "LogicalProgram":
+        """NON-destructive logical X̄ measurement of data qubit q — the
+        X-basis mirror of `mzz`'s machinery: a |+̄⟩ ancilla A beside the
+        patch on the data row, one HORIZONTAL XX merge (|+⟩ seam: the
+        X sector keeps its merge-entry detectors — scored init there,
+        conjugate for the Z sector), split with A + seam measured out
+        in X (X-sector scored readouts with closure detectors). The
+        measured combination m = X̄_q·X̄_A with X̄_A deterministic (+1)
+        on the fresh |+̄⟩, so `mx{q}_*` = X̄_q — scored in the build_x
+        schedule (X-type outcomes live in the X-check sector). The
+        patch survives; its Z̄ is genuinely randomized (X̄ measurement),
+        which the tracked state records by collapsing to the X basis
+        with a SYMBOLIC bit naming this outcome — `x_if` can cancel it
+        (the reference's measure-and-correct feedback,
+        test/test_ftqc.py:104-113, compiles to exactly mx + h + x_if
+        via MZ∘H = H∘MX)."""
+        if not 0 <= q < self.n_data:
+            raise ValueError("bad qubit")
+        self._require_even("mx", q)
+        j = 2 * q + 1 if 2 * q + 1 < self.slot_cols else 2 * q - 1
+        a = self._prep((0, j))
+        a_slot, q_slot = (0, j), (0, 2 * q)
+        seam, orient = self._seam_qubits(a_slot, q_slot)
+        assert orient == "h"
+        ph = self._push_merged(a_slot, q_slot, "h")
+        # |+> seam: conjugate init for the Z sector, scored for X
+        self._conj.append(P.Readout(ph, tuple(seam)))
+        target = (self._xrep(a_slot) ^ self._xrep(q_slot)).astype(np.uint8)
+        # split: A + seam measured out in X — scored X-sector readouts
+        del self._occ[a_slot]
+        del self._slot_of[a]
+        self._frames.pop(a)
+        self._push_sep()
+        split_ph = len(self._phases) - 1
+        vacated = self._block_qubits(a_slot) + seam
+        self._x_reads.append(P.Readout(split_ph, tuple(vacated)))
+        m_terms = [P.joint(ph, target, mode="even", ref="last")]
+        name = f"mx{q}_{len(self._x_obs)}"
+        if self._basis[q] == "x" and not self._bsyms[q]:
+            exp = self._bits[q]
+        else:
+            exp = None
+        self._x_obs.append((name, m_terms))
+        self._x_expected.append(exp)
+        self._z_ok[q] = False      # Z̄ re-projected, anchor unrecorded
+        self._x_ok[q] = True       # the outcome itself anchors X̄
+        if self._basis[q] != "x":     # collapse onto the measured axis
+            self._basis[q] = "x"
+            self._bits[q] = 0
+            self._bsyms[q] = {name}
+        self._op_log.append(("mx", q))
+        return self
+
+    def x_if(self, q: int, outcome: str) -> "LogicalProgram":
+        """Conditional logical X̄ on q keyed on a measured program
+        outcome (`outcome` = an aux-observable name: an mx/mzz/m1 row)
+        — classical feedback compiled as OBSERVABLE ALGEBRA: frames are
+        software in this framework (the reference's known-errors-as-
+        classical-memory design, qecc.py:14-31), so the conditional
+        X̄^m XORs m's term combination into q's frame; no physical op
+        is emitted and the final readout combination self-corrects.
+        The referenced terms carry their sector with them; a patch's
+        frame must stay single-sector (cross-sector feedback would
+        need jointly-decoded sectors — refused)."""
+        if not 0 <= q < self.n_data:
+            raise ValueError("bad qubit")
+        sec = terms = None
+        for nm, tl in self._aux_obs:
+            if nm == outcome:
+                sec, terms = "z", tl
+        for nm, tl in self._x_obs:
+            if nm == outcome:
+                sec, terms = "x", tl
+        if terms is None:
+            raise ValueError(f"no measured outcome named {outcome!r}")
+        pid = f"d{q}"
+        if self._frames[pid] and self._frame_sec.get(pid, sec) != sec:
+            raise ValueError("cross-sector feedback on one patch is "
+                             "not decodable by the independent-sector "
+                             "model")
+        self._frame_sec[pid] = sec
+        self._frames[pid] = _xor_terms(self._frames[pid], terms)
+        if self._basis[q] in ("z", "y"):
+            self._bsyms[q] ^= {outcome}
+        self._op_log.append(("x_if", q, outcome))
+        return self
+
     def measure(self) -> "LogicalProgram":
-        """Finalize: transversal Z readout of every data patch."""
+        """Finalize: transversal Z readout of every data patch.
+
+        A patch with EVEN H parity scores in the Z-sector schedule as
+        always (interior-ROW representative ⊕ accumulated frames). A
+        patch with ODD parity is the ROTATED code at readout time: its
+        Z̄' is the interior-COLUMN support and its whole scored check
+        history rides the hx embedding, i.e. the `build_x` schedule —
+        the observable is declared there (`run_full` scores it; `run`
+        refuses). Expected values come from the tracked state machine
+        (None when the state is projection-random or symbolic)."""
+        if hasattr(self, "_obs"):
+            return self
         self._obs_names = [name for name, _ in self._aux_obs]
         self._obs = [terms for _, terms in self._aux_obs]
         self._obs_expected = list(self._aux_expected)
+        self._unscored: list[str] = []
         for i in range(self.n_data):
             pid = f"d{i}"
-            terms = _xor_terms([P.logical(self._zrep(self._slot_of[pid]))],
-                               self._frames[pid])
-            self._obs_names.append(f"z{i}")
-            self._obs.append(terms)
-            self._obs_expected.append(self._bits[i])
+            exp = self._expected(i)
+            need = "x" if self._hpar[i] & 1 else "z"
+            # anchor check: the readout is a decodable channel only if
+            # the measured logical's history has a recorded reference
+            # (flags live in the unrotated frame; odd parity reads the
+            # X̄ history). mx-without-h is the canonical drop: its Z̄ is
+            # re-projected gauge and declaring it trips the build-time
+            # same-signature guard.
+            ok = self._x_ok[i] if self._hpar[i] & 1 else self._z_ok[i]
+            if not ok:
+                self._unscored.append(f"z{i}")
+                continue
+            if self._frames[pid] and \
+                    self._frame_sec.get(pid, need) != need:
+                raise ValueError(
+                    f"patch {pid}: frame terms live in the "
+                    f"{self._frame_sec[pid]!r} sector but the final "
+                    f"readout scores in {need!r} (apply h before the "
+                    "conditional, as mx+h+x_if does)")
+            if self._hpar[i] & 1:
+                terms = _xor_terms(
+                    [P.logical(self._xrep(self._slot_of[pid]))],
+                    self._frames[pid])
+                self._x_obs.append((f"z{i}", terms))
+                self._x_expected.append(exp)
+            else:
+                terms = _xor_terms(
+                    [P.logical(self._zrep(self._slot_of[pid]))],
+                    self._frames[pid])
+                self._obs_names.append(f"z{i}")
+                self._obs.append(terms)
+                self._obs_expected.append(exp)
         return self
 
     def build(self, p: float | None = None,
@@ -745,7 +1107,9 @@ class LogicalProgram:
             with_recipe=with_recipe)
         model.meta["obs_names"] = list(self._obs_names)
         model.meta["obs_expected"] = list(self._obs_expected)
+        model.meta["unscored"] = list(getattr(self, "_unscored", []))
         model.meta["x_ops"] = list(self._xops)
+        model.meta["frame_ops"] = list(self._frame_ops)
         model.meta["op_log"] = list(self._op_log)
         cache[ck] = model
         return model
@@ -791,6 +1155,9 @@ class LogicalProgram:
             conjugate_init=tuple(self._x_conj), p=p, q=q,
             with_recipe=with_recipe)
         model.meta["obs_names"] = [name for name, _ in self._x_obs]
+        model.meta["obs_expected"] = list(self._x_expected)
+        model.meta["unscored"] = list(getattr(self, "_unscored", []))
+        model.meta["frame_ops"] = list(self._frame_ops)
         model.meta["op_log"] = list(self._op_log)
         return model
 
@@ -848,6 +1215,10 @@ class LogicalProgram:
         operating noise, where compiled-program shots carry a handful of
         defects in thousands of detectors."""
         q_ = p if q is None else q
+        if any(hp & 1 for hp in self._hpar):
+            raise ValueError(
+                "program has odd-H-parity patches whose final readout "
+                "scores in the X-sector schedule; use run_full")
         kw = dict(p=p, q=q_) if weighted else dict(p=None, q=None)
         model = self.build(**kw)
         if decoder in ("device-uf", "device-uf-sparse"):
@@ -882,6 +1253,13 @@ class LogicalProgram:
         home. Dropped names are recorded in `meta["dropped_obs"]`."""
         from qcss_tpu.experiments import schedule_circuit as SC
 
+        if any(kind == "h" for kind, _, _ in self._frame_ops):
+            raise NotImplementedError(
+                "circuit-level h(): a transversal H swaps which physical "
+                "fault species feeds each detector mid-program; the "
+                "circuit tier's per-sector extraction circuits do not "
+                "model the swap yet (the phenomenological tiers do — "
+                "use run/run_full)")
         if not hasattr(self, "_obs"):
             self.measure()
         drop = tuple(i for i, e in enumerate(self._obs_expected)

@@ -89,6 +89,19 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
 
     t = tb.zero_state(1, n + rz_max + rx_max)
 
+    # transversal-H frame ops rotate patches mid-program: from the
+    # recorded boundary on, the Z-sector model's rows on those qubits
+    # are PHYSICALLY X-type operators (and the X-sector's rows Z-type)
+    # — see LogicalProgram.h. rot_phase[ph, q] = 1 when qubit q is
+    # rotated during phase ph; rot_phase[n_ph] is the end state.
+    frame_ops = model.meta.get("frame_ops")
+    n_ph_total = len(prog._phases)
+    rot_phase = np.zeros((n_ph_total + 1, n), np.uint8)
+    if frame_ops:
+        for kind, b, qubits in frame_ops:
+            if kind == "h":
+                rot_phase[b:, list(qubits)] ^= 1
+
     # -- per-phase round programs (NOP-padded to shared shapes) -----------
     # X and Z extraction run as SEPARATE segments (scan + measure +
     # reset each): within a segment the parallel per-check circuits
@@ -99,29 +112,37 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
     # scan would contaminate the measured operators.
     def segment_arrays(ph, sector):
         ops, q0, q1 = [], [], []
-        if sector == "z":
-            h = prog._phases[ph].checks
-            for c in range(h.shape[0]):
-                for j in np.nonzero(h[c])[0]:
-                    ops.append(6)              # CNOT data -> Z ancilla
-                    q0.append(int(j))
-                    q1.append(anc_z + c)
-            ancs = [anc_z + c for c in range(h.shape[0])]
-        else:
-            h = prog._conj_checks[ph]
-            for c in range(h.shape[0]):
-                a = anc_x + c
+        h = prog._phases[ph].checks if sector == "z" \
+            else prog._conj_checks[ph]
+        base = anc_z if sector == "z" else anc_x
+        rot = rot_phase[ph]
+        for c in range(h.shape[0]):
+            sup = np.nonzero(h[c])[0]
+            r = bool(rot[sup].any())
+            if r:
+                assert rot[sup].all(), \
+                    "check row straddles a rotation boundary"
+            # a rotated patch's Z-sector rows are X-type measurements
+            # (and vice versa); unrotated rows keep their sector type
+            as_x = (sector == "z") == r
+            a = base + c
+            if as_x:
                 ops.append(4)                  # H sandwich
                 q0.append(a)
                 q1.append(0)
-                for j in np.nonzero(h[c])[0]:
+                for j in sup:
                     ops.append(6)              # CNOT X ancilla -> data
                     q0.append(a)
                     q1.append(int(j))
                 ops.append(4)
                 q0.append(a)
                 q1.append(0)
-            ancs = [anc_x + c for c in range(h.shape[0])]
+            else:
+                for j in sup:
+                    ops.append(6)              # CNOT data -> Z ancilla
+                    q0.append(int(j))
+                    q1.append(a)
+        ancs = [base + c for c in range(h.shape[0])]
         return ops, q0, q1, ancs
 
     sectors = ("x", "z") if measure_x_checks else ("z",)
@@ -209,9 +230,28 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
     if prep_x_flips:
         t = tb.apply_x_many(t, np.asarray(prep_x_flips, np.int32))
 
-    x_at: dict[int, list] = {}
-    for phx, chain in model.meta.get("x_ops", []):
-        x_at.setdefault(phx, []).extend(chain)
+    # frame ops (x/z/h chains) by boundary, in program order; legacy
+    # models without frame_ops meta fall back to x_ops
+    fops_at: dict[int, list] = {}
+    if frame_ops is not None:
+        for kind, b, qubits in frame_ops:
+            fops_at.setdefault(b, []).append((kind, qubits))
+    else:
+        for phx, chain in model.meta.get("x_ops", []):
+            fops_at.setdefault(phx, []).append(("x", chain))
+
+    def apply_frame_ops(ph):
+        nonlocal t
+        for kind, qubits in fops_at.get(ph, ()):
+            qa = np.asarray(sorted(qubits), np.int32)
+            if kind == "x":
+                t = tb.apply_x_many(t, qa)
+            elif kind == "z":
+                t = tb.apply_z_many(t, qa)
+            elif kind == "h":
+                t = tb.apply_h_many(t, qa)
+            else:
+                raise ValueError(f"unknown frame op {kind!r}")
     conj_at: dict[int, list] = {}
     for ci in prog._conj:
         conj_at.setdefault(ci.phase, []).extend(ci.qubits)
@@ -226,6 +266,10 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
     for ph in range(n_ph):
         if ph > 0:
             gone = np.nonzero(active[ph - 1] & (1 - active[ph]))[0]
+            # mid-program measure-outs of rotated patches are not
+            # modeled (gadgets require even H parity)
+            assert not rot_phase[ph - 1][gone].any(), \
+                "transition readout touches a rotated patch"
             scored = sorted(set(reads_at.get(ph, [])))
             if scored:
                 outs = measure_in_z(scored)
@@ -242,9 +286,9 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
         if ph in conj_at and ph not in skip_h_phases:
             t = tb.apply_h_many(t, np.asarray(sorted(conj_at[ph]),
                                               np.int32))
-        # program-order logical X̄ chains landing at this boundary
-        if ph in x_at:
-            t = tb.apply_x_many(t, np.asarray(sorted(x_at[ph]), np.int32))
+        # program-order frame ops (x/z chains, transversal h) landing
+        # at this boundary
+        apply_frame_ops(ph)
         if premeasure_x is not None and premeasure_x[0] == ph:
             pre.append(measure_x_op(premeasure_x[1]))
         rz = prog._phases[ph].checks.shape[0]
@@ -257,11 +301,18 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
             outs = run_segment(ph, "z")
             for c in range(rz):
                 outcomes[meas_pos[(ph, t_global, c)]] = outs[c]
-    if n_ph in x_at:    # X̄ ops trailing the last emitted phase
-        t = tb.apply_x_many(t, np.asarray(sorted(x_at[n_ph]), np.int32))
+    apply_frame_ops(n_ph)   # frame ops trailing the last emitted phase
     fin_qubits = [int(qb) for qb in np.nonzero(active[-1])[0]]
-    if final_basis == "x":
-        t = tb.apply_h_many(t, np.asarray(fin_qubits, np.int32))
+    # final transversal readout basis PER QUBIT: H-then-Z-measure when
+    # (rotated at the end) XOR (the evaluated recipe closes in X) — a
+    # rotated patch's REAL Z word closes the X-sector recipe, while the
+    # Z-sector recipe's (fictitious) closure for it needs the X basis,
+    # exactly mirroring the unrotated convention.
+    rot_end = rot_phase[n_ph_total]
+    hq = [qb for qb in fin_qubits
+          if bool(rot_end[qb]) != (final_basis == "x")]
+    if hq:
+        t = tb.apply_h_many(t, np.asarray(hq, np.int32))
     t, word = tb.measure_many(t, np.asarray(fin_qubits, np.int32), nk())
     word = np.asarray(word)[0]
     for qb, b in zip(fin_qubits, word):
