@@ -699,9 +699,16 @@ def pick_tile(V: int, O: int = 4, KB: int = 2, NC: int = 0,
     buffering) — calibrated against the compiler's scoped-vmem numbers:
     (V=721, O=4, KB=2): 48 arrays, OOM at T=128, fits T=64;
     (V=481, O=7, KB=1, NC=2): 74 arrays = 18.41M at T=128;
-    (V=193, O=4, KB=3, NC=1): 55 arrays, fits T=128."""
+    (V=193, O=4, KB=3, NC=1): 55 arrays, fits T=128.
+
+    V must be counted PADDED to the 128-lane boundary: Mosaic tiles
+    the minor dimension to multiples of 128, so V=401 costs 512 lanes
+    per array — the d=9 circuit DEM (V=401, 68 arrays) measured 16.59M
+    scoped at T=128 against a 13.3M unpadded estimate and OOM'd the
+    16M budget at EVERY batch size until this accounting."""
     arrays = 8 + 8 * O + 4 * KB + 3 * NC
-    t = budget_bytes // (V * 4 * arrays)
+    v_pad = ((V + 127) // 128) * 128
+    t = budget_bytes // (v_pad * 4 * arrays)
     for tile in (128, 96, 64, 48, 32, 16, 8):
         if t >= tile:
             return tile
