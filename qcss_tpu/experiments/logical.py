@@ -945,6 +945,63 @@ class LogicalProgram:
         self._op_log.append(("idle",))
         return self
 
+    def _prep0(self, slot) -> str:
+        """Activate a fresh ancilla patch in |0̄⟩: SCORED init for the Z
+        sector (raw init detectors; Z̄ deterministic 0) and conjugate
+        init for the X sector — the exact mirror of `_prep`'s |+̄⟩."""
+        self._check_free(slot)
+        pid = f"a{self._anc_count}"
+        self._anc_count += 1
+        self._occ[slot] = pid
+        self._slot_of[pid] = slot
+        self._frames[pid] = []
+        self._push_sep()
+        self._x_conj.append(P.Readout(len(self._phases) - 1,
+                                      tuple(self._block_qubits(slot))))
+        return pid
+
+    def mz(self, q: int) -> "LogicalProgram":
+        """NON-destructive logical Z̄ measurement of data qubit q — the
+        reference's mid-program MEASURE on a code block
+        (css_code.py:542-589), realized as surgery: a |0̄⟩ ancilla A
+        below the patch (`_prep0`), one vertical ZZ merge (m1 = Z̄_q·Z̄_A
+        seam-even), split, A measured out transversally in Z (scored
+        readouts + closure detectors). m = m1 ⊕ M_A reads Z̄_q exactly
+        (Z̄_A is deterministically 0 on the fresh |0̄⟩ and M_A accounts
+        its fault history). A Z-basis patch is measured WITHOUT
+        collapse (bit preserved); X/Y-basis states collapse to a
+        symbolic Z bit that `x_if` can consume. X̄_q is genuinely
+        randomized (only Z̄_qZ̄_A's conjugate product survives the
+        joint), so a later h() readout of this patch is unanchored —
+        the scoreability flags track it."""
+        if not 0 <= q < self.n_data:
+            raise ValueError("bad qubit")
+        self._require_even("mz", q)
+        anc = self._prep0((1, 2 * q))
+        m1 = self._zz(f"d{q}", anc, ref="last")
+        a_slot = self._slot_of.pop(anc)
+        del self._occ[a_slot]
+        self._frames.pop(anc)
+        self._push_sep()
+        split_ph = len(self._phases) - 1
+        self._readouts.append(P.Readout(split_ph,
+                                        tuple(self._block_qubits(a_slot))))
+        m_terms = _xor_terms(
+            m1, [P.readout_logical(split_ph, self._zrep(a_slot))])
+        name = f"mz{q}_{len(self._aux_obs)}"
+        if self._basis[q] == "z":
+            exp = None if self._bsyms[q] else self._bits[q]
+        else:
+            exp = None
+            self._basis[q] = "z"
+            self._bits[q] = 0
+            self._bsyms[q] = {name}
+        self._aux_obs.append((name, m_terms))
+        self._aux_expected.append(exp)
+        self._x_ok[q] = False   # X̄_q randomized by the ZZ joint
+        self._op_log.append(("mz", q))
+        return self
+
     def mx(self, q: int) -> "LogicalProgram":
         """NON-destructive logical X̄ measurement of data qubit q — the
         X-basis mirror of `mzz`'s machinery: a |+̄⟩ ancilla A beside the
@@ -1012,12 +1069,13 @@ class LogicalProgram:
         if not 0 <= q < self.n_data:
             raise ValueError("bad qubit")
         sec = terms = None
-        for nm, tl in self._aux_obs:
+        m_exp: int | None = None
+        for i, (nm, tl) in enumerate(self._aux_obs):
             if nm == outcome:
-                sec, terms = "z", tl
-        for nm, tl in self._x_obs:
+                sec, terms, m_exp = "z", tl, self._aux_expected[i]
+        for i, (nm, tl) in enumerate(self._x_obs):
             if nm == outcome:
-                sec, terms = "x", tl
+                sec, terms, m_exp = "x", tl, self._x_expected[i]
         if terms is None:
             raise ValueError(f"no measured outcome named {outcome!r}")
         pid = f"d{q}"
@@ -1028,7 +1086,10 @@ class LogicalProgram:
         self._frame_sec[pid] = sec
         self._frames[pid] = _xor_terms(self._frames[pid], terms)
         if self._basis[q] in ("z", "y"):
-            self._bsyms[q] ^= {outcome}
+            if m_exp is not None:       # deterministic outcome: fold in
+                self._bits[q] ^= m_exp
+            else:
+                self._bsyms[q] ^= {outcome}
         self._op_log.append(("x_if", q, outcome))
         return self
 

@@ -459,6 +459,53 @@ class TestMxAndFeedback:
         assert prog2._unscored == ["z0"]
 
 
+class TestMzOp:
+    """mz (non-destructive Z̄ measurement via a |0̄⟩ ancilla ZZ merge) —
+    the reference's mid-program MEASURE (css_code.py:542-589) at the
+    surgery tier."""
+
+    def test_mz_deterministic_and_conditional(self):
+        prog = LogicalProgram(3, 1).x(0).mz(0)
+        model = prog.build()
+        assert model.meta["obs_names"] == ["mz0_0", "z0"]
+        assert model.meta["obs_expected"] == [1, 1]   # no collapse on Z
+        dec = UFDecoder(model.graph)
+        _, corr = dec.decode_batch(model.F.T.astype(np.uint8),
+                                   want_corrections=False)
+        for i in range(model.obs.shape[0]):
+            assert not ((model.obs[i] ^ ((corr >> i) & 1)) == 1).any()
+        assert prog.run(0.0, 0.0, batch=64)["word_fail"] == 0.0
+        # x_if on a DETERMINISTIC outcome folds into the tracked bit
+        prog2 = LogicalProgram(3, 1).x(0).mz(0).x_if(0, "mz0_0")
+        m2 = prog2.build()
+        assert m2.meta["obs_expected"] == [1, 0]
+        assert prog2.run(0.0, 0.0, batch=64)["word_fail"] == 0.0
+
+    def test_mz_guards_and_flags(self):
+        with pytest.raises(ValueError, match="odd-H-parity"):
+            LogicalProgram(3, 1).h(0).mz(0)
+        # X̄ is randomized by the joint: a later h readout is unanchored
+        prog = LogicalProgram(3, 1).mz(0).h(0).idle()
+        prog.measure()
+        assert prog._unscored == ["z0"]
+
+    def test_mz_gold(self):
+        """x-mz-x_if: every detector zero, mz reads 1, the conditioned
+        final z0 reads 0 — on the real projective protocol."""
+        import jax
+
+        prog = LogicalProgram(3, 1).x(0).mz(0).x_if(0, "mz0_0")
+        model = prog.build(with_recipe=True)
+        recipe = model.meta["recipe"]
+        o = _run_compiled_protocol(prog, model, jax.random.key(77))
+        dets = (recipe["D"].astype(np.int64) @ o.astype(np.int64)) & 1
+        assert not dets.any()
+        vals = (recipe["obs"].astype(np.int64) @ o.astype(np.int64)) & 1
+        got = dict(zip(model.meta["obs_names"], vals))
+        assert got["mz0_0"] == 1
+        assert got["z0"] == 0
+
+
 class TestTableauGoldFrameOps:
     def test_yz_gold(self):
         """y(0) z(0): Ȳ then Z̄ chains applied physically; z0 reads 1."""
