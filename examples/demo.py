@@ -141,6 +141,23 @@ def main():
           f"conditional fail {fail[keep].mean():.4f}",
           f"(unselected {fail.mean():.4f})")
 
+    # 12b. The logical-program compiler at the surgery tier: the
+    # reference's own test programs (X/Y/Z/HZH and measure-and-correct
+    # feedback, test_ftqc.py:22-113) on surface patches — h is a
+    # transversal patch rotation, the conditional X is observable
+    # algebra (mx + h + x_if == H; MEASURE; if m: X).
+    from qcss_tpu.experiments import LogicalProgram
+
+    hzh = LogicalProgram(3, 1).h(0).idle().z(0).idle().h(0)
+    print("compiled HZH (d=3):",
+          {k: v for k, v in hzh.run(2e-3, batch=4096).items()
+           if k in ("z0_fail", "word_fail")},
+          "| expected:", hzh.build().meta["obs_expected"])
+    fb = LogicalProgram(3, 1).mx(0).h(0).x_if(0, "mx0_0")
+    print("compiled feedback program:",
+          {k: round(v, 5) for k, v in fb.run_full(2e-3, batch=4096).items()
+           if "fail" in k})
+
     # 13. Universality: transversal-T classification and the magic-state
     # factory (the reference's `_apply_universal` is a stub, reference:
     # css_code.py:433-434). Exact 15-to-1 map, then a measured injection
