@@ -530,7 +530,8 @@ class TestTableauGoldFrameOps:
         prog = LogicalProgram(3, 1).h(0).idle().z(0).idle().h(0)
         model = prog.build(with_recipe=True)
         recipe = model.meta["recipe"]
-        for seed in (31, 32):
+        seeds = (31, 32) if os.environ.get("QCSS_SLOW_TESTS") else (31,)
+        for seed in seeds:
             o = _run_compiled_protocol(prog, model, jax.random.key(seed))
             dets = (recipe["D"].astype(np.int64) @ o.astype(np.int64)) & 1
             assert not dets.any()
@@ -568,7 +569,8 @@ class TestTableauGoldFrameOps:
         mx = prog.build_x(with_recipe=True)
         recipe_x = mx.meta["recipe"]
         seen = set()
-        for seed in (61, 62, 63):
+        seeds = (61, 62, 63) if os.environ.get("QCSS_SLOW_TESTS") else (61,)
+        for seed in seeds:
             _, ox, _ = _run_compiled_protocol(
                 prog, model, jax.random.key(seed), x_model=mx,
                 final_basis="x")
