@@ -30,9 +30,14 @@ traced batched executor needs reducible control flow). Two tiers:
    ``repeat_until`` dispatch loop re-runs the guarded pass until every
    sample reaches the exit block. A pass executes every forward chain to
    completion (blocks are emitted in program order, so a jump to a LATER
-   block fires within the same pass); each back-edge traversal costs one
-   pass, so ``max_loop_iters`` bounds loop iterations exactly as in the
-   structured tier. This is the batched-traced equivalent of the
+   block fires within the same pass); each back-edge traversal anywhere
+   in the program costs one pass, so in this tier ``max_loop_iters``
+   bounds the TOTAL number of back-edge traversals — nested or
+   sequential loops share one global budget, unlike tier 1 where each
+   ``repeat_until`` gets its own. Programs whose combined iteration
+   count approaches the bound truncate differently across tiers; raise
+   ``max_loop_iters`` accordingly for multi-loop goto programs. This is
+   the batched-traced equivalent of the
    reference's mangled-label jump pass-through (ftqc.py:98-103,147-151):
    every jump topology a Quil program can express runs.
 
@@ -43,9 +48,12 @@ re-checked before every body instruction rather than only at the head
 (per-sample masking; indistinguishable for bodies that set their flag
 last, which is every repeat-until-success protocol in the reference).
 
-Unsupported constructs (DEFGATE, jumps to undefined labels, non-Clifford
-gates, REAL/OCTET memory) raise ``UnsupportedProgramError`` with the
-offending line.
+Unsupported constructs (DEFGATE, jumps to undefined labels,
+non-Clifford gates) raise ``UnsupportedProgramError`` with the
+offending line. Non-BIT/INTEGER DECLAREs (REAL, OCTET, ...) are carried
+through as PRAGMA annotations exactly like the reference transpiler's
+untouched Declare pass-through (reference: ftqc.py:111-116); only a
+*use* of such a register errors.
 """
 
 from __future__ import annotations

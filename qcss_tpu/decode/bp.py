@@ -56,11 +56,16 @@ _BIG = jnp.float32(1e30)
 def _osde_py(h: np.ndarray, synd: np.ndarray, soft: np.ndarray,
              osd_order: int, lam1: int, lam2: int) -> np.ndarray:
     """Order-E ordered-statistics decode, pure-numpy reference semantics
-    (mirrors `native/osd_decoder.cc::qcss_osde_batch` bit-for-bit: same
-    stable column order, same pivot scan, candidate enumeration order —
+    (mirrors `native/osd_decoder.cc::qcss_osde_batch`: same stable
+    column order, same pivot scan, same candidate enumeration order —
     singles over the first lam1 free columns then pairs over the first
     lam2 — and strict-< acceptance on the soft-weight score, so OSD-0
-    wins ties)."""
+    wins ties. Soft-weight scores are accumulated in different float
+    orders here (numpy dot) vs the C++ (sequential adds), so candidates
+    whose scores tie to within float error can legitimately diverge;
+    the contract is same enumeration/tie-break RULE and soft-weight
+    agreement, not bitwise solution identity — only OSD-0 carries the
+    bit-identity guarantee, per CLAUDE.md)."""
     r, n = h.shape
     out = np.zeros((synd.shape[0], n), dtype=np.uint8)
     for bi in range(synd.shape[0]):

@@ -152,6 +152,12 @@ def build_sparse_tables(graph: MatchingGraph) -> SparseTables | None:
     bu = np.where(edges[b_m, 0] < 0, edges[b_m, 1], edges[b_m, 0])
     bw = wt[b_m]
     bo = obs[b_m]
+    if bu.size == 0:
+        # no boundary anywhere: odd-defect components could never pair
+        # off, so the sparse decoder would report converged=False on
+        # every odd shot — refuse, per the documented contract, and let
+        # callers keep the dense kernel
+        return None
     bdist = np.full(V, UNREACH, np.int64)
     bside = np.zeros(V, np.uint32)
     if bu.size:

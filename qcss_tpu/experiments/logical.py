@@ -119,7 +119,8 @@ def _term_key(term):
     if kind == "logical":
         return (kind, term[1].tobytes())
     if kind == "joint":
-        return (kind, term[1], term[2].tobytes(), term[3], term[4])
+        return (kind, term[1], term[2].tobytes(), term[3], term[4],
+                term[5])
     if kind == "readout":
         return (kind, term[1], term[2])
     if kind == "readout_logical":
@@ -148,7 +149,23 @@ def _xor_terms(a: list, b: list) -> list:
 class LogicalProgram:
     """A Z-basis logical program over `n_data` surface patches."""
 
-    def __init__(self, d: int, n_data: int, rounds: int | None = None):
+    def __init__(self, d: int, n_data: int, rounds: int | None = None,
+                 data_init: str = "encoded"):
+        """data_init: 'encoded' (default) models the data patches as
+        VERIFIED encoded |0̄⟩ arrivals — the reference's own
+        fault-tolerant RUS preparation (encode_zero, reference:
+        css_code.py:314-342; `ftqc.schedule._encode_ft` is this
+        framework's batched form) — so BOTH sectors' first extraction
+        rounds are deterministic (raw detectors close the birth time
+        boundary; the tableau gold runner has always prepared exactly
+        this state: X checks projected with Z fixups). 'product' models
+        bare |0⟩^⊗n init: the X-check sector's first round is then
+        projection-random, an OPEN time boundary that pins every
+        X̄-sensitive channel (the t/s gadgets' OUT, standalone mx) at
+        fault distance 3 regardless of d — measured as a constant
+        ~3e-4 word-fail floor at p=2e-3 (round-4's flattening; see
+        decode.fault_distance). The Z-sector model is IDENTICAL either
+        way (|0⟩^⊗n already has deterministic Z checks)."""
         if n_data < 1:
             raise ValueError("need >= 1 data qubit")
         self.d = d
@@ -156,6 +173,11 @@ class LogicalProgram:
         if self.R < 3:
             raise ValueError("phases need >= 3 rounds (merged-phase flip "
                              "ambiguity; see surgery.build_xx_merge_split)")
+        # merged-phase read round for every compiled joint combination:
+        # 'mid' anchors deep in the decoded window (see patches.joint —
+        # 'first' pins the m channels' fault distance at 3; the round-4
+        # d=5->7 flattening), 'first' recovers the round-4 models.
+        self.joint_mref = "mid"
         self.slot_cols = max(2 * n_data - 1, 2)
         self.n_data = n_data
         self.rows_q = 2 * (d + 1) - 1
@@ -171,6 +193,7 @@ class LogicalProgram:
         self._active: list[np.ndarray] = []
         self._readouts: list[P.Readout] = []
         self._conj: list[P.Readout] = []
+        self._enc_init: list[P.Readout] = []   # encoded-arrival patches
         self._occ: dict[tuple[int, int], str] = {}
         self._slot_of: dict[str, tuple[int, int]] = {}
         self._frames: dict[str, list] = {}
@@ -216,10 +239,15 @@ class LogicalProgram:
             self._slot_of[pid] = (0, 2 * i)
             self._frames[pid] = []
         self._push_sep()
-        data_qubits = []
-        for i in range(n_data):
-            data_qubits += self._block_qubits((0, 2 * i))
-        self._x_conj.append(P.Readout(0, tuple(data_qubits)))
+        if data_init == "product":
+            # |0⟩^⊗n product init: the X sector's first round is
+            # projection randomness (open time boundary)
+            data_qubits = []
+            for i in range(n_data):
+                data_qubits += self._block_qubits((0, 2 * i))
+            self._x_conj.append(P.Readout(0, tuple(data_qubits)))
+        elif data_init != "encoded":
+            raise ValueError("data_init must be 'encoded' or 'product'")
 
     # -- geometry ------------------------------------------------------------
 
@@ -378,10 +406,25 @@ class LogicalProgram:
         if slot in self._occ:
             raise ValueError(f"slot {slot} is occupied")
 
-    def _prep(self, slot) -> str:
-        """Activate a fresh ancilla patch in |+̄⟩ (declared conjugate
-        init: its first Z-check round is projection randomness, so the
-        builder must emit no init detectors for it)."""
+    def _prep(self, slot, encoded: bool = False) -> str:
+        """Activate a fresh ancilla patch.
+
+        Default: |+̄⟩ as the transversal product |+⟩^⊗n (declared
+        conjugate init: its first Z-check round is projection
+        randomness, so the builder must emit no init detectors for it).
+
+        encoded=True: the patch ARRIVES as an encoded codespace state
+        (every stabilizer deterministic +1 → raw first-round detectors
+        in BOTH sectors — no conjugate declaration anywhere). This is
+        the physically faithful model for the magic/S-state gadget
+        ancillas, which come from the injection factory already encoded
+        (`experiments.injection`; the injection ε composes separately
+        via `factory_report`) — and it is load-bearing for fault
+        tolerance: a product-prepped conjugate patch's projection round
+        is an OPEN time boundary one phase from the merge, which pins
+        the m1 channel's fault distance at 3 for every d (the round-4
+        op-set flattening; the bespoke `surgery_t` models M encoded and
+        measures fd=d — see decode.fault_distance)."""
         self._check_free(slot)
         pid = f"a{self._anc_count}"
         self._anc_count += 1
@@ -389,8 +432,15 @@ class LogicalProgram:
         self._slot_of[pid] = slot
         self._frames[pid] = []
         self._push_sep()
-        self._conj.append(P.Readout(len(self._phases) - 1,
-                                    tuple(self._block_qubits(slot))))
+        if encoded:
+            # record for the protocol runner: prepare the block as an
+            # encoded |+̄⟩ (H + Z-check projection with X fixups) so
+            # both sectors' raw first-round detectors are deterministic
+            self._enc_init.append(P.Readout(len(self._phases) - 1,
+                                            tuple(self._block_qubits(slot))))
+        else:
+            self._conj.append(P.Readout(len(self._phases) - 1,
+                                        tuple(self._block_qubits(slot))))
         return pid
 
     def _zz(self, pa: str, pb: str, ref: str = "last",
@@ -431,7 +481,8 @@ class LogicalProgram:
             self._x_conj.append(P.Readout(ph, tuple(seam)))
         self._x_reads.append(P.Readout(ph + 1, tuple(seam)))
         target = (self._zrep(a) ^ self._zrep(b)).astype(np.uint8)
-        return [P.joint(ph, target, mode="even", ref=ref)]
+        return [P.joint(ph, target, mode="even", ref=ref,
+                        mref=self.joint_mref)]
 
     def _move(self, pid: str, to_slot):
         """Move a patch to an adjacent vacant slot (grow + contract)."""
@@ -461,7 +512,7 @@ class LogicalProgram:
             self._frames[pid] = _xor_terms(
                 self._frames[pid],
                 [P.joint(ph, (zrep_old ^ zrep_new).astype(np.uint8),
-                         mode="even")])
+                         mode="even", mref=self.joint_mref)])
         else:
             # growth region |0⟩-init (scored); vacated block + seam
             # measured in Z (scored readout): Z̄ = new row ⊕ readout
@@ -550,7 +601,8 @@ class LogicalProgram:
             self._x_conj.append(P.Readout(ph, tuple(seam)))
             self._x_reads.append(P.Readout(ph + 1, tuple(seam)))
         return [[P.joint(ph, (self._zrep(a) ^ self._zrep(b)
-                              ).astype(np.uint8), mode="even", ref=ref)]
+                              ).astype(np.uint8), mode="even", ref=ref,
+                              mref=self.joint_mref)]
                 for a, b, _ in merges]
 
     def _move_many(self, moves):
@@ -580,7 +632,7 @@ class LogicalProgram:
                 self._frames[pid] = _xor_terms(
                     self._frames[pid],
                     [P.joint(ph, (zrep_old ^ zrep_new).astype(np.uint8),
-                             mode="even")])
+                             mode="even", mref=self.joint_mref)])
             else:
                 vacated = self._block_qubits(frm) + seam
                 self._readouts.append(P.Readout(split_ph, tuple(vacated)))
@@ -746,8 +798,8 @@ class LogicalProgram:
         self._x_ok[q] = False   # the ZZ joint randomizes X̄_q; only
         #                           the OUT channel's anchored product
         #                           is recorded (no X̄ frame on q)
-        m = self._prep((1, 2 * q))
-        m1 = self._zz(f"d{q}", m, ref="first", seam_basis="x")
+        m = self._prep((1, 2 * q), encoded=True)
+        m1 = self._zz(f"d{q}", m, ref="mid", seam_basis="x")
         seam_ro = self._x_reads[-1]       # the ZZ seam's X readout
         # measure M out in X: silent deactivation at the next phase
         slot = self._slot_of.pop(m)
@@ -761,14 +813,19 @@ class LogicalProgram:
         # merged column THROUGH the seam qubit (surgery_t's X sector,
         # re-derived on the compiled layout). M_X = transversal X
         # readout of M; the seam qubit on the X̄ column was read in X at
-        # the ZZ split; X̄_D is ANCHORED at M's readout — Z faults on D
-        # after the frame is consumed are harmless and must not score.
-        # OUT failing = wrong M_X-conditioned Z̄ frame on D = a logical
-        # error of the gadget the Z sector cannot see.
+        # the ZZ split; X̄_D closes at the FINAL boundary — the bespoke
+        # surgery_t convention (round 5: the round-4 anchored form cut
+        # the X̄ worldline mid-chain, which combined with the then-open
+        # birth boundary pinned OUT's fault distance at 3; with
+        # encoded data init + final-boundary scoring it is d, measured
+        # by decode.fault_distance). Post-consumption Z faults on D
+        # book only when they also evade every later detector
+        # (suppressed ~p^(d/2)); OUT failing = wrong M_X-conditioned
+        # Z̄ frame on D = a logical error the Z sector cannot see.
         c_rep = self._origin((0, 2 * q))[1] + 1   # the interior X̄ column
         s0 = [qb for qb in seam_ro.qubits if qb % self.cols_q == c_rep]
         assert len(s0) == 1
-        terms = [P.logical_at(ph_last, self._xrep((0, 2 * q))),
+        terms = [P.logical(self._xrep((0, 2 * q))),
                  P.readout_logical(ph_last, self._xrep(slot)),
                  P.readout_bit(seam_ro.phase, s0[0])]
         self._x_obs.append((f"{kind}{q}_out_{len(self._x_obs)}", terms))
@@ -1038,7 +1095,8 @@ class LogicalProgram:
         split_ph = len(self._phases) - 1
         vacated = self._block_qubits(a_slot) + seam
         self._x_reads.append(P.Readout(split_ph, tuple(vacated)))
-        m_terms = [P.joint(ph, target, mode="even", ref="last")]
+        m_terms = [P.joint(ph, target, mode="even", ref="last",
+                           mref=self.joint_mref)]
         name = f"mx{q}_{len(self._x_obs)}"
         if self._basis[q] == "x" and not self._bsyms[q]:
             exp = self._bits[q]
@@ -1191,8 +1249,9 @@ class LogicalProgram:
 
         Observables: one OUT channel per t() gadget — the preserved
         X̄_D·X̄_M product read through M's transversal X readout and the
-        seam's split-time X bit, with X̄_D anchored at the readout
-        phase (`patches.logical_at`). OUT failing corrupts the
+        seam's split-time X bit, with X̄_D closed at the final
+        boundary (`patches.logical`, the bespoke surgery_t
+        convention — see _magic_gadget). OUT failing corrupts the
         M_X-conditioned Z̄ frame: the gadget failure channel the
         Z-sector model documents as out-of-scope
         (`experiments.surgery_t.build_merge_readout_sector` is the

@@ -104,9 +104,9 @@ def logical(support: np.ndarray) -> tuple:
 
 
 def joint(phase: int, target: np.ndarray, mode: str = "even",
-          ref: str = "last") -> tuple:
+          ref: str = "last", mref: str | int = "first") -> tuple:
     """Observable term: the joint measurement a merge performs — the
-    GF(2)-solved combination of the new phase's first-round and the
+    GF(2)-solved combination of the new phase's `mref`-round and the
     previous phase's `ref`-round outcomes whose product is `target`.
 
     mode='even' solves over the UNMASKED system (even seam support —
@@ -123,12 +123,38 @@ def joint(phase: int, target: np.ndarray, mode: str = "even",
     conjugate-basis patch whose m outcome is consumed STANDALONE (the
     compiled T gadget: with 'last', a data error mid-prep and a
     first-round measurement flip share one detector but differ on m —
-    an irreducible degeneracy the guard catches)."""
+    an irreducible degeneracy the guard catches); 'mid' reads the
+    middle round — on a freshly prepared conjugate patch the round-0
+    outcomes are projection-random SINGLE-detector events (no entry
+    comparison), so 'first' leaves each read check one measurement
+    flip away from an unprotected m flip (fault distance 3 at any d —
+    the round-4 flattening); 'mid' keeps the standalone-consumption
+    consistency of 'first' while reading outcomes protected by
+    difference detectors on both sides.
+
+    mref picks which MERGED-phase round the combination reads: 'first'
+    (round 0 — the bespoke builders' convention), 'mid' (rounds // 2),
+    or an explicit round index. Any round is noiselessly identical
+    (stabilizer outcomes persist after the projection), but the FAULT
+    models differ: at round 0 the new seam checks have no entry
+    comparison (projection randomness), so a seam-check measurement
+    flip directly flips m while firing a single detector — a per-seam-
+    check weight-3 undetectable-logical configuration that pins the m
+    channel's fault distance at 3 regardless of d (the round-4 op-set
+    ladder's d=5→7 flattening; measured by
+    `decode.fault_distance.observable_fault_distance`). 'mid' anchors
+    the read deep in the decoded window where every outcome is
+    protected by difference detectors on both sides, restoring
+    distance scaling. Kept 'first' by default so the bespoke models'
+    bit-identity is untouched; the logical compiler passes 'mid'."""
     if mode not in ("even", "masked"):
         raise ValueError("joint mode must be 'even' or 'masked'")
-    if ref not in ("last", "first"):
-        raise ValueError("joint ref must be 'last' or 'first'")
-    return ("joint", phase, np.asarray(target, dtype=np.uint8), mode, ref)
+    if ref not in ("last", "first", "mid"):
+        raise ValueError("joint ref must be 'last', 'first' or 'mid'")
+    if not (mref in ("first", "mid") or isinstance(mref, int)):
+        raise ValueError("joint mref must be 'first', 'mid' or an int")
+    return ("joint", phase, np.asarray(target, dtype=np.uint8), mode, ref,
+            mref)
 
 
 def readout_bit(phase: int, qubit: int) -> tuple:
@@ -154,6 +180,16 @@ def logical_at(phase: int, support: np.ndarray) -> tuple:
     can no longer corrupt it, so the final-boundary `logical` term
     over-counts them. Support qubits must stay active from the anchor
     to the schedule end.
+
+    The anchor must sit at a temporal boundary that is physically
+    closed (deterministic raw detectors); bounding the window from
+    BELOW mid-chain is NOT expressible: a window-start cut books a
+    transient conjugate pair straddling it as odd although the pair is
+    physically harmless (the per-fault rows are linear; the transient's
+    cancellation is pairwise), which fakes weight-4 odd cycles — found
+    deriving round 5's op-set fix, where the real cure was closing the
+    birth boundary itself (LogicalProgram data_init='encoded' /
+    `_prep(encoded=True)`), not windowing the anchor.
 
     In the outcome-space recipe (`with_recipe=True`) this term falls
     back to the FINAL transversal readout row — exact for noiseless
@@ -367,7 +403,7 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
         for i_t, term in enumerate(terms):
             if term[0] != "joint":
                 continue
-            _, ph, target, mode, ref = term
+            _, ph, target, mode, ref, mref = term
             if not (1 <= ph < n_ph):
                 raise ValueError("joint phase out of range")
             h_m, h_s = phases[ph].checks, phases[ph - 1].checks
@@ -383,9 +419,22 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                 raise AssertionError(
                     "joint target is not measured by this merge "
                     f"(phase {ph}, mode {mode})")
+            if mref == "first":
+                r_m = 0
+            elif mref == "mid":
+                r_m = phases[ph].rounds // 2
+            else:
+                r_m = int(mref)
+            if not (0 <= r_m < phases[ph].rounds):
+                raise ValueError("joint mref round out of range")
+            if ref == "first":
+                r_ref = 0
+            elif ref == "mid":
+                r_ref = phases[ph - 1].rounds // 2
+            else:
+                r_ref = -1
             solved_joints[(i_o, i_t)] = (ph, u[: h_m.shape[0]],
-                                         u[h_m.shape[0]:],
-                                         0 if ref == "first" else -1)
+                                         u[h_m.shape[0]:], r_ref, r_m)
 
     def assemble(o_ph, sread, w_final, w_at=None):
         """Detector and observable rows as linear maps over whatever
@@ -477,9 +526,9 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
                             @ w_final.astype(np.int64)
                             ).astype(np.uint8) & 1
                 elif kind == "joint":
-                    ph, u_m, u_s, r_ref = solved_joints[(i_o, i_t)]
+                    ph, u_m, u_s, r_ref, r_m = solved_joints[(i_o, i_t)]
                     row ^= ((u_m.astype(np.int64)
-                             @ o_ph[ph][0].astype(np.int64))
+                             @ o_ph[ph][r_m].astype(np.int64))
                             ^ (u_s.astype(np.int64)
                                @ o_ph[ph - 1][r_ref].astype(np.int64))
                             ).astype(np.uint8) & 1
@@ -522,7 +571,12 @@ def build_schedule(n: int, phases: list[Phase], active: np.ndarray,
 
     F, obs = assemble(o_ph, sread, w_final, w_at_model)
 
-    meta = {"total_rounds": total, "n_detectors": int(F.shape[0])}
+    meta = {"total_rounds": total, "n_detectors": int(F.shape[0]),
+            # fault coordinates, diagnostics (fault_distance witnesses):
+            # data (slot t, qubit), then meas (phase, slot t, check row),
+            # then readout bits in read_idx order
+            "data_faults": data_faults, "meas_faults": meas_faults,
+            "phase_starts": starts.astype(np.int64)}
     if with_recipe:
         # the same rows over RAW-OUTCOME indicator space: check outcomes
         # in meas_faults order, then readout bits, then the final word —
@@ -704,6 +758,12 @@ def schedule_memory_device(model: ScheduleModel, p: float,
     n_obs = model.obs.shape[0]
     if n_obs > 24:
         raise ValueError("device path packs obs rows into one int32")
+    if batch * reps >= (1 << 31):
+        # the fori_loop accumulators are int32 on device (x64 is off);
+        # past this the counts would silently wrap instead of failing
+        raise ValueError(
+            f"batch*reps = {batch * reps} would overflow the int32 "
+            "device accumulators; split into multiple calls")
     run_reps = _device_runner(model, batch, float(p), float(q),
                               device_decoder)
     po, w, b = run_reps(jax.random.key(seed), reps)

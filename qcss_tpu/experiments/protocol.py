@@ -215,6 +215,54 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
         out = measure_in_z([anc_z])
         return int(out[0])
 
+    def measure_z_op(support):
+        """One Z-type operator projectively via the first Z ancilla."""
+        nonlocal t
+        sup = [int(qb) for qb in np.nonzero(support)[0]]
+        ops = [6] * len(sup)
+        q0 = sup
+        q1 = [anc_z] * len(sup)
+        t = tb.run_circuit_scanned(t, np.asarray(ops, np.int32),
+                                   np.asarray(q0, np.int32),
+                                   np.asarray(q1, np.int32))
+        out = measure_in_z([anc_z])
+        return int(out[0])
+
+    def prep_encoded_plus(ph, qubits, with_h=True):
+        """Encoded-arrival prep of a fresh block (LogicalProgram._prep
+        encoded=True): transversal H to |+⟩^⊗n (X checks +1), then
+        project the phase's Z checks on the block and apply the GF(2)
+        X-type fixup so they all read +1 — an encoded |+̄⟩ with EVERY
+        stabilizer deterministic, the state an injection factory hands
+        over. with_h=False skips the H (the Z-definite |0̄⟩ stand-in:
+        Z checks already +1, then the X-check projection + Z fixup
+        makes it encoded |0̄⟩)."""
+        nonlocal t
+        qset = set(int(qb) for qb in qubits)
+        if with_h:
+            t = tb.apply_h_many(t, np.asarray(sorted(qset), np.int32))
+            h = prog._phases[ph].checks
+            rows = [c for c in range(h.shape[0])
+                    if h[c].any() and set(np.nonzero(h[c])[0]) <= qset]
+            outs = [measure_z_op(h[c]) for c in rows]
+            fix = surgery._solve_gf2(h[rows].T,
+                                     np.asarray(outs, np.uint8))
+            assert fix is not None
+            if fix.any():
+                t = tb.apply_x_many(t,
+                                    np.nonzero(fix)[0].astype(np.int32))
+        else:
+            h = prog._conj_checks[ph]
+            rows = [c for c in range(h.shape[0])
+                    if h[c].any() and set(np.nonzero(h[c])[0]) <= qset]
+            outs = [measure_x_op(h[c]) for c in rows]
+            fix = surgery._solve_gf2(h[rows].T,
+                                     np.asarray(outs, np.uint8))
+            assert fix is not None
+            if fix.any():
+                t = tb.apply_z_many(t,
+                                    np.nonzero(fix)[0].astype(np.int32))
+
     # -- data preparation: |0...0⟩, X checks projected with Z fixups ------
     # phase 0's conjugate check set IS the per-patch X checks; one round
     # of it yields every patch's projection outcomes at once
@@ -255,6 +303,9 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
     conj_at: dict[int, list] = {}
     for ci in prog._conj:
         conj_at.setdefault(ci.phase, []).extend(ci.qubits)
+    enc_at: dict[int, list] = {}
+    for ei in getattr(prog, "_enc_init", ()):
+        enc_at.setdefault(ei.phase, []).extend(ei.qubits)
     reads_at: dict[int, list] = {}
     for ro in prog._readouts:
         reads_at.setdefault(ro.phase, []).extend(ro.qubits)
@@ -286,6 +337,11 @@ def run_compiled_protocol(prog, model, rng_key, *, prep_x_flips=(),
         if ph in conj_at and ph not in skip_h_phases:
             t = tb.apply_h_many(t, np.asarray(sorted(conj_at[ph]),
                                               np.int32))
+        # encoded-arrival blocks: |+̄⟩ with every stabilizer projected
+        # deterministic (skip_h_phases selects the |0̄⟩ stand-in)
+        if ph in enc_at:
+            prep_encoded_plus(ph, enc_at[ph],
+                              with_h=ph not in skip_h_phases)
         # program-order frame ops (x/z chains, transversal h) landing
         # at this boundary
         apply_frame_ops(ph)

@@ -238,12 +238,20 @@ class ShardedFrameMemory:
 
 
     def fused_error_rate(self, *, rounds: int, batch: int, seed: int = 0,
-                         graph_kind: str = "dem") -> dict[str, float]:
+                         graph_kind: str = "dem",
+                         decoder: str = "dense",
+                         d_max: int = 48) -> dict[str, float]:
         """Round-3 form: sample AND union-find-decode on every device
         (`decode.device_uf` inside the shard_map), with one `psum` of the
         failure counts as the only collective — the fully inverted
         pipeline at mesh scale (no detector history ever leaves the
-        devices)."""
+        devices).
+
+        decoder='sparse' / 'hybrid' (round 5) rides the defect-granular
+        sparse kernel (`decode.device_sparse`) inside the shard_map —
+        the round-4 flagship decoder at mesh scale ('hybrid' composes
+        the dense kernel for the rare >d_max-defect shot and is the
+        production choice at operating noise)."""
         from qcss_tpu.decode.device_uf import make_obs_decoder
         from qcss_tpu.decode.uf import spacetime_graph
         from qcss_tpu.experiments.memory import _memory_fused_device
@@ -255,7 +263,7 @@ class ShardedFrameMemory:
                 f"batch {batch} not divisible by mesh size {n_dev}")
         local = batch // n_dev
         axis = mesh.axis_names[0]
-        ck = ("fused", local, rounds, graph_kind)
+        ck = ("fused", local, rounds, graph_kind, decoder, d_max)
         fn = self._cache.get(ck)
         if fn is None:
             logicals = self.code.z_operator_matrix()
@@ -273,7 +281,25 @@ class ShardedFrameMemory:
                     rate2=self.noise.pauli2)
             else:
                 graph = spacetime_graph(self.h2_raw, logicals, rounds)
-            decode_fn = make_obs_decoder(graph)
+            if decoder == "dense":
+                decode_fn = make_obs_decoder(graph)
+            elif decoder == "sparse":
+                from qcss_tpu.decode.device_sparse import (
+                    make_sparse_obs_decoder,
+                )
+
+                decode_fn = make_sparse_obs_decoder(graph, d_max=d_max)
+                if decode_fn is None:
+                    raise ValueError("graph refuses the sparse path")
+            elif decoder == "hybrid":
+                from qcss_tpu.decode.device_sparse import (
+                    make_hybrid_obs_decoder,
+                )
+
+                decode_fn = make_hybrid_obs_decoder(graph, d_max=d_max)
+            else:
+                raise ValueError(
+                    "decoder must be 'dense', 'sparse' or 'hybrid'")
             code, noise = self.code, self.noise
             n_anc = self.h2_raw.shape[0]
             extract = self._extract

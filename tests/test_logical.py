@@ -226,8 +226,9 @@ class TestTableauGoldT:
         prog = LogicalProgram(3, 1).t(0)
         model = prog.build(with_recipe=True)
         recipe = model.meta["recipe"]
-        skip = () if magic_plus else tuple(
-            ci.phase for ci in prog._conj)
+        skip = () if magic_plus else (
+            tuple(ci.phase for ci in prog._conj)
+            + tuple(ei.phase for ei in prog._enc_init))
         flips = [] if not zd else _xflip_qubits(prog, 0)
         n_seeds = 2 if os.environ.get("QCSS_SLOW_TESTS") else 1
         for seed in range(n_seeds):
@@ -303,7 +304,7 @@ class TestTableauGoldTXSector:
         mx = prog.build_x(with_recipe=True)
         recipe_x = mx.meta["recipe"]
         sup = (prog._xrep((0, 0)) ^ prog._xrep((1, 0))).astype(np.uint8)
-        prep_ph = prog._conj[0].phase   # the magic patch's prep phase
+        prep_ph = prog._enc_init[0].phase   # the magic patch's prep phase
         for seed in (11, 12):
             _, ox, pre = _run_compiled_protocol(
                 prog, model, jax.random.key(seed), x_model=mx,
@@ -593,7 +594,8 @@ class TestTableauGoldFrameOps:
         prog = LogicalProgram(3, 1).x(0).s(0)
         model = prog.build(with_recipe=True)
         recipe = model.meta["recipe"]
-        skip = tuple(ci.phase for ci in prog._conj)
+        skip = (tuple(ci.phase for ci in prog._conj)
+                + tuple(ei.phase for ei in prog._enc_init))
         o = _run_compiled_protocol(prog, model, jax.random.key(51),
                                    skip_h_phases=skip)
         dets = (recipe["D"].astype(np.int64) @ o.astype(np.int64)) & 1
