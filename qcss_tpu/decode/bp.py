@@ -144,7 +144,17 @@ def _check_major_layout(h: np.ndarray):
 
 
 @partial(jax.jit, static_argnames=("C",))
-def _osd0_device_kernel(h_t, synd, soft, C: int):
+def _osd_eliminate_device(h_t, synd, soft, C: int):
+    """Shared elimination core of the device OSD kernels; see
+    `_osd0_device_kernel`. Returns (order, aug, sbit, prs, hass,
+    e_sorted): the stable-sorted column order, the fully reduced packed
+    block, the reduced syndrome lane, per-sorted-column pivot rows and
+    their existence mask, and the OSD-0 solution in sorted
+    coordinates."""
+    return _osd0_device_kernel(h_t, synd, soft, C, _internal=True)
+
+
+def _osd0_device_kernel(h_t, synd, soft, C: int, _internal: bool = False):
     """Batched OSD-0 elimination ON DEVICE; bit-identical to
     `BPDecoder._osd0` (see its docstring for the algorithm).
 
@@ -248,8 +258,126 @@ def _osd0_device_kernel(h_t, synd, soft, C: int):
     # e in sorted coordinates: final syndrome bit of each pivot row
     vals = jnp.take_along_axis(sbit, prs.T, axis=1)  # [B, C]
     e_sorted = jnp.where(hass.T, vals, 0).astype(jnp.uint8)
+    if _internal:
+        return order, aug, sbit, prs, hass, e_sorted
     e = jnp.zeros((B, n), jnp.uint8)
     e = e.at[jnp.arange(B)[:, None], order].set(e_sorted)
+    chk = (e.astype(jnp.int32) @ h_t.astype(jnp.int32)) & 1
+    ok = jnp.all(chk == synd.astype(jnp.int32), axis=1)
+    return e, ok
+
+
+def _osde_device_kernel(h_t, synd, soft, C: int, osd_order: int,
+                        lam1: int, lam2: int):
+    """Batched order-E OSD combination sweep ON DEVICE (round 5 — the
+    VERDICT-4 port): the blocked delayed-update elimination
+    (`_osd0_device_kernel`) followed by the candidate sweep of
+    `_osde_py` — singles over the first lam1 free columns, pairs over
+    the first lam2 (osd_order >= 2), least soft weight wins with
+    STRICT-< acceptance (OSD-0 keeps ties) and first-candidate
+    tie-break (argmin's first-minimum = the host loop's
+    update-on-strict-improvement order).
+
+    Same enumeration order and tie-break RULE as the host/C++ sweep;
+    per the module contract (see `_osde_py`), float summation order
+    differs, so near-tie candidates can legitimately diverge — only
+    OSD-0 carries bitwise identity.
+
+    The candidate re-solves live entirely in the ALREADY-REDUCED block:
+    flipping free column f changes the pivot-column solution by that
+    column's reduced bits at the pivot rows — one one-hot word
+    contraction + one take_along_axis per candidate column, no second
+    elimination. All candidate columns lie within the first C sorted
+    columns whenever max(lam1, lam2) <= C - rank (C = r + 256 in the
+    caller, so any lam <= 256 matches the host's candidate set
+    exactly)."""
+    n, r = h_t.shape
+    B = synd.shape[0]
+    order, aug, sbit, prs, hass, e_sorted = _osd_eliminate_device(
+        h_t, synd, soft, C)
+    piv = hass.T.astype(jnp.float32)                       # [B, C]
+    w_sorted = jnp.abs(jnp.take_along_axis(soft, order, axis=1)
+                       ).astype(jnp.float32)               # [B, C]
+    w_piv = w_sorted * piv
+    e_f = e_sorted.astype(jnp.float32)
+    base = jnp.sum(w_piv * e_f, axis=1)                    # [B]
+
+    L = max(lam1, lam2 if osd_order >= 2 else 0)
+    freem = (1.0 - piv)
+    ranks = jnp.cumsum(freem, axis=1)                      # 1-based
+    cols = jnp.arange(C, dtype=jnp.int32)
+    words = jnp.arange((C + 31) // 32, dtype=jnp.int32)
+
+    vals = []      # [B, C] reduced bits at pivot slots, per candidate col
+    fcs = []       # [B] sorted-coordinate index of the candidate column
+    exists = []    # [B] candidate column exists
+    wfree = []     # [B] its soft weight
+    for j in range(L):
+        sel = (freem > 0) & (ranks == j + 1)               # one-hot [B, C]
+        ex = jnp.any(sel, axis=1)
+        fc = jnp.sum(jnp.where(sel, cols[None, :], 0),
+                     axis=1).astype(jnp.int32)
+        w_idx = fc // 32
+        b_idx = (fc % 32).astype(jnp.uint32)
+        # one-hot word contraction (no per-shot dynamic gather on W)
+        onew = (words[None, :] == w_idx[:, None]).astype(jnp.uint32)
+        colword = jnp.sum(aug * onew[:, None, :], axis=2)  # [B, r]
+        colbits = ((colword >> b_idx[:, None]) & 1).astype(jnp.uint8)
+        v = jnp.take_along_axis(colbits, prs.T, axis=1)    # [B, C]
+        v = jnp.where(hass.T, v, 0).astype(jnp.float32)
+        vals.append(v)
+        fcs.append(fc)
+        exists.append(ex)
+        wfree.append(jnp.sum(jnp.where(sel, w_sorted, 0), axis=1))
+
+    BIG = jnp.float32(3e38)
+    cand_scores = []
+    cand_f1: list[int] = []
+    cand_f2: list[int] = []
+    for j in range(lam1):
+        xor = e_f + vals[j] - 2.0 * e_f * vals[j]
+        s = wfree[j] + jnp.sum(w_piv * xor, axis=1)
+        cand_scores.append(jnp.where(exists[j], s, BIG))
+        cand_f1.append(j)
+        cand_f2.append(-1)
+    if osd_order >= 2:
+        for j in range(lam2):
+            for k in range(j + 1, lam2):
+                vj = vals[j] + vals[k] - 2.0 * vals[j] * vals[k]
+                xor = e_f + vj - 2.0 * e_f * vj
+                s = (wfree[j] + wfree[k]
+                     + jnp.sum(w_piv * xor, axis=1))
+                cand_scores.append(
+                    jnp.where(exists[j] & exists[k], s, BIG))
+                cand_f1.append(j)
+                cand_f2.append(k)
+
+    scores = jnp.stack(cand_scores, axis=1)                # [B, n_cand]
+    best = jnp.argmin(scores, axis=1)                      # first minimum
+    best_s = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    improve = best_s < base
+    f1_arr = jnp.asarray(cand_f1, jnp.int32)[best]         # [B]
+    f2_arr = jnp.asarray(cand_f2, jnp.int32)[best]
+
+    slot = jnp.arange(L, dtype=jnp.int32)
+    sel1 = (slot[None, :] == f1_arr[:, None]).astype(jnp.float32)
+    sel2 = (slot[None, :] == f2_arr[:, None]).astype(jnp.float32)
+    vstack = jnp.stack(vals, axis=1)                       # [B, L, C]
+    v1 = jnp.sum(vstack * sel1[:, :, None], axis=1)
+    v2 = jnp.sum(vstack * sel2[:, :, None], axis=1)
+    vsel = v1 + v2 - 2.0 * v1 * v2                         # GF(2) xor
+    e_new = (e_f + vsel - 2.0 * e_f * vsel)
+    fstack = jnp.stack(fcs, axis=1)                        # [B, L]
+    fc1 = jnp.sum(fstack * sel1.astype(jnp.int32), axis=1)
+    fc2 = jnp.sum(fstack * sel2.astype(jnp.int32), axis=1)
+    onec = (cols[None, :] == fc1[:, None]).astype(jnp.float32)
+    onec = onec + (cols[None, :] == fc2[:, None]) * (
+        f2_arr >= 0)[:, None].astype(jnp.float32)
+    e_new = jnp.clip(e_new + onec, 0, 1)   # free cols are never pivots
+    e_final = jnp.where(improve[:, None], e_new, e_f).astype(jnp.uint8)
+
+    e = jnp.zeros((B, n), jnp.uint8)
+    e = e.at[jnp.arange(B)[:, None], order].set(e_final)
     chk = (e.astype(jnp.int32) @ h_t.astype(jnp.int32)) & 1
     ok = jnp.all(chk == synd.astype(jnp.int32), axis=1)
     return e, ok

@@ -98,8 +98,11 @@ With h/s/mx/x_if the compiler now runs every deterministic test
 program of the reference (X/Y/Z/XXX/YZ/HZH and the measure-and-correct
 feedback program, test/test_ftqc.py:22-113) at the surgery tier, each
 tableau-gold-tested. Gadget/merge ops require even H parity (rotated-
-patch merges are not modeled); `h` requires an empty frame; circuit-
-tier `h` is not modeled (run/run_full only).
+patch merges are not modeled); `h` requires an empty frame. Since
+round 5 the CIRCUIT tier models `h` too (rotated patches extract
+through the opposite circuit shapes; `build_circuit_x` is the mirror
+circuit model that scores the feedback program's z0 — see
+`schedule_circuit.round_ops`).
 
 The reference has no multi-patch machinery, no logical two-qubit gate,
 and no non-Clifford path at all (reference: ftqc.py:42-120,
@@ -199,6 +202,11 @@ class LogicalProgram:
         self._frames: dict[str, list] = {}
         self._aux_obs: list[tuple[str, list]] = []
         self._aux_expected: list[int | None] = []
+        # channels that score at the CIRCUIT tier despite a None
+        # expected value (coin channels whose reference structure is
+        # gauge-free: the s/t gadget m1 and OUT once both patches are
+        # encoded arrivals — see build_circuit)
+        self._circ_scoreable: set[str] = set()
         self._anc_count = 0
         self._built = None
         self._bits = [0] * n_data
@@ -828,10 +836,20 @@ class LogicalProgram:
         terms = [P.logical(self._xrep((0, 2 * q))),
                  P.readout_logical(ph_last, self._xrep(slot)),
                  P.readout_bit(seam_ro.phase, s0[0])]
-        self._x_obs.append((f"{kind}{q}_out_{len(self._x_obs)}", terms))
+        out_name = f"{kind}{q}_out_{len(self._x_obs)}"
+        m1_name = f"{kind}{q}_m1_{len(self._aux_obs)}"
+        self._x_obs.append((out_name, terms))
         self._x_expected.append(None)
-        self._aux_obs.append((f"{kind}{q}_m1_{len(self._aux_obs)}", m1))
+        self._aux_obs.append((m1_name, m1))
         self._aux_expected.append(None)   # projection-random on |+̄⟩
+        # both gadget channels are coin-valued yet GAUGE-FREE at the
+        # circuit tier (round 5): M arrives encoded (no projection-
+        # round birth gauge — the round-4 drop reason) and D's data
+        # init is encoded by default; the mid-phase joint read and the
+        # final-boundary OUT are then well-defined circuit observables
+        # (the build guard + differential tests verify)
+        self._circ_scoreable.add(m1_name)
+        self._circ_scoreable.add(out_name)
         self._op_log.append((kind, q))
         return self
 
@@ -1359,10 +1377,54 @@ class LogicalProgram:
                     "grid_qubits": self.n})
         return out
 
+    def _rot_info(self):
+        """(rot [n_ph, n], h_bounds, rot_end [n]) from the h frame ops.
+        Trailing h's (boundary == n_phases) affect only the final
+        readout basis — they enter rot_end, not the per-phase matrix."""
+        n_ph = len(self._phases)
+        rot = np.zeros((n_ph, self.n), np.uint8)
+        rot_end = np.zeros(self.n, np.uint8)
+        h_bounds = []
+        for kind, b, qubits in self._frame_ops:
+            if kind != "h":
+                continue
+            rot_end[list(qubits)] ^= 1
+            if b < n_ph:
+                rot[b:, list(qubits)] ^= 1
+                h_bounds.append((b, tuple(qubits)))
+        return rot, tuple(h_bounds), rot_end
+
+    def _obs_union(self, obs_lists) -> np.ndarray:
+        """Union of the final-logical supports across observable term
+        lists — the qubits every extraction circuit fans out FIRST so
+        hook suffixes are observable-free (schedule_circuit.round_ops
+        hook_first)."""
+        u = np.zeros(self.n, np.uint8)
+        for terms in obs_lists:
+            for term in terms:
+                if term[0] in ("logical", "logical_at"):
+                    u |= np.asarray(term[1] if term[0] == "logical"
+                                    else term[2], np.uint8)
+                elif term[0] == "joint":
+                    # the joint's target support: hooks crossing it
+                    # shift which rounds the m-read sees per check
+                    u |= np.asarray(term[2], np.uint8)
+                elif term[0] == "readout_logical":
+                    u |= np.asarray(term[2], np.uint8)
+                elif term[0] == "readout":
+                    u[int(term[2])] = 1
+        return u
+
     def build_circuit(self, noise):
         """Circuit-level fault model: the same compiled schedule with
         REAL two-sector extraction circuits (hook faults, measurement /
         reset / init errors — see experiments.schedule_circuit).
+        Mid-program transversal-H rotations (`h`) are modeled since
+        round 5: rotated patches' scored rows extract as H-sandwich
+        fan-outs, conjugate rows as collections, fault components book
+        their scored-relevant (Z) parts on rotated wires, and the
+        sampler conjugates the frames at each h boundary — see
+        `schedule_circuit.round_ops`.
 
         Projection-random observables (`obs_expected is None` — the
         standalone T-gadget m1 rows) are EXCLUDED from circuit-level
@@ -1373,26 +1435,62 @@ class LogicalProgram:
         home. Dropped names are recorded in `meta["dropped_obs"]`."""
         from qcss_tpu.experiments import schedule_circuit as SC
 
-        if any(kind == "h" for kind, _, _ in self._frame_ops):
-            raise NotImplementedError(
-                "circuit-level h(): a transversal H swaps which physical "
-                "fault species feeds each detector mid-program; the "
-                "circuit tier's per-sector extraction circuits do not "
-                "model the swap yet (the phenomenological tiers do — "
-                "use run/run_full)")
         if not hasattr(self, "_obs"):
             self.measure()
+        rot, h_bounds, rot_end = self._rot_info()
         drop = tuple(i for i, e in enumerate(self._obs_expected)
-                     if e is None)
+                     if e is None
+                     and self._obs_names[i] not in self._circ_scoreable)
         model = SC.build_circuit_schedule(
             self.n, self._phases, np.stack(self._active), self._obs,
             self._conj_checks, readouts=tuple(self._readouts),
             conjugate_init=tuple(self._conj), noise=noise,
-            drop_obs=drop)
+            drop_obs=drop, rotated=rot, h_bounds=h_bounds,
+            hook_first=self._obs_union(self._obs))
         keep = model.meta["kept_obs"]
         model.meta["obs_names"] = [self._obs_names[i] for i in keep]
         model.meta["obs_expected"] = [self._obs_expected[i] for i in keep]
         model.meta["dropped_obs"] = [self._obs_names[i] for i in drop]
+        model.meta["op_log"] = list(self._op_log)
+        return model
+
+    def build_circuit_x(self, noise):
+        """Circuit-level fault model of the X-CHECK sector schedule
+        (`build_x`'s circuit tier, round 5): Z-error faults, scored
+        outcomes = the patches' X-stabilizer extractions. Rides the
+        SAME generalized builder with rotated = active & NOT rot — an
+        unrotated patch's X rows are physically X-type (fan-out
+        extraction), a rotated patch's are Z-type — which is what makes
+        the feedback program (mx + h + x_if, the reference's
+        measure-and-correct, test/test_ftqc.py:104-113) decodable at
+        circuit level: its z0 channel lives in this sector. Dropped
+        (expected-None / gauge) channels recorded as in
+        `build_circuit`."""
+        from qcss_tpu.experiments import schedule_circuit as SC
+
+        if not hasattr(self, "_obs"):
+            self.measure()
+        rot, h_bounds, rot_end = self._rot_info()
+        active = np.stack(self._active)
+        x_names = [name for name, _ in self._x_obs]
+        drop = tuple(i for i, e in enumerate(self._x_expected)
+                     if e is None
+                     and x_names[i] not in self._circ_scoreable)
+        model = SC.build_circuit_schedule(
+            self.n, [P.Phase(h, self.R) for h in self._conj_checks],
+            active, [terms for _, terms in self._x_obs],
+            [ph.checks for ph in self._phases],
+            readouts=tuple(self._x_reads),
+            conjugate_init=tuple(self._x_conj), noise=noise,
+            drop_obs=drop, rotated=(active & (1 - rot)),
+            h_bounds=h_bounds,
+            hook_first=self._obs_union(
+                [terms for _, terms in self._x_obs]))
+        keep = model.meta["kept_obs"]
+        names = [name for name, _ in self._x_obs]
+        model.meta["obs_names"] = [names[i] for i in keep]
+        model.meta["obs_expected"] = [self._x_expected[i] for i in keep]
+        model.meta["dropped_obs"] = [names[i] for i in drop]
         model.meta["op_log"] = list(self._op_log)
         return model
 
@@ -1401,16 +1499,75 @@ class LogicalProgram:
                     osd: bool = True) -> dict:
         """Monte-Carlo the compiled program at CIRCUIT-LEVEL noise:
         frame-sampled extraction circuits, recipe detector assembly,
-        BP(+device OSD) decode on the circuit fault Tanner graph."""
+        BP(+device OSD) decode on the circuit fault Tanner graph.
+
+        Programs whose scoreable channels live in the X-CHECK sector
+        (odd-H-parity final readouts — HZH ends even, the feedback
+        program ends odd) additionally run the mirror circuit model
+        (`build_circuit_x`); `word_fail` composes both sectors per
+        shot, `run_full`'s convention."""
         from qcss_tpu.experiments import schedule_circuit as SC
 
         model = self.build_circuit(noise)
-        out = SC.circuit_schedule_memory(model, noise, batch=batch,
-                                         seed=seed, iters=iters,
-                                         alpha=alpha, osd=osd)
-        for i, name in enumerate(model.meta["obs_names"]):
-            out[f"{name}_fail"] = out.pop(f"obs{i}_fail")
-        out.update({"d": self.d, "rounds": self.R,
-                    "n_phases": len(self._phases),
-                    "grid_qubits": self.n})
+        out = {"d": self.d, "rounds": self.R,
+               "n_phases": len(self._phases), "grid_qubits": self.n}
+        if model.obs.shape[0]:
+            res = SC.circuit_schedule_memory(model, noise, batch=batch,
+                                             seed=seed, iters=iters,
+                                             alpha=alpha, osd=osd)
+            for i, name in enumerate(model.meta["obs_names"]):
+                res[f"{name}_fail"] = res.pop(f"obs{i}_fail")
+            out.update(res)
+        # X-sector channels (scoreable only): compose like run_full
+        x_names = [name for name, _ in self._x_obs]
+        x_scoreable = [
+            e is not None or nm in self._circ_scoreable
+            for e, nm in zip(self._x_expected, x_names)]
+        if self._x_obs and any(x_scoreable):
+            model_x = self.build_circuit_x(noise)
+            if model_x.obs.shape[0]:
+                res_x = SC.circuit_schedule_memory(
+                    model_x, noise, batch=batch, seed=seed + 7919,
+                    iters=iters, alpha=alpha, osd=osd)
+                for i, name in enumerate(model_x.meta["obs_names"]):
+                    res_x[f"{name}_fail"] = res_x.pop(f"obs{i}_fail")
+                out["detectors_x"] = res_x.pop("detectors")
+                out["fault_vars_x"] = res_x.pop("fault_vars")
+                out["bp_converged_x"] = res_x.pop("bp_converged")
+                wf_x = res_x.pop("word_fail")
+                res_x.pop("samples", None)
+                out.update(res_x)
+                if "word_fail" in out:
+                    # independent sectors: compose the word failure
+                    wf_z = out["word_fail"]
+                    out["word_fail"] = 1 - (1 - wf_z) * (1 - wf_x)
+                    out["word_fail_z"] = wf_z
+                    out["word_fail_x"] = wf_x
+                else:
+                    out["word_fail"] = wf_x
+                out.setdefault("samples", batch)
         return out
+
+
+def t_circuit_report(d: int, noise, *, eps_magic: float,
+                     batch: int = 1 << 13, seed: int = 0) -> dict:
+    """END-TO-END CIRCUIT-LEVEL logical-T error budget (round 5 — the
+    capstone of the universality story the reference stubs,
+    css_code.py:433-434): the compiled T gadget Monte-Carlo'd at
+    circuit-level noise with BOTH fault sectors decoded (m1 on the
+    Z-sector circuit Tanner graph, OUT on the X-sector's — enabled by
+    the encoded-arrival magic patch and the final-boundary OUT, which
+    remove the stabilizer-at-birth gauge that previously made m1
+    circuit-unscoreable), composed with the injected/distilled magic
+    state's residual ``eps_magic`` (`injection.factory_report`):
+
+        t_error = 1 - (1 - word_fail) * (1 - eps_magic)
+
+    where word_fail composes the independently-decoded sectors
+    (m1 wrong → S̄ vs S̄† non-Pauli error; OUT wrong → a bad
+    M_X-conditioned Z̄ frame; z0 wrong → output Z̄ flip)."""
+    out = LogicalProgram(d, 1).t(0).run_circuit(noise, batch=batch,
+                                                seed=seed)
+    out["eps_magic"] = float(eps_magic)
+    out["t_error"] = 1.0 - (1.0 - out["word_fail"]) * (1.0 - eps_magic)
+    return out

@@ -29,19 +29,29 @@ semantics (transition partners, init/closure rows, conjugate-init
 drops, joint solves) with zero duplicated assembly logic.
 
 Scored-sector conventions (Z-scored, matching `experiments.logical`):
-X errors are the fault sector; Z-check outcomes and Z-basis readouts
-see them; Z errors are the mirror-image sector and are never booked
-(they cannot flip any scored outcome: data wires see no H, and
-ancilla Z errors either stay on the ancilla or land on conjugate
-outcomes that are discarded). The noise channel decomposition uses
-EXCLUSIVE X-support classes (ctrl-only / tgt-only / both at 4p/15 per
-CNOT) — the same partition `decode.dem2._fault_species` uses,
-avoiding the X⊗X double-booking bug calibration caught there. The
-X-ancilla H sandwich carries no scored-relevant noise (every
-component is either the identity on the fresh |+⟩ or a flip of the
-discarded conjugate outcome — see `round_ops`), so `p_gate1` is not
-charged in this tier; these circuits contain two-qubit gates,
-measurements and resets only.
+X errors are the fault sector on UNROTATED wires; Z-check outcomes and
+Z-basis readouts see them; Z errors there are the mirror-image sector
+and are never booked (they cannot flip any scored outcome — boundary
+H's convert residual type and check type in lockstep, so the rule
+holds across mid-program rotations too). On ROTATED wires (round 5:
+`rotated` — transversal-H patch rotations, and the entire X-CHECK
+sector model via rotated = NOT rot) the roles swap exactly: scored
+rows are physically X-type, Z components are the booked sector. The
+noise channel decomposition uses EXCLUSIVE X-support classes
+(ctrl-only / tgt-only / both at 4p/15 per CNOT) on x-relevant gates
+and the mirror Z-support classes on z-relevant ones — the same
+partition `decode.dem2._fault_species` uses, avoiding the X⊗X
+double-booking bug calibration caught there. The unrotated X-ancilla
+H sandwich carries no scored-relevant noise (every component is
+either the identity on the fresh |+⟩ or a flip of the discarded
+conjugate outcome — see `round_ops`), so `p_gate1` is not charged in
+this tier; these circuits contain two-qubit gates, H sandwiches on
+rotated scored ancillas (noiseless), measurements and resets only.
+Per-check gate order puts the observables' support qubits first
+(`hook_first`) so every ancilla-hook suffix is observable-free;
+`meta["ambiguous_sigs"]` counts any remaining same-signature
+different-observable variable pairs (0 for every compiled program —
+asserted in tests).
 
 What stays idealized (documented, matching the bespoke circuit tier
 `surgery_circuit.py`): the FINAL transversal readout is perfect (the
@@ -71,63 +81,156 @@ from qcss_tpu.sim import noise as noise_mod
 # -- per-phase round circuits -------------------------------------------------
 
 
-def round_ops(hz: np.ndarray, hx: np.ndarray, n: int, rz_max: int):
+def round_ops(hz: np.ndarray, hx: np.ndarray, n: int, rz_max: int,
+              rot: np.ndarray | None = None,
+              hook_first: np.ndarray | None = None):
     """One extraction round as op tuples + frame-engine gate arrays —
     ONE source of truth for gate order (enumerator and sampler agree on
-    hook timing). Conjugate (X) checks first: per-check CNOT fan-outs
-    ancilla→data; then scored (Z) checks: per-check CNOT collections
-    data→ancilla. All ancillas measure/reset simultaneously at round
-    end (handled outside these ops).
+    hook timing). Conjugate checks first, then scored checks; all
+    scored ancillas measure/reset simultaneously at round end (handled
+    outside these ops).
 
-    The X-ancillas' H sandwich is NOT emitted — every component of
-    both H noise locations is provably scored-gauge: on the opening H
-    the ancilla is a fresh product |+⟩, so the X component is the
-    IDENTITY (booking it over-counts a branch relabel of projection-
-    random joints as a logical deviation — the circuit-level form of
-    the conjugate-init fault exemption; it fired the undetectable-
-    logical guard on the compiled T gadget's m1 as a detector-silent
-    full-check frame) and Y/Z flip only the X-check outcome, which is
-    DISCARDED (not a scored detector input); on the closing H every
-    component flips at most that same discarded outcome. Likewise an
-    X-ancilla |+⟩-reset error is gauge (X component identity, Z flips
-    the discarded outcome), so the sampler clears those wires
-    noiselessly. The mid-fan-out hook channel (2q depolarizing on the
-    fan-out CNOTs) is untouched and complete — a ctrl-X after the j-th
-    CNOT hooks into the remaining targets, the real physics — EXCEPT on
-    the FIRST fan-out CNOT of each X-check, where the post-gate state
-    is stabilized by X_anc·X_target (CNOT|+⟩|ψ⟩ is the entangled pair),
-    so the depolarizing classes reduce modulo that stabilizer:
-    both-sides ≡ identity, ctrl-only ≡ tgt-only — ONE class, X on the
-    target at 8p/15 (`first_flags` marks these gates; enumerator and
-    sampler both apply the reduced channel there). Booking the generic
-    classes instead re-creates the same detector-silent gauge frame
-    through the X⊗X component."""
+    `rot` is the model's per-qubit ROTATION row for this phase: a check
+    whose support is rotated is PHYSICALLY the opposite type (the
+    transversal-H patch rotation swaps X and Z stabilizers on constant
+    supports — LogicalProgram.h), so it extracts in the opposite
+    circuit shape: scored rows on rotated qubits as H-sandwich
+    fan-outs (ancilla→data), conjugate rows on rotated qubits as plain
+    collections (data→ancilla). The same generalization gives the
+    X-CHECK sector's circuit model for free: pass rotated = NOT rot
+    (an unrotated patch's X rows are physically X-type). Checks must
+    not straddle a rotation boundary (asserted).
+
+    Unrotated conjugate (X-type) fan-outs emit NO H sandwich — every
+    component of both H noise locations is provably scored-gauge: on
+    the opening H the ancilla is a fresh product |+⟩, so the X
+    component is the IDENTITY (booking it over-counts a branch relabel
+    of projection-random joints as a logical deviation — the
+    circuit-level form of the conjugate-init fault exemption; it fired
+    the undetectable-logical guard on the compiled T gadget's m1 as a
+    detector-silent full-check frame) and Y/Z flip only the X-check
+    outcome, which is DISCARDED; on the closing H every component
+    flips at most that same discarded outcome. Likewise an X-ancilla
+    |+⟩-reset error is gauge, so the sampler clears those wires
+    noiselessly. ROTATED scored fan-outs DO emit their H sandwich as
+    real (noiseless — p_gate1 is not charged in this tier) ops: their
+    outcome is scored, so the walk must convert through the ancilla H
+    exactly.
+
+    The mid-fan-out hook channel (2q depolarizing) is untouched and
+    complete — a ctrl Pauli after the j-th CNOT hooks into the
+    remaining targets — EXCEPT on the FIRST 2q gate of each check
+    circuit, where the post-gate state is stabilized at birth:
+      * X-type fan-out first CNOT: CNOT|+⟩|ψ⟩ is the entangled pair,
+        stabilized by X_anc·X_tgt AND Z_anc·Z_tgt — the 15 atoms
+        reduce to three orbits {X_t, Z_t, Y_t} at 4p/15; the
+        scored-relevant marginal is X on the target at 8p/15 for an
+        x-relevant walk (flag 1) or Z on the target at 8p/15 for a
+        z-relevant walk (flag 2);
+      * Z-type collection first CNOT: the post-gate state is
+        stabilized by Z_data·Z_anc — the z-support classes reduce
+        (both ≡ identity, data ≡ ancilla) to Z on the ancilla at
+        8p/15 (flag 2 again; the two walks differ by the evolved
+        stabilizer = the check operator itself, which commutes with
+        every scored-relevant future readout); the x-support classes
+        are unreduced, but a Z-relevant circuit never books them.
+    Booking the generic classes at flagged gates re-creates
+    detector-silent gauge frames through the stabilizer components.
+
+    `hook_first` (per-qubit 0/1) orders each check's data wires so the
+    marked qubits come FIRST: an ancilla hook after the j-th gate lands
+    only on the REMAINING wires, so putting the observables' support
+    qubits first makes every hook suffix observable-free — the
+    hook-benign extraction schedule (the surface-code literature's
+    gate-ordering rule, applied per check). Without it, a rotated
+    phase's last-round hooks are FIRST-ORDER ambiguous against
+    boundary-slot data faults on weight-2 boundary checks (same single
+    closure detector, different observable — found building
+    circuit-level h; the differential guard verified both bookings,
+    the ambiguity is physical and the ordering removes it).
+
+    Returns (ops, gate arrays, flags [n_ops], sector [n_ops]) with
+    flags 0 = generic, 1 = x-reduced first gate, 2 = z-reduced first
+    gate; sector 0 = x-relevant walk, 1 = z-relevant walk."""
     from qcss_tpu.circuits.ir import Circuit
 
     rz, rx = hz.shape[0], hx.shape[0]
+    if rot is None:
+        rot = np.zeros(n, np.uint8)
     ax0 = n + rz_max
     ops = []
     flags = []
+    sector = []
     circ = Circuit()
+
+    def ordered(sup):
+        if hook_first is None:
+            return sup
+        # stable: marked qubits first, raster order within each group
+        return np.concatenate([sup[hook_first[sup] > 0],
+                               sup[hook_first[sup] == 0]])
+
+    def rot_of(sup, what):
+        r = bool(rot[sup].any())
+        if r and not rot[sup].all():
+            raise AssertionError(
+                f"{what} straddles a rotation boundary")
+        return r
+
     for c in range(rx):
-        for i, j in enumerate(np.nonzero(hx[c])[0]):
-            ops.append(("cnot", ax0 + c, int(j)))
-            flags.append(1 if i == 0 else 0)
-            circ.cnot(ax0 + c, int(j))
+        sup = ordered(np.nonzero(hx[c])[0])
+        a = ax0 + c
+        if not rot_of(sup, f"conjugate check {c}"):
+            # physically X-type: fan-out (no H sandwich — see above)
+            for i, j in enumerate(sup):
+                ops.append(("cnot", a, int(j)))
+                flags.append(1 if i == 0 else 0)
+                sector.append(0)
+                circ.cnot(a, int(j))
+        else:
+            # physically Z-type: collection; outcome discarded, hooks
+            # ride the z components
+            for i, j in enumerate(sup):
+                ops.append(("cnot", int(j), a))
+                flags.append(2 if i == 0 else 0)
+                sector.append(1)
+                circ.cnot(int(j), a)
     for c in range(rz):
-        for j in np.nonzero(hz[c])[0]:
-            ops.append(("cnot", int(j), n + c))
+        sup = ordered(np.nonzero(hz[c])[0])
+        a = n + c
+        if not rot_of(sup, f"scored check {c}"):
+            # physically Z-type: collection
+            for j in sup:
+                ops.append(("cnot", int(j), a))
+                flags.append(0)
+                sector.append(0)
+                circ.cnot(int(j), a)
+        else:
+            # physically X-type, outcome SCORED: real H sandwich
+            ops.append(("h", a))
             flags.append(0)
-            circ.cnot(int(j), n + c)
-    return ops, circ.to_arrays(), np.asarray(flags, np.int32)
+            sector.append(1)
+            circ.h(a)
+            for i, j in enumerate(sup):
+                ops.append(("cnot", a, int(j)))
+                flags.append(2 if i == 0 else 0)
+                sector.append(1)
+                circ.cnot(a, int(j))
+            ops.append(("h", a))
+            flags.append(0)
+            sector.append(1)
+            circ.h(a)
+    return (ops, circ.to_arrays(), np.asarray(flags, np.int32),
+            np.asarray(sector, np.int32))
 
 
-def _walk(ops, nq: int, start: int, x0: np.ndarray):
-    """Propagate an X-sector Pauli injected AFTER op index `start`
-    (-1 = round start) to the end of the round; H converts through the
-    z component. Returns the final (x, z) frame."""
+def _walk(ops, nq: int, start: int, x0: np.ndarray,
+          z0: np.ndarray | None = None):
+    """Propagate a Pauli injected AFTER op index `start` (-1 = round
+    start) to the end of the round; H converts between the components.
+    Returns the final (x, z) frame."""
     x = x0.copy()
-    z = np.zeros(nq, np.uint8)
+    z = np.zeros(nq, np.uint8) if z0 is None else z0.copy()
     for op in ops[start + 1:]:
         if op[0] == "cnot":
             _, c, t = op
@@ -170,9 +273,10 @@ class _Plan:
     starts: tuple[int, ...]
     ops: tuple            # per phase: op tuple list
     arrays: tuple         # per phase: (ops, q0, q1) numpy gate arrays
-    flags: tuple          # per phase: first-fan-out CNOT marks [n_ops]
+    flags: tuple          # per phase: reduced-first-gate marks [n_ops]
+    #                       (0 generic, 1 x-reduced, 2 z-reduced)
     # transitions INTO phase ph (ph >= 1):
-    ro_at: tuple          # per phase: tuple of (qubit, ridx)
+    ro_at: tuple          # per phase: tuple of (qubit, ridx, from_z)
     gone_at: tuple        # per phase: tuple of qubits cleared
     init_scored_at: tuple  # per phase (incl. 0): scored-basis inits
     init_conj_at: tuple    # per phase (incl. 0): conjugate inits
@@ -180,6 +284,15 @@ class _Plan:
     n_read: int
     D: np.ndarray          # [n_dets, n_out] recipe detector map
     obs_D: np.ndarray      # [n_obs, n_out] recipe observable map
+    # model rotation matrix [n_ph, n]: 1 where the scored rows are
+    # physically X-type (see round_ops); all-zero for unrotated models
+    rot: np.ndarray = None
+    # physical transversal-H events: per phase, qubits conjugated at
+    # the transition INTO that phase (the h frame ops)
+    h_at: tuple = ()
+    # final-word deviation source per data qubit: 1 = z frame (the
+    # final closure is a physically X-type readout there)
+    final_from_z: np.ndarray = None
 
 
 def build_circuit_schedule(n: int, phases: list[P.Phase],
@@ -189,13 +302,36 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
                            readouts: tuple[P.Readout, ...] = (),
                            conjugate_init: tuple[P.Readout, ...] = (),
                            *, noise: noise_mod.NoiseModel,
-                           drop_obs: tuple[int, ...] = ()
+                           drop_obs: tuple[int, ...] = (),
+                           rotated: np.ndarray | None = None,
+                           h_bounds: tuple = (),
+                           hook_first: np.ndarray | None = None
                            ) -> CircuitScheduleModel:
     """Assemble the circuit-level fault Tanner graph of a declarative
     schedule. Inputs are `patches.build_schedule`'s, plus `conj_checks`:
     the conjugate sector's check matrices per phase (the real patches'
     X stabilizers — the hook-fault source a scored-sector-only circuit
     cannot model).
+
+    `rotated` [n_ph, n] marks qubits whose SCORED rows are physically
+    X-type during a phase (see `round_ops`): mid-program transversal-H
+    rotations (LogicalProgram.h) in the Z-scored model, and — with
+    rotated = active & NOT rot — the X-CHECK sector's circuit model,
+    where an unrotated patch's scored (X) rows are physically X-type.
+    Faults on rotated wires book their Z components (the scored-
+    relevant sector there); residuals book by their BIRTH sector
+    (scored-relevant at birth stays scored-relevant forever: the
+    boundary H conversions swap residual type and check type in
+    lockstep). `h_bounds` lists the PHYSICAL transversal-H events
+    ((phase, qubits) — the h frame ops) so the sampler conjugates the
+    frames at the right boundaries. A scored mid-program readout's
+    physical basis follows `rotated` at the previous phase (X-type
+    rows read in the X basis → deviations ride the z frame), and the
+    final word's per-qubit deviation source follows `rotated`'s LAST
+    row — TRAILING h frame ops (after the last emitted phase) need no
+    representation at all: the physical chain [trailing H; readout in
+    the end-state basis] reads exactly the pre-H conjugate component,
+    which is the last phase's scored-relevant frame.
 
     `drop_obs` excludes observable rows from circuit-level scoring.
     Needed for PROJECTION-RANDOM standalone joints (the compiled T
@@ -214,6 +350,9 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
                          "locations (see NoiseModel.p_idle docs)")
     n_ph = len(phases)
     active = np.asarray(active, dtype=np.uint8)
+    if rotated is None:
+        rotated = np.zeros((n_ph, n), np.uint8)
+    rotated = np.asarray(rotated, np.uint8) & active
     if len(conj_checks) != n_ph:
         raise ValueError("need one conjugate check matrix per phase")
     for ph in range(n_ph):
@@ -306,13 +445,15 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
         return v
 
     # -- enumerate per-phase circuit components ------------------------------
-    all_ops, all_arrays, all_flags = [], [], []
+    all_ops, all_arrays, all_flags, all_sector = [], [], [], []
     for ph in range(n_ph):
-        ops, arrays, flags = round_ops(phases[ph].checks, conj_checks[ph],
-                                       n, rz_max)
+        ops, arrays, flags, sec = round_ops(
+            phases[ph].checks, conj_checks[ph], n, rz_max,
+            rot=rotated[ph], hook_first=hook_first)
         all_ops.append(tuple(ops))
         all_arrays.append(arrays)
         all_flags.append(flags)
+        all_sector.append(sec)
 
     if noise.pauli2 is not None:
         raise ValueError("circuit-level schedules assume uniform 2q "
@@ -322,31 +463,56 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
     p2 = noise.p_gate2
 
     def phase_components(ph: int):
-        """(own flips over scored checks, residual x over data, prob,
-        meta) per component of one round of phase ph."""
+        """(own flips over scored checks, scored-relevant residual over
+        data, prob, meta) per component of one round of phase ph.
+        Components on x-relevant gates are the exclusive X-support
+        classes; on z-relevant (rotated-check) gates the mirror
+        Z-support classes — each walked with both frame components
+        through the real ops (H conversions included), booking the
+        scored-ancilla x flips and the per-qubit BIRTH-sector residual
+        (x on unrotated wires, z on rotated — the other component can
+        never reach a scored outcome: boundary H's swap residual type
+        and check type in lockstep)."""
         ops = all_ops[ph]
+        rotv = rotated[ph]
         out = []
 
-        def add(start, wires, prob, meta):
+        def add(start, xw, zw, prob, meta):
             x0 = np.zeros(nq, np.uint8)
-            x0[list(wires)] = 1
-            x, _ = _walk(ops, nq, start, x0)
+            z0 = np.zeros(nq, np.uint8)
+            x0[list(xw)] = 1
+            z0[list(zw)] = 1
+            x, z = _walk(ops, nq, start, x0, z0)
+            resid = ((x[:n] & (1 - rotv)) | (z[:n] & rotv)).astype(
+                np.uint8)
             out.append((np.nonzero(x[n: n + rz[ph]])[0],
-                        x[:n].copy(), prob, meta))
+                        resid, prob, meta))
 
         flags = all_flags[ph]
+        sec = all_sector[ph]
         for k, op in enumerate(ops):
             if op[0] == "cnot" and p2:
                 a, b = op[1], op[2]
-                if flags[k]:
+                if flags[k] == 1:
                     # first fan-out CNOT: channel reduced modulo the
-                    # X_anc·X_tgt pair stabilizer (see round_ops)
-                    add(k, [b], 8 * p2 / 15, ("2qf", ph, k))
+                    # birth stabilizers (see round_ops)
+                    add(k, [b], [], 8 * p2 / 15, ("2qf", ph, k))
                     continue
-                # exclusive X-support classes of 2q depolarizing
-                add(k, [a], 4 * p2 / 15, ("2q", ph, k, "c"))
-                add(k, [b], 4 * p2 / 15, ("2q", ph, k, "t"))
-                add(k, [a, b], 4 * p2 / 15, ("2q", ph, k, "ct"))
+                if flags[k] == 2:
+                    add(k, [], [b], 8 * p2 / 15, ("2qzf", ph, k))
+                    continue
+                if sec[k] == 0:
+                    # exclusive X-support classes of 2q depolarizing
+                    add(k, [a], [], 4 * p2 / 15, ("2q", ph, k, "c"))
+                    add(k, [b], [], 4 * p2 / 15, ("2q", ph, k, "t"))
+                    add(k, [a, b], [], 4 * p2 / 15, ("2q", ph, k, "ct"))
+                else:
+                    # mirror: exclusive Z-support classes (the only
+                    # scored-relevant components on rotated wires)
+                    add(k, [], [a], 4 * p2 / 15, ("2qz", ph, k, "c"))
+                    add(k, [], [b], 4 * p2 / 15, ("2qz", ph, k, "t"))
+                    add(k, [], [a, b], 4 * p2 / 15,
+                        ("2qz", ph, k, "ct"))
         if noise.p_meas:
             for c in range(rz[ph]):
                 out.append((np.asarray([c]), np.zeros(n, np.uint8),
@@ -428,27 +594,38 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
                     place(vec, noise.p_reset, ("reset", ph, c, t))
 
     if noise.p_reset:
-        # data init errors: X at scored-basis activation (|0⟩ prep),
-        # walked through the activation round. Conjugate inits are
-        # exempt — X on a fresh |+⟩ is the identity (the projection
-        # coin is untossed; see patches.build_schedule's fault rules).
+        # data init errors at scored-basis activation, walked through
+        # the activation round: the scored-relevant component — X on
+        # unrotated wires (|0⟩-prep bit flip), Z on model-rotated wires
+        # (the mirror sector's init error on its physically-X-type
+        # prep). Conjugate inits are exempt — the scored-relevant
+        # component on a fresh conjugate eigenstate is the identity
+        # (the projection coin is untossed; see patches.build_schedule).
         for ph in range(n_ph):
             prev = active[ph - 1] if ph else np.zeros(n, np.uint8)
             newly = np.nonzero(active[ph] & (1 - prev))[0]
             cset = conj_init_at.get(ph, set())
+            rotv = rotated[ph]
             for qb in newly:
                 if int(qb) in cset:
                     continue
                 x0 = np.zeros(nq, np.uint8)
-                x0[int(qb)] = 1
-                x, _ = _walk(all_ops[ph], nq, -1, x0)
+                z0 = np.zeros(nq, np.uint8)
+                if rotv[int(qb)]:
+                    z0[int(qb)] = 1
+                    kind = "initz"
+                else:
+                    x0[int(qb)] = 1
+                    kind = "init"
+                x, z = _walk(all_ops[ph], nq, -1, x0, z0)
+                resid = ((x[:n] & (1 - rotv)) | (z[:n] & rotv))
                 vec = np.zeros(n_out, np.uint8)
                 t0 = int(starts[ph])
                 for c in np.nonzero(x[n: n + rz[ph]])[0]:
                     vec[out_idx[(ph, t0, int(c))]] ^= 1
-                for q2 in np.nonzero(x[:n])[0]:
+                for q2 in np.nonzero(resid)[0]:
                     vec ^= future_vec(int(q2), ph, 0)
-                place(vec, noise.p_reset, ("init", ph, int(qb)))
+                place(vec, noise.p_reset, (kind, ph, int(qb)))
 
     if noise.p_meas:
         for (ph, qb), ridx in read_idx.items():
@@ -476,7 +653,12 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
     ro_at, gone_at, init_s_at, init_c_at = [], [], [], []
     for ph in range(n_ph):
         prev = active[ph - 1] if ph else np.zeros(n, np.uint8)
-        ro = tuple((int(qb), read_idx[(ph, int(qb))])
+        prev_rot = rotated[ph - 1] if ph else np.zeros(n, np.uint8)
+        # a scored readout's physical basis follows the previous
+        # phase's rotation: X-type scored rows read in the X basis
+        # (deviations ride the z frame)
+        ro = tuple((int(qb), read_idx[(ph, int(qb))],
+                    int(prev_rot[int(qb)]))
                    for qb in range(n) if (ph, qb) in read_idx)
         gone = tuple(int(qb)
                      for qb in np.nonzero(prev & (1 - active[ph]))[0])
@@ -489,6 +671,13 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
         ro_at.append(ro)
         gone_at.append(gone)
 
+    h_at = [()] * n_ph
+    for ph_h, qubits in h_bounds:
+        if not 0 <= ph_h < n_ph:
+            raise ValueError("h boundary phase out of range")
+        h_at[ph_h] = tuple(sorted(set(h_at[ph_h]) | set(int(q)
+                                                        for q in qubits)))
+
     plan = _Plan(
         n=n, nq=nq, n_ph=n_ph, rz=tuple(rz), rz_max=rz_max, rx_max=rx_max,
         rounds=tuple(Ph.rounds for Ph in phases),
@@ -497,11 +686,22 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
         flags=tuple(all_flags),
         ro_at=tuple(ro_at), gone_at=tuple(gone_at),
         init_scored_at=tuple(init_s_at), init_conj_at=tuple(init_c_at),
-        n_meas=n_meas, n_read=n_read, D=D, obs_D=obs_D)
+        n_meas=n_meas, n_read=n_read, D=D, obs_D=obs_D,
+        rot=rotated, h_at=tuple(h_at),
+        final_from_z=rotated[-1].copy())
     meta = dict(base.meta)
     meta.pop("recipe", None)
     meta["n_fault_vars"] = nv
     meta["kept_obs"] = keep_obs
+    # same-signature different-observable variable pairs are a hard
+    # first-order ambiguity (no decoder can separate them); the
+    # hook-benign gate ordering (`hook_first`) exists to keep this 0 —
+    # recorded so tests/consumers can assert it
+    sig_groups: dict[tuple, set] = {}
+    for (dets, ob) in merged:
+        sig_groups.setdefault(dets, set()).add(ob)
+    meta["ambiguous_sigs"] = sum(
+        1 for v in sig_groups.values() if len(v) > 1)
     return CircuitScheduleModel(
         n=n, n_phases=n_ph, F=F, priors=priors, obs=obs,
         fault_sigs=fault_sigs, plan=plan, meta=meta)
@@ -512,10 +712,11 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
 
 def _run_round_noisy(f, ops_a, q0_a, q1_a, flags_a, noise, key):
     """One round's gates with per-gate 2q depolarizing — the
-    `fr.run_arrays_noisy` channel, except that gates flagged as an
-    X-check's FIRST fan-out CNOT get the stabilizer-reduced channel
-    (X on the target at 8p/15; see `round_ops`). These circuits are
-    CNOT-only, so no 1q locations exist."""
+    `fr.run_arrays_noisy` channel, except that gates flagged as a
+    check circuit's FIRST 2q gate get the stabilizer-reduced channel
+    (flag 1: X on the target at 8p/15; flag 2: Z on the target at
+    8p/15 — see `round_ops`). H ops (rotated scored checks' ancilla
+    sandwich) carry no noise (p_gate1 is not charged in this tier)."""
     if not noise.p_gate2:
         return fr.propagate_arrays(f, ops_a, q0_a, q1_a)
     p_first = jnp.float32(8 * noise.p_gate2 / 15)
@@ -524,16 +725,28 @@ def _run_round_noisy(f, ops_a, q0_a, q1_a, flags_a, noise, key):
     def body(carry, xs):
         op, a, b, fl, k = xs
         carry = jax.lax.switch(op, fr._FRAME_BRANCHES, carry, a, b)
+        is_2q = op == 6
 
-        def flagged(s):
+        def flagged_x(s):
             hit = jax.random.bernoulli(
                 k, p_first, (s.batch,)).astype(jnp.uint8)
             return fr.Frames(s.x.at[:, b].set(s.x[:, b] ^ hit), s.z)
 
+        def flagged_z(s):
+            hit = jax.random.bernoulli(
+                k, p_first, (s.batch,)).astype(jnp.uint8)
+            return fr.Frames(s.x, s.z.at[:, b].set(s.z[:, b] ^ hit))
+
         def generic(s):
             return fr._inject2(s, a, b, noise.rate2, k)
 
-        return jax.lax.cond(fl == 1, flagged, generic, carry), None
+        def noiseless(s):
+            return s
+
+        branch = jnp.where(is_2q, fl + 1, 0)
+        return jax.lax.switch(
+            branch, (noiseless, generic, flagged_x, flagged_z),
+            carry), None
 
     f, _ = jax.lax.scan(body, f, (ops_a, q0_a, q1_a, flags_a, keys))
     return f
@@ -552,9 +765,18 @@ def _sample_plan(key, batch: int, plan: _Plan,
     for ph in range(plan.n_ph):
         k_tr1, k_tr2, k_rounds = jax.random.split(k_ph[ph], 3)
         if ph > 0 and plan.ro_at[ph]:
-            q_ro = jnp.asarray([qb for qb, _ in plan.ro_at[ph]], jnp.int32)
-            f, bits = fr.measure_deviations(f, q_ro, k_tr1, noise.p_meas)
-            for i, (_, ridx) in enumerate(plan.ro_at[ph]):
+            # per-read basis: X-type scored rows read in the X basis —
+            # their outcome deviations ride the z frame
+            q_ro = jnp.asarray([qb for qb, _, _ in plan.ro_at[ph]],
+                               jnp.int32)
+            from_z = jnp.asarray([fz for _, _, fz in plan.ro_at[ph]],
+                                 jnp.uint8)
+            outs = jnp.where(from_z[None, :] > 0,
+                             f.z[:, q_ro], f.x[:, q_ro])
+            if noise.p_meas:
+                outs = noise_mod.flip_bits(outs, noise.p_meas, k_tr1)
+            bits = outs
+            for i, (_, ridx, _) in enumerate(plan.ro_at[ph]):
                 read_bits[ridx] = bits[:, i]
         if ph > 0 and plan.gone_at[ph]:
             f = fr.reset_qubits(
@@ -566,6 +788,11 @@ def _sample_plan(key, batch: int, plan: _Plan,
         if plan.init_conj_at[ph]:
             f = fr.reset_qubits(
                 f, jnp.asarray(plan.init_conj_at[ph], jnp.int32))
+        if plan.h_at[ph]:
+            # physical transversal-H rotation: conjugate the frames
+            hq = jnp.asarray(plan.h_at[ph], jnp.int32)
+            f = fr.Frames(f.x.at[:, hq].set(f.z[:, hq]),
+                          f.z.at[:, hq].set(f.x[:, hq]))
 
         ops_a, q0_a, q1_a = (jnp.asarray(a) for a in plan.arrays[ph])
         flags_a = jnp.asarray(plan.flags[ph])
@@ -590,7 +817,10 @@ def _sample_plan(key, batch: int, plan: _Plan,
                                jax.random.split(k_rounds, plan.rounds[ph]))
         outs_all.append(outs.transpose(1, 0, 2).reshape(batch, -1))
 
-    final = f.x[:, :n]
+    # final word: qubits whose scored rows end physically X-type read
+    # in the X basis — deviations ride the z frame
+    fz = jnp.asarray(plan.final_from_z, jnp.uint8)
+    final = jnp.where(fz[None, :] > 0, f.z[:, :n], f.x[:, :n])
     parts = outs_all
     if plan.n_read:
         parts.append(jnp.stack(read_bits, axis=1))

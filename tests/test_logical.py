@@ -372,10 +372,13 @@ class TestFrameOpsAndH:
             LogicalProgram(3, 2).h(0).cnot(0, 1)
         with pytest.raises(ValueError, match="Z-basis"):
             LogicalProgram(3, 1).h(0).t(0)
-        with pytest.raises(NotImplementedError, match="circuit"):
-            from qcss_tpu.sim.noise import NoiseModel
-            LogicalProgram(3, 1).h(0).idle().h(0).build_circuit(
-                NoiseModel(p_gate2=1e-3))
+        # round 5: the circuit tier MODELS h (rotated extraction
+        # shapes, schedule_circuit.round_ops) — mid-program rotations
+        # build instead of raising, with zero residual ambiguity
+        from qcss_tpu.sim.noise import NoiseModel
+        m = LogicalProgram(3, 1).h(0).idle().h(0).build_circuit(
+            NoiseModel(p_gate2=1e-3))
+        assert m.meta["ambiguous_sigs"] == 0
 
     def test_s_state_machine_and_gadget(self):
         # H S S H == H Z H -> 1 (S^2 = Z); each s() emits a full
