@@ -50,18 +50,48 @@ def wilson(k: int, n: int, z: float = 1.96):
     return (max(c - hw, 0.0), min(c + hw, 1.0))
 
 
+def make_noise(p: float, model: str) -> NoiseModel:
+    """Noise conventions. 'uniform': p on every 1q/2q gate, measurement
+    and reset — the round-4 headline model (NOT directly comparable to
+    published numbers). 'si1000': the superconducting-inspired
+    convention (Gidney et al.) mapped onto this framework's location
+    types — 2q depolarizing p, 1q depolarizing p/10, measurement flip
+    5p, reset X error 2p — the apples-to-apples convention against
+    published ~0.5%-of-p2 circuit-level thresholds."""
+    if model == "uniform":
+        return NoiseModel(p_gate2=p, p_gate1=p, p_meas=p, p_reset=p)
+    if model == "si1000":
+        return NoiseModel(p_gate2=p, p_gate1=p / 10, p_meas=5 * p,
+                          p_reset=2 * p)
+    raise ValueError(f"unknown noise model {model!r}")
+
+
 def run_point(d: int, p: float, shots: int, seed: int,
-              decoder: str, batch: int) -> dict:
+              decoder: str, batch: int, model: str = "uniform",
+              iters: int = 32) -> dict:
     code = rotated_surface(d)
-    noise = NoiseModel(p_gate2=p, p_gate1=p, p_meas=p, p_reset=p)
+    noise = make_noise(p, model)
     fails = 0
     total = 0
     reps = max(1, shots // batch)
     for rep in range(reps):
-        out = memory_experiment(code, rounds=d, noise=noise, batch=batch,
-                                seed=seed * 1000 + rep, decoder=decoder,
-                                engine="frames")
-        fails += round(out["logical_fail"] * batch)
+        if decoder == "belief":
+            # belief-matching tier (decode/belief.py): joint-graph BP
+            # posteriors -> per-shot UF weights; quote the Z sector for
+            # comparability with the Z-memory UF rows
+            from qcss_tpu.experiments.memory_xz import xz_memory_experiment
+
+            out = xz_memory_experiment(code, rounds=d, noise=noise,
+                                       batch=batch,
+                                       seed=seed * 1000 + rep,
+                                       belief=iters)
+            fails += round(out["z_fail_belief"] * batch)
+        else:
+            out = memory_experiment(code, rounds=d, noise=noise,
+                                    batch=batch,
+                                    seed=seed * 1000 + rep,
+                                    decoder=decoder, engine="frames")
+            fails += round(out["logical_fail"] * batch)
         total += batch
     lo, hi = wilson(fails, total)
     return {"d": d, "p": p, "shots": total, "fails": fails,
@@ -98,7 +128,13 @@ def main():
     ap.add_argument("--ps", default="0.004,0.005,0.006,0.007,0.008,0.009")
     ap.add_argument("--shots", type=int, default=1 << 17)
     ap.add_argument("--batch", type=int, default=1 << 15)
-    ap.add_argument("--decoder", default="device-dem")
+    ap.add_argument("--decoder", default="device-dem",
+                    help="device-dem | dem | belief (belief-matching "
+                    "tier, Z sector quoted)")
+    ap.add_argument("--model", default="uniform",
+                    choices=["uniform", "si1000"])
+    ap.add_argument("--iters", type=int, default=32,
+                    help="BP iterations for --decoder belief")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
@@ -108,14 +144,16 @@ def main():
     for d in (int(x) for x in args.distances.split(",")):
         for p in (float(x) for x in args.ps.split(",")):
             t0 = time.perf_counter()
-            row = run_point(d, p, shots, args.seed, args.decoder, batch)
+            row = run_point(d, p, shots, args.seed, args.decoder, batch,
+                            model=args.model, iters=args.iters)
             row["bench"] = "circuit_threshold"
+            row["model"] = args.model
             row["wall_sec"] = round(time.perf_counter() - t0, 1)
             rows.append(row)
             print(json.dumps(row), flush=True)
     xs = crossings(rows)
     summary = {"bench": "circuit_threshold_summary",
-               "decoder": args.decoder,
+               "decoder": args.decoder, "model": args.model,
                "pairwise_crossings": [round(x, 5) for x in xs],
                "p_th": round(float(np.mean(xs)), 5) if xs else None,
                "p_th_spread": round(float(np.std(xs)), 5) if xs else None}

@@ -308,27 +308,37 @@ def _osde_device_kernel(h_t, synd, soft, C: int, osd_order: int,
     cols = jnp.arange(C, dtype=jnp.int32)
     words = jnp.arange((C + 31) // 32, dtype=jnp.int32)
 
-    vals = []      # [B, C] reduced bits at pivot slots, per candidate col
-    fcs = []       # [B] sorted-coordinate index of the candidate column
-    exists = []    # [B] candidate column exists
-    wfree = []     # [B] its soft weight
-    for j in range(L):
-        sel = (freem > 0) & (ranks == j + 1)               # one-hot [B, C]
-        ex = jnp.any(sel, axis=1)
-        fc = jnp.sum(jnp.where(sel, cols[None, :], 0),
-                     axis=1).astype(jnp.int32)
-        w_idx = fc // 32
-        b_idx = (fc % 32).astype(jnp.uint32)
-        # one-hot word contraction (no per-shot dynamic gather on W)
-        onew = (words[None, :] == w_idx[:, None]).astype(jnp.uint32)
-        colword = jnp.sum(aug * onew[:, None, :], axis=2)  # [B, r]
-        colbits = ((colword >> b_idx[:, None]) & 1).astype(jnp.uint8)
-        v = jnp.take_along_axis(colbits, prs.T, axis=1)    # [B, C]
-        v = jnp.where(hass.T, v, 0).astype(jnp.float32)
-        vals.append(v)
-        fcs.append(fc)
-        exists.append(ex)
-        wfree.append(jnp.sum(jnp.where(sel, w_sorted, 0), axis=1))
+    # candidate free columns: indices, existence, weights -----------------
+    sel_all = ((freem > 0)[:, None, :]
+               & (ranks[:, None, :] == (1.0 + jnp.arange(L, dtype=
+                                        jnp.float32))[None, :, None]))
+    ex_all = jnp.any(sel_all, axis=2)                      # [B, L]
+    fc_all = jnp.sum(jnp.where(sel_all, cols[None, None, :], 0),
+                     axis=2).astype(jnp.int32)             # [B, L]
+    wf_all = jnp.sum(jnp.where(sel_all, w_sorted[:, None, :], 0.0),
+                     axis=2)                               # [B, L]
+    # extract the L candidate columns' bits in ONE batched contraction:
+    # one-hot word select as two exact f32 einsums (uint32 words split
+    # into 16-bit halves — both exact in f32; the per-candidate one-hot
+    # loop form cost L full passes over [B, r, W] and measured ~7x the
+    # OSD-0 wall at bb288 circuit depth)
+    w_idx = fc_all // 32                                   # [B, L]
+    b_idx = (fc_all % 32).astype(jnp.uint32)
+    onew = (words[None, None, :] == w_idx[:, :, None]).astype(jnp.float32)
+    lo = (aug & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    hi = (aug >> jnp.uint32(16)).astype(jnp.float32)
+    cw_lo = jnp.einsum("brw,blw->brl", lo, onew).astype(jnp.uint32)
+    cw_hi = jnp.einsum("brw,blw->brl", hi, onew).astype(jnp.uint32)
+    colword = cw_lo | (cw_hi << jnp.uint32(16))            # [B, r, L]
+    colbits = ((colword >> b_idx[:, None, :]) & 1).astype(jnp.uint8)
+    v_all = jnp.take_along_axis(
+        colbits, jnp.broadcast_to(prs.T[:, :, None],
+                                  (B, C, L)).astype(jnp.int32), axis=1)
+    v_all = jnp.where(hass.T[:, :, None], v_all, 0).astype(jnp.float32)
+    vals = [v_all[:, :, j] for j in range(L)]
+    fcs = [fc_all[:, j] for j in range(L)]
+    exists = [ex_all[:, j] for j in range(L)]
+    wfree = [wf_all[:, j] for j in range(L)]
 
     BIG = jnp.float32(3e38)
     cand_scores = []
@@ -677,11 +687,6 @@ class BPDecoder:
         decoding's augmented [h; L_j] systems — same columns, extra
         constraint rows)."""
         h_mat = self.h if h is None else h
-        if self.osd_order and h is None:
-            # order-E sweep (host): the gap path's augmented systems keep
-            # OSD-0 — the complementary re-decodes only need a consistent
-            # weight proxy, and E-sweeping both classes doubles the cost
-            return self._osde_any(synd, soft)
         r, n = h_mat.shape
         C = min(n, r + 256)
         if self.osd_backend == "device":
@@ -690,6 +695,16 @@ class BPDecoder:
             use_dev = False
         else:
             use_dev = synd.shape[0] * r * C > (1 << 31)
+        if self.osd_order and h is None:
+            # order-E sweep: device kernel (round 5 — the combination
+            # sweep rides the reduced block of the OSD-0 elimination)
+            # under the same backend policy; the gap path's augmented
+            # systems (h override) keep OSD-0 — the complementary
+            # re-decodes only need a consistent weight proxy, and
+            # E-sweeping both classes doubles the cost
+            if not use_dev or max(self.osd_lambda) > 256:
+                return self._osde_any(synd, soft)
+            return self._osde_device(synd, soft, C)
 
         def host(s, f):
             return (self._osd0(s, f) if h is None
@@ -718,6 +733,36 @@ class BPDecoder:
             if not ok.all():
                 idx = np.nonzero(~ok)[0]
                 out[lo + idx] = host(synd[lo + idx], soft[lo + idx])
+        return out
+
+    def _osde_device(self, synd: np.ndarray, soft: np.ndarray,
+                     C: int) -> np.ndarray:
+        """Device order-E sweep (`_osde_device_kernel`) with the same
+        chunking as the device OSD-0 and host fallback for shots whose
+        rank is not reached within the column cap. Same enumeration
+        order and tie-break rule as the host sweep (solutions can
+        differ on float-tie candidates; see `_osde_py`)."""
+        r, n = self.h.shape
+        h_t = jnp.asarray(self.h.T)
+        out = np.zeros((synd.shape[0], n), np.uint8)
+        chunk = min(2048, max(64, int((1 << 33) // max(r * C, 1))))
+        chunk = min(chunk, synd.shape[0])
+        for lo in range(0, synd.shape[0], chunk):
+            hi = min(lo + chunk, synd.shape[0])
+            s_c = np.zeros((chunk, r), synd.dtype)
+            f_c = np.zeros((chunk, n), soft.dtype)
+            s_c[: hi - lo] = synd[lo:hi]
+            f_c[: hi - lo] = soft[lo:hi]
+            e, ok = _osde_device_kernel(h_t, jnp.asarray(s_c),
+                                        jnp.asarray(f_c), C,
+                                        self.osd_order,
+                                        *self.osd_lambda)
+            out[lo:hi] = np.asarray(e)[: hi - lo]
+            ok = np.asarray(ok)[: hi - lo]
+            if not ok.all():
+                idx = np.nonzero(~ok)[0]
+                out[lo + idx] = self._osde_any(synd[lo + idx],
+                                               soft[lo + idx])
         return out
 
     def _osde_any(self, synd: np.ndarray, soft: np.ndarray) -> np.ndarray:

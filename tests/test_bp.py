@@ -719,3 +719,58 @@ class TestRound4Depth:
         eb, cb = b.decode_batch(synd)
         np.testing.assert_array_equal(ea, eb)
         np.testing.assert_array_equal(ca, cb)
+
+
+class TestDeviceOsdE:
+    """Round 5: the order-E combination sweep on device
+    (`bp._osde_device_kernel` — the blocked OSD-0 elimination plus the
+    lam1-singles / lam2-pairs re-solve on the reduced block). Contract
+    (same as the C++ sweep, per CLAUDE.md): same enumeration order and
+    strict-< / first-candidate tie-break rule; soft weights agree;
+    solutions can differ only on float-tie candidates."""
+
+    def test_matches_host_sweep(self):
+        from qcss_tpu.decode.bp import _osde_device_kernel, _osde_py
+
+        rng = np.random.default_rng(3)
+        for trial in range(3):
+            r, n = 28 + 12 * trial, 72 + 24 * trial
+            h = (rng.random((r, n)) < 0.12).astype(np.uint8)
+            B = 48
+            e_true = (rng.random((B, n)) < 0.05).astype(np.uint8)
+            synd = (e_true @ h.T) & 1
+            soft = rng.normal(0, 1, (B, n)).astype(np.float64)
+            import jax.numpy as jnp
+
+            for order in (1, 2):
+                ref = _osde_py(h, synd, soft, order, 12, 8)
+                dev, ok = _osde_device_kernel(
+                    jnp.asarray(h.T), jnp.asarray(synd),
+                    jnp.asarray(soft), min(n, r + 256), order, 12, 8)
+                dev, ok = np.asarray(dev), np.asarray(ok)
+                assert ok.all()
+                assert (((dev @ h.T) & 1) == synd).all()
+                w = np.abs(soft)
+                np.testing.assert_allclose((w * dev).sum(1),
+                                           (w * ref).sum(1), atol=1e-6)
+
+    def test_backend_policy_routes_device(self):
+        """osd_backend='device' + osd_order runs the device sweep end
+        to end through the public decode path; never worse than OSD-0
+        in solution weight by construction."""
+        rng = np.random.default_rng(7)
+        r, n = 40, 110
+        h = (rng.random((r, n)) < 0.1).astype(np.uint8)
+        B = 64
+        e_true = (rng.random((B, n)) < 0.06).astype(np.uint8)
+        synd = (e_true @ h.T) & 1
+        d0 = BPDecoder(h, 0.06, iters=4, osd="always",
+                       osd_backend="device")
+        de = BPDecoder(h, 0.06, iters=4, osd="always", osd_order=2,
+                       osd_lambda=(12, 8), osd_backend="device")
+        e0, _ = d0.decode_batch(synd)
+        ee, _ = de.decode_batch(synd)
+        assert (((np.asarray(ee) @ h.T) & 1) == synd).all()
+        w = -np.log(0.06 / 0.94)
+        assert (np.asarray(ee).sum(1) * w).sum() <= \
+            (np.asarray(e0).sum(1) * w).sum() + 1e-6
