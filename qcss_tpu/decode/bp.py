@@ -717,8 +717,12 @@ class BPDecoder:
         # adapt the device chunk to the elimination system: HBM holds
         # O(chunk * r) per-row coefficient state across the block scan,
         # so large-r graphs (d=7 compiled-program circuit models reach
-        # r > 5000) must shrink the chunk or OOM a 16 GB chip
-        chunk = min(2048, max(64, int((1 << 33) // max(r * C, 1))))
+        # r > 5000) must shrink the chunk or OOM a 16 GB chip. The live
+        # set is ~3x the packed block (aug + the block-replay update +
+        # pivot rows), ON TOP of the caller's device-resident BP
+        # buffers — the 2^33 bit budget OOM'd bb288-circuit once its
+        # graph grew past round 4's, hence 2^32
+        chunk = min(2048, max(64, int((1 << 32) // max(r * C, 1))))
         chunk = min(chunk, synd.shape[0])
         for lo in range(0, synd.shape[0], chunk):
             hi = min(lo + chunk, synd.shape[0])
@@ -745,7 +749,7 @@ class BPDecoder:
         r, n = self.h.shape
         h_t = jnp.asarray(self.h.T)
         out = np.zeros((synd.shape[0], n), np.uint8)
-        chunk = min(2048, max(64, int((1 << 33) // max(r * C, 1))))
+        chunk = min(2048, max(64, int((1 << 32) // max(r * C, 1))))
         chunk = min(chunk, synd.shape[0])
         for lo in range(0, synd.shape[0], chunk):
             hi = min(lo + chunk, synd.shape[0])

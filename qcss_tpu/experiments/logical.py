@@ -207,6 +207,9 @@ class LogicalProgram:
         # gauge-free: the s/t gadget m1 and OUT once both patches are
         # encoded arrivals — see build_circuit)
         self._circ_scoreable: set[str] = set()
+        # gadget OUT channels awaiting their boundary-form decision
+        # (finalized in measure(); see _magic_gadget)
+        self._pending_out: list[tuple] = []
         self._anc_count = 0
         self._built = None
         self._bits = [0] * n_data
@@ -833,9 +836,19 @@ class LogicalProgram:
         c_rep = self._origin((0, 2 * q))[1] + 1   # the interior X̄ column
         s0 = [qb for qb in seam_ro.qubits if qb % self.cols_q == c_rep]
         assert len(s0) == 1
+        # X̄_D's boundary form is finalized in measure(): the FINAL
+        # boundary (fd = d, the bespoke convention) when no later op
+        # disturbs q's X̄ — scoring X̄_D at the final is inconsistent
+        # once a later merge randomizes it (the signature guard fires,
+        # e.g. t(1); cnot(1,2) at d=5) — else ANCHORED at M's readout
+        # (guard-consistent; carries the weight-4 anchor-cut classes,
+        # see patches.logical_at)
         terms = [P.logical(self._xrep((0, 2 * q))),
                  P.readout_logical(ph_last, self._xrep(slot)),
                  P.readout_bit(seam_ro.phase, s0[0])]
+        # +1: the gadget's own op_log entry is appended after this
+        self._pending_out.append((len(self._x_obs), q,
+                                  len(self._op_log) + 1, ph_last))
         out_name = f"{kind}{q}_out_{len(self._x_obs)}"
         m1_name = f"{kind}{q}_m1_{len(self._aux_obs)}"
         self._x_obs.append((out_name, terms))
@@ -1182,6 +1195,28 @@ class LogicalProgram:
         (None when the state is projection-random or symbolic)."""
         if hasattr(self, "_obs"):
             return self
+        # finalize pending gadget OUT channels: keep the final-boundary
+        # X̄_D form only when no later PHYSICAL op touches q (Pauli
+        # frame ops and x_if are software and harmless); otherwise
+        # anchor at M's readout phase (see _magic_gadget)
+        def _op_qubits(op):
+            if op[0] == "mzz_layer":
+                return {x for pr in op[1] for x in pr}
+            return {x for x in op[1:] if isinstance(x, int)}
+
+        for i_x, q, op_pos, ph_last in self._pending_out:
+            later = self._op_log[op_pos:]
+            disturbed = any(
+                q in _op_qubits(op)
+                and op[0] not in ("x", "z", "y", "x_if")
+                for op in later)
+            if disturbed:
+                name, terms = self._x_obs[i_x]
+                terms = [P.logical_at(ph_last, t[1])
+                         if t[0] == "logical" else t for t in terms]
+                self._x_obs[i_x] = (name, terms)
+                # anchored terms cannot ride the circuit tier's recipe
+                self._circ_scoreable.discard(name)
         self._obs_names = [name for name, _ in self._aux_obs]
         self._obs = [terms for _, terms in self._aux_obs]
         self._obs_expected = list(self._aux_expected)
@@ -1473,9 +1508,11 @@ class LogicalProgram:
         rot, h_bounds, rot_end = self._rot_info()
         active = np.stack(self._active)
         x_names = [name for name, _ in self._x_obs]
-        drop = tuple(i for i, e in enumerate(self._x_expected)
-                     if e is None
-                     and x_names[i] not in self._circ_scoreable)
+        drop = tuple(
+            i for i, (e, (_, terms)) in enumerate(
+                zip(self._x_expected, self._x_obs))
+            if (e is None and x_names[i] not in self._circ_scoreable)
+            or any(t[0] == "logical_at" for t in terms))
         model = SC.build_circuit_schedule(
             self.n, [P.Phase(h, self.R) for h in self._conj_checks],
             active, [terms for _, terms in self._x_obs],

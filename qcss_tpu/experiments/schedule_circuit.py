@@ -365,17 +365,24 @@ def build_circuit_schedule(n: int, phases: list[P.Phase],
                             conjugate_init=conjugate_init,
                             with_recipe=True)
     rec = base.meta["recipe"]
-    if rec.get("has_anchored"):
-        raise ValueError(
-            "circuit-level schedules cannot consume logical_at terms: "
-            "the recipe's anchored rows fall back to the final readout, "
-            "which mis-places circuit faults that occur after the anchor")
     D, obs_D = rec["D"], rec["obs"]
     if drop_obs:
         keep_obs = [i for i in range(obs_D.shape[0]) if i not in drop_obs]
         obs_D = obs_D[keep_obs]
     else:
         keep_obs = list(range(obs_D.shape[0]))
+    if rec.get("has_anchored"):
+        # anchored rows fall back to the final readout in outcome
+        # space, which mis-places circuit faults after the anchor —
+        # refuse only when such a row is actually KEPT (dropped rows
+        # are excluded from scoring anyway)
+        kept = set(keep_obs)
+        if any(i_o in kept for i_o, *_ in rec.get("anchored", ())):
+            raise ValueError(
+                "circuit-level schedules cannot consume logical_at "
+                "terms: the recipe's anchored rows fall back to the "
+                "final readout, which mis-places circuit faults that "
+                "occur after the anchor (drop those rows)")
     meas_order, read_order = rec["meas_order"], rec["read_order"]
     n_meas, n_read = rec["n_meas"], rec["n_read"]
     n_out = n_meas + n_read + n
