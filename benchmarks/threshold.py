@@ -73,12 +73,19 @@ def run_point(d: int, p: float, shots: int, seed: int,
     noise = make_noise(p, model)
     fails = 0
     total = 0
+    extra_fails: dict[str, int] = {}
     reps = max(1, shots // batch)
     for rep in range(reps):
         if decoder == "belief":
             # belief-matching tier (decode/belief.py): joint-graph BP
-            # posteriors -> per-shot UF weights; quote the Z sector for
-            # comparability with the Z-memory UF rows
+            # posteriors -> per-shot UF weights. The two-sector xz
+            # sampler is a HARSHER convention than the Z-memory harness
+            # (both sectors' extraction circuits and their correlations
+            # are sampled), so its crossings are not comparable to the
+            # memory_experiment rows — instead all three decoder tiers
+            # (independent matching / correlated / belief) are recorded
+            # from the SAME shots so the decoder ORDERING is measured
+            # within one convention
             from qcss_tpu.experiments.memory_xz import xz_memory_experiment
 
             out = xz_memory_experiment(code, rounds=d, noise=noise,
@@ -86,6 +93,10 @@ def run_point(d: int, p: float, shots: int, seed: int,
                                        seed=seed * 1000 + rep,
                                        belief=iters)
             fails += round(out["z_fail_belief"] * batch)
+            extra_fails["independent"] = extra_fails.get(
+                "independent", 0) + round(out["z_fail"] * batch)
+            extra_fails["correlated"] = extra_fails.get(
+                "correlated", 0) + round(out["z_fail_corr"] * batch)
         else:
             out = memory_experiment(code, rounds=d, noise=noise,
                                     batch=batch,
@@ -94,8 +105,11 @@ def run_point(d: int, p: float, shots: int, seed: int,
             fails += round(out["logical_fail"] * batch)
         total += batch
     lo, hi = wilson(fails, total)
-    return {"d": d, "p": p, "shots": total, "fails": fails,
-            "logical_fail": fails / total, "ci_lo": lo, "ci_hi": hi}
+    row = {"d": d, "p": p, "shots": total, "fails": fails,
+           "logical_fail": fails / total, "ci_lo": lo, "ci_hi": hi}
+    for k, v in extra_fails.items():
+        row[f"logical_fail_{k}"] = v / total
+    return row
 
 
 def crossings(rows: list[dict]) -> list[float]:
